@@ -1,0 +1,19 @@
+"""kafkaish_spark — a PySpark-native durable pub/sub log + analytics engine.
+
+Re-expresses the capabilities of the reference implementation
+(steveliles/kafkaish: durable topics with publish / ephemeral & durable
+subscribe / replay-then-live / ack / retention, see
+/root/reference/src/topic.js) on Spark-native storage and execution:
+
+- Topic log  = partitioned Parquet append log (``sources.topic_log``)
+- Subscribe  = Structured Streaming query (``streaming.subscribe``)
+- Ack        = streaming checkpoint commit + queryable ``_subscribers`` table
+- Processing = batch + streaming relational operators over DataFrames
+  (``operators``), validated against a DuckDB oracle.
+"""
+
+from kafkaish_spark.session import get_spark
+from kafkaish_spark.sources.topic_log import Engine, Topic
+
+__all__ = ["get_spark", "Engine", "Topic"]
+__version__ = "0.1.0"

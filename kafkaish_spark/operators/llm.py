@@ -1,0 +1,664 @@
+"""LLM-data-pipeline operators (SURVEY.md §2.4): dedup, similarity
+search, text analysis over the ``documents`` / ``embeddings`` tables.
+
+Oracle-exactness techniques used here:
+
+- shingle/Jaccard arithmetic is integer counts + one IEEE division —
+  bit-identical across engines;
+- vector math folds left-to-right in DOUBLE on both engines (Spark
+  ``aggregate`` vs DuckDB ``list_reduce``) so cosine scores match
+  bit-for-bit before rounding;
+- engine-specific hashing (xxhash64 in MinHash/SimHash) is rows-only,
+  with pytest properties (candidates superset high-Jaccard pairs).
+
+Scale notes: the all-pairs shingle join is the sf0.01 oracle twin; the
+100 TB path is MinHash+LSH (q_dedup_minhash_lsh) whose cost is
+O(docs x bands), and IVF-style bucketed ANN for similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkaish_spark.functions.vectors import cosine_sim
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+# ------------------------------------------------------------------ helpers
+
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),"
+    " s -> s[1] * s[2]), (x, y) -> x + y)"
+)
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def _shingles_df(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per doc, pure DataFrame ops:
+    split -> transform over a position sequence -> explode -> distinct."""
+    w = _words()
+    n = F.size(w)
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+                F.element_at(w, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    )
+
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(greatest(len(w) - 2, 0)),
+                    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+"""
+
+
+# ---------------------------------------------------------------- M1
+@query(
+    "q_dedup_exact_documents",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, keeping the lowest
+    doc_id per content.  md5 is the same algorithm in both engines, so
+    the digest itself is oracle-checkable.  At 100 TB this is the
+    standard first dedup pass — shuffle keyed on the digest, never on
+    the full text."""
+    d = t(spark, sf, "documents")
+    return d.groupBy(F.md5("text").alias("text_md5")).agg(
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+# ---------------------------------------------------------------- M2 (oracle twin)
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+    FROM common
+    JOIN counts na ON na.doc_id = doc_a
+    JOIN counts nb ON nb.doc_id = doc_b
+    WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
+    """,
+    bench=True,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup detection by exact 3-gram Jaccard >= 0.2.  The inverted
+    shingle join only pairs docs sharing at least one shingle (not all
+    pairs); counts are integers and the final division is one IEEE op.
+    This is the correctness twin — q_dedup_minhash_lsh is the scale
+    path."""
+    d = t(spark, sf, "documents")
+    sh = _shingles_df(d).cache()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = counts.alias("na")
+    nb = counts.alias("nb")
+    jac = F.col("c").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("c")
+    )
+    return (
+        common.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- M2 scale path (rows-only)
+@query("q_dedup_minhash_lsh", oracle=None)
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates — the 100 TB dedup path.
+
+    shingle -> 32 seeded xxhash64 "permutations" (h_i = xxhash64(i,
+    shingle) — hash-seeding instead of affine maps keeps everything in
+    int64 under ANSI mode) -> min per doc -> 8 bands of 4 -> band-hash
+    bucket join -> estimated Jaccard = fraction of matching minhashes.
+    Cost O(docs x perms), never all-pairs.  Engine-specific hashing =>
+    rows-only; pytest asserts candidates cover the exact-Jaccard pairs."""
+    NUM_PERM, BANDS = 32, 8
+    R = NUM_PERM // BANDS
+
+    d = t(spark, sf, "documents")
+    sh = _shingles_df(d)
+    perms = sh.select(
+        "doc_id",
+        *[
+            F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}")
+            for i in range(NUM_PERM)
+        ],
+    )
+    sig = perms.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(NUM_PERM)]
+    )
+    sig = sig.withColumn("sig", F.array(*[f"m{i}" for i in range(NUM_PERM)])).select(
+        "doc_id", "sig"
+    )
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("sig")[bi * R + j] for j in range(R)]).alias(
+                            "bh"
+                        ),
+                    )
+                    for bi in range(BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ).cast("double") / F.lit(float(NUM_PERM))
+    return cand.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= 0.2
+    )
+
+
+# ---------------------------------------------------------------- M2b SimHash (rows-only)
+@query("q_dedup_simhash", oracle=None)
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """48-bit SimHash near-dup (48 keeps fingerprints clear of the
+    int64 sign bit): per-word xxhash64, signed bit votes, sign ->
+    fingerprint; candidates via 16-bit chunk buckets (3-chunk banding
+    catches hamming <= 2 exactly, more probabilistically); hamming via
+    bit_count(xor)."""
+    NBITS, CHUNKS = 48, 3
+    d = t(spark, sf, "documents")
+    wdf = d.select("doc_id", F.explode(_words()).alias("word")).withColumn(
+        "h", F.xxhash64("word")
+    )
+    votes = wdf.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"v{j}")
+            for j in range(NBITS)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for j in range(NBITS):
+        fp = fp + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+    sims = votes.select("doc_id", fp.alias("simhash"))
+    chunks = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.shiftright(F.col("simhash"), ci * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ch"),
+                    )
+                    for ci in range(CHUNKS)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.ch")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", ham.cast("long").alias("hamming")).filter(
+        F.col("hamming") <= 6
+    )
+
+
+# ---------------------------------------------------------------- M3
+@query(
+    "q_sim_topk_embeddings",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+               FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT query_id, e.vec_id AS neighbor_id, e.label AS nlabel, qlabel,
+             {_DOT_SQL.format(a='qe', b='e.embedding')} AS dot,
+             sqrt({_DOT_SQL.format(a='qe', b='qe')}) AS qn,
+             sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')}) AS nn
+      FROM q, embeddings e WHERE e.vec_id <> query_id)
+    SELECT query_id, neighbor_id, cos_sim, rn, same_label FROM (
+      SELECT query_id, neighbor_id,
+             round(dot / (qn * nn), 6) AS cos_sim,
+             CAST(nlabel = qlabel AS BIGINT) AS same_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(dot / (qn * nn), 6) DESC, neighbor_id)
+               AS rn
+      FROM pairs)
+    WHERE rn <= 5
+    """,
+    bench=True,
+)
+def q_sim_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN correctness baseline): 5 query
+    vectors broadcast against all candidates, JVM-side array math (no
+    Python), window top-k with rounded-score + id tiebreak.  At 100 TB
+    the same plan holds with the query set broadcast and the candidate
+    scan partitioned; q_sim_ann_lsh is the sublinear path."""
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = F.broadcast(q).crossJoin(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
+            F.col("label").alias("nlabel"),
+        )
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(cosine_sim(F.col("qe"), F.col("ne")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            cos.alias("cos_sim"),
+            (F.col("nlabel") == F.col("qlabel")).cast("long").alias("same_label"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rn", "same_label")
+    )
+
+
+# ---------------------------------------------------------------- M3b near-dup by cosine
+@query(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                 / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                    * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})), 6)
+             AS cos_sim,
+           CAST(a.label = b.label AS BIGINT) AS same_label
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+          / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+             * sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})) >= 0.4
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4 — calibrated to
+    this corpus, whose max pairwise cosine is ~0.48).  All-pairs here as
+    the oracle twin; the LSH variant buckets first at scale."""
+    e = t(spark, sf, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("label").alias("la"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("label").alias("lb"),
+    )
+    cos = cosine_sim(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.4)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cos, 6).alias("cos_sim"),
+            (F.col("la") == F.col("lb")).cast("long").alias("same_label"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- M3c ANN scale path (rows-only)
+@query("q_sim_ann_lsh", oracle=None)
+def q_sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate NN (random-hyperplane signs over 16
+    deterministic pseudo-planes -> bucket join -> exact cosine within
+    bucket).  Sublinear candidate generation — the 100 TB similarity
+    path.  Plane construction is engine-specific => rows-only; pytest
+    checks recall vs the brute-force baseline."""
+    NBITS = 6  # 64 buckets — sized so buckets average a handful of
+    # vectors at this corpus size; at 100 TB raise NBITS with corpus
+    e = t(spark, sf, "embeddings")
+    dim = 64
+    # deterministic pseudo-random hyperplanes from a fixed integer hash
+    planes = [
+        [(((i * 1315423911) ^ (j * 2654435761)) % 2001 - 1000) / 1000.0 for j in range(dim)]
+        for i in range(NBITS)
+    ]
+
+    def plane_dot(vec, p):
+        s = F.lit(0.0)
+        for j, w in enumerate(p):
+            if abs(w) > 0.15:  # sparsify: cheap signature, same at scale
+                s = s + F.element_at(vec, j + 1).cast("double") * F.lit(w)
+        return s
+
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        sig = sig + F.when(plane_dot(F.col("embedding"), p) > 0, F.lit(1 << i)).otherwise(0)
+    buck = e.select("vec_id", "embedding", "label", sig.alias("bucket"))
+    a, b = buck.alias("a"), buck.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    cos = cosine_sim(F.col("a.embedding"), F.col("b.embedding"))
+    return cand.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(cos, 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= 0.25)
+
+
+# ---------------------------------------------------------------- M4
+@query(
+    "q_text_token_stats",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Whitespace token counting + per-language corpus stats (integer
+    arithmetic -> exact)."""
+    d = t(spark, sf, "documents")
+    ntok = F.size(_words())
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(ntok).cast("long").alias("total_tokens"),
+        (F.sum(ntok).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+    )
+
+
+_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "les", "du", "et"),
+}
+
+
+def _langid_sql() -> str:
+    scores = ", ".join(
+        "len(list_filter(w, x -> x IN ({vals}))) AS s_{lang}".format(
+            vals=", ".join(f"'{v}'" for v in vs), lang=lang
+        )
+        for lang, vs in _MARKERS.items()
+    )
+    return f"""
+    WITH scored AS (
+      SELECT lang, {scores}
+      FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))
+    SELECT lang,
+           CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS predicted,
+           COUNT(*) AS n
+    FROM scored GROUP BY 1, 2
+    """
+
+
+@query("q_text_langid_confusion", oracle=_langid_sql())
+def q_text_langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram/stopword-marker language-ID heuristic, reported as a
+    (true lang x predicted) confusion table.  Fixed tie-break order
+    keeps prediction deterministic on both engines."""
+    d = t(spark, sf, "documents")
+    w = _words()
+    scored = d.select(
+        "lang",
+        *[
+            F.size(F.filter(w, lambda x: x.isin(*vs))).alias(f"s_{lang}")
+            for lang, vs in _MARKERS.items()
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") == 0)
+            & (F.col("s_es") == 0)
+            & (F.col("s_de") == 0)
+            & (F.col("s_fr") == 0),
+            "und",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es"
+        )
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+    )
+    return (
+        scored.withColumn("predicted", pred)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w) AS avg_token_len,
+           CAST(len(list_filter(w, x -> x IN ({", ".join(f"'{s}'" for s in _STOPWORDS)})))
+                AS DOUBLE) / len(w) AS stopword_ratio,
+           CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio,
+           CAST(CASE WHEN len(w) BETWEEN 20 AND 2000 THEN 1 ELSE 0 END
+              + CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.3
+                     THEN 1 ELSE 0 END
+              + CASE WHEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+                          BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS BIGINT)
+             AS quality_score
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+    """,
+)
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Document quality scoring: token count, average token length,
+    stopword ratio, type/token ratio, composite 0-3 score — the classic
+    pretraining-corpus filters, all integer/one-division arithmetic."""
+    d = t(spark, sf, "documents")
+    w = _words()
+    n = F.size(w)
+    avg_len = (F.length("text") - (n - 1)).cast("double") / n
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*_STOPWORDS))).cast("double") / n
+    )
+    uniq_ratio = F.size(F.array_distinct(w)).cast("double") / n
+    score = (
+        F.when(n.between(20, 2000), 1).otherwise(0)
+        + F.when(uniq_ratio > 0.3, 1).otherwise(0)
+        + F.when(avg_len.between(3, 10), 1).otherwise(0)
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+@query(
+    "q_text_tf_top_terms",
+    oracle="""
+    SELECT word, cnt, rn FROM (
+      SELECT word, cnt,
+             row_number() OVER (ORDER BY cnt DESC, word) AS rn
+      FROM (SELECT word, COUNT(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word))
+    WHERE rn <= 20
+    """,
+    bench=True,
+)
+def q_text_tf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus term-frequency top-20 (explode -> count -> global top-k
+    with word tiebreak).  Map-side partial aggregation keeps the shuffle
+    at vocabulary size, not token count."""
+    d = t(spark, sf, "documents")
+    tf = (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    return tf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_reduce(
+             list_transform(string_split(text, ' '),
+                            w -> CAST(ascii(w) * 31 + length(w) AS BIGINT)),
+             (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling polynomial fingerprint over the token stream (mod 1e9+7
+    — overflow-free 64-bit integer math, exact on both engines)."""
+    d = t(spark, sf, "documents")
+    terms = F.transform(
+        _words(), lambda w: (F.ascii(w) * 31 + F.length(w)).cast("long")
+    )
+    fp = F.aggregate(
+        terms,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 131 + x) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------- U3 grouped-map UDF
+@query(
+    "q_udaf_normalize_per_group",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN sd > 0 THEN round((n_chars - mu) / sd, 6) END AS z_chars
+    FROM (SELECT doc_id, lang, n_chars,
+                 AVG(n_chars) OVER (PARTITION BY lang) AS mu,
+                 stddev_samp(n_chars) OVER (PARTITION BY lang) AS sd
+          FROM documents)
+    """,
+)
+def q_udaf_normalize_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map UDF surface (applyInPandas): per-language z-score of
+    doc length, computed by an Arrow-batched pandas function — the
+    idiomatic custom-UDAF escape hatch when builtins can't express the
+    logic.  Oracle is the pure-SQL window twin."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        z = (pdf["n_chars"] - mu) / sd if sd and sd > 0 else pd.Series([None] * len(pdf))
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z_chars": z.round(6)}
+        )
+
+    return d.groupBy("lang").applyInPandas(
+        zscore, "doc_id long, lang string, z_chars double"
+    )

@@ -1,0 +1,118 @@
+"""Log-layer operators as oracle-checkable batch twins (SURVEY.md §2.1).
+
+The ``events`` table plays the topic log: ``event_id`` is the offset
+(monotonically increasing), ``event_type`` the routing key — see
+FIXTURES.md B.  The streaming forms live in
+``kafkaish_spark.streaming`` and are exercised by the semantics pytest
+suite; these batch twins give the DuckDB oracle something to check.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+
+# ---------------------------------------------------------------- L9
+@query(
+    "q_latest_offset",
+    oracle="SELECT CAST(COALESCE(MAX(event_id), 0) AS BIGINT) AS latest_offset FROM events",
+)
+def q_latest_offset(spark: SparkSession, sf: str) -> DataFrame:
+    """Newest offset (ref: Topic.latest, src/topic.js:221-244 does a
+    sort-desc-limit-1; agg(max) reads only parquet footer stats)."""
+    return t(spark, sf, "events").agg(
+        F.coalesce(F.max("event_id"), F.lit(0)).cast("long").alias("latest_offset")
+    )
+
+
+# ---------------------------------------------------------------- L7 (batch twin)
+@query(
+    "q_replay_from_offset",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    WHERE event_id > (SELECT MAX(event_id) - 100 FROM events)
+    """,
+)
+def q_replay_from_offset(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch replay from an offset (ref: replayFrom scan ``_id > last``,
+    src/topic.js:144-149).  The offset predicate prunes parquet row
+    groups via min/max stats — the Spark analog of Mongo evaluating
+    ``$gt`` server-side."""
+    ev = t(spark, sf, "events")
+    last = ev.agg(F.max("event_id")).first()[0] - 100
+    return ev.filter(F.col("event_id") > F.lit(int(last))).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+# ---------------------------------------------------------------- L11
+@query(
+    "q_filter_event_type",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def q_filter_event_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-name routing (ref: client-side filter src/topic.js:172-173;
+    live EventEmitter key :73-74,108).  Here the filter pushes down to
+    the scan — strictly better than the reference."""
+    return (
+        t(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------- L8 (introspection)
+@query(
+    "q_subscriber_lag",
+    oracle="""
+    SELECT user_id AS subscriber_id,
+           CAST(MAX(event_id) AS BIGINT) AS last_offset,
+           CAST((SELECT MAX(event_id) FROM events) - MAX(event_id) AS BIGINT) AS lag
+    FROM events GROUP BY user_id
+    """,
+)
+def q_subscriber_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """Subscriber-lag introspection (ref: the ``<topic>_subscribers``
+    offset table, src/topic.js:202-220): treating each user as a
+    durable subscriber whose last ack is its newest event."""
+    ev = t(spark, sf, "events")
+    tail = ev.agg(F.max("event_id")).first()[0]
+    return ev.groupBy(F.col("user_id").alias("subscriber_id")).agg(
+        F.max("event_id").cast("long").alias("last_offset"),
+        (F.lit(int(tail)) - F.max("event_id")).cast("long").alias("lag"),
+    )
+
+
+# ---------------------------------------------------------------- L4 (rows-only)
+@query("q_publish_roundtrip", oracle=None)
+def q_publish_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Publish -> replay round trip through a real topic log (ref:
+    publish + confirm callback, src/topic.js:25-40; test
+    'publish invokes confirmation callback', test/topic.js:76-89).
+    Publishes the first 500 events into a fresh parquet topic and
+    replays them; rows-only check (temp paths aren't SQL-visible)."""
+    from kafkaish_spark.sources.topic_log import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="kafkaish_rt_"))
+    topic = eng.prepare_topic("roundtrip")
+    src = (
+        t(spark, sf, "events")
+        .filter(F.col("event_id") <= 500)
+        .select(
+            F.col("event_type").alias("event"),
+            F.col("props").alias("message"),
+            F.col("ts"),
+        )
+    )
+    topic.publish_df(src)
+    return topic.replay(since=0).select("offset", "event", "message")

@@ -1,0 +1,862 @@
+"""Relational operator inventory (SURVEY.md §2.2, R3-R30).
+
+Each query pairs an idiomatic-DataFrame Spark builder with ANSI SQL the
+DuckDB oracle runs on the same parquet.  Conventions that make the
+driver's order-insensitive value-hash match:
+
+- every computed column aliased identically on both sides;
+- double aggregates via the exact-decimal pattern (functions.exact);
+- top-k always ordered with a unique-key tiebreak;
+- integer-ish outputs cast to BIGINT on both sides (Spark LONG == DuckDB
+  BIGINT; DuckDB's HUGEINT sums and INT date-diffs are normalized).
+
+Scale notes are inline per operator: what Catalyst pushes down, what
+shuffles, and which joins broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkaish_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+
+# ---------------------------------------------------------------- R3
+@query(
+    "q_project_compute",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    """,
+)
+def q_project_compute(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection, rename, computed column.  Per-row IEEE arithmetic is
+    order-independent, so no rounding needed.  ReadSchema should show
+    only the 4 source columns (column pruning)."""
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------- R4
+@query(
+    "q_filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O'
+      AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1999-12-31'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND (o_totalprice > 50000 OR o_orderpriority LIKE '1-%')
+      AND o_custkey IS NOT NULL
+    """,
+)
+def q_filter_pred(spark: SparkSession, sf: str) -> DataFrame:
+    """AND/OR/IN/BETWEEN/LIKE/IS NULL predicates — all push down to the
+    parquet scan (PushedFilters in explain)."""
+    o = t(spark, sf, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O")
+        & F.col("o_orderdate").between("1996-01-01", "1999-12-31")
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & ((F.col("o_totalprice") > 50000) | F.col("o_orderpriority").like("1-%"))
+        & F.col("o_custkey").isNotNull()
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+# ---------------------------------------------------------------- R5
+@query(
+    "q_join_orders_customer",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    bench=True,
+)
+def q_join_orders_customer(spark: SparkSession, sf: str) -> DataFrame:
+    """Inner equi-join.  customer is small relative to orders at every
+    SF — Spark/AQE picks broadcast-hash under the configured threshold;
+    at 100 TB the dimension side still broadcasts while the fact side
+    never shuffles."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------- R6
+@query(
+    "q_join_broadcast_nation_region",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_join_broadcast_nation_region(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit broadcast hint for the tiny dimension (region: 5 rows
+    at every SF) — zero shuffle."""
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+# ---------------------------------------------------------------- R7
+@query(
+    "q_join_left_customer_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS order_cnt,
+           {dsum_sql('COALESCE(o_totalprice, 0)')} AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_join_left_customer_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join + aggregate; COUNT(col) skips nulls from
+    unmatched customers on both engines."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            dsum(F.coalesce(F.col("o_totalprice"), F.lit(0.0)), "total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- R8
+@query(
+    "q_join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def q_join_semi_customers_with_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join — no duplication of the left side, right side only
+    probed.  The o_totalprice filter is pushed below the join."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti_customers_no_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+    """,
+)
+def q_join_anti_customers_no_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-anti join: customers with no large (>350k) order — the
+    threshold keeps the result non-empty at every SF."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_totalprice") > 350000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------- R9
+@query(
+    "q_join_range_price_band",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           {dsum_sql('l_extendedprice')} AS band_revenue
+    FROM part JOIN lineitem
+      ON l_partkey = p_partkey
+     AND l_quantity BETWEEN p_size - 5 AND p_size + 5
+    GROUP BY p_brand
+    """,
+)
+def q_join_range_price_band(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi key + range (theta) residual condition: Spark evaluates the
+    band as a post-join filter on the hash join — no cartesian blowup."""
+    p = t(spark, sf, "part")
+    l = t(spark, sf, "lineitem")
+    cond = (
+        (l.l_partkey == p.p_partkey)
+        & (l.l_quantity >= p.p_size - 5)
+        & (l.l_quantity <= p.p_size + 5)
+    )
+    return (
+        p.join(l, cond)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum("l_extendedprice", "band_revenue"))
+    )
+
+
+# ---------------------------------------------------------------- R10
+@query(
+    "q_join_asof_event_order",
+    oracle="""
+    WITH pv AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             p.ts AS p_ts, v.event_id AS view_id, v.ts AS v_ts,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM events p
+      LEFT JOIN events v
+        ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+      WHERE p.event_type = 'purchase')
+    SELECT purchase_id, user_id, view_id,
+           CAST(epoch_ms(p_ts) - epoch_ms(v_ts) AS BIGINT) AS gap_ms
+    FROM pv WHERE rn = 1
+    """,
+    bench=True,
+)
+def q_join_asof_event_order(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for each purchase, the latest prior 'view' by the
+    same user.  Spark-first implementation is the union+last-window
+    pattern — one shuffle on user_id, NO pairwise join blowup (the
+    oracle's O(purchases x views) join is fine for DuckDB at sf0.01 but
+    would not survive 100 TB; this does)."""
+    ev = t(spark, sf, "events")
+    both = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("v_id"),
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("v_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        both.withColumn("view_id", F.last("v_id", ignorenulls=True).over(w))
+        .withColumn("view_ts", F.last("v_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "view_id",
+            (F.unix_millis("ts") - F.unix_millis("view_ts")).cast("long").alias("gap_ms"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------- R11
+@query(
+    "q_star_revenue_by_region",
+    oracle=f"""
+    SELECT r_name,
+           COUNT(*) AS n_lines,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    bench=True,
+)
+def q_star_revenue_by_region(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-way star join: fact table joined through three dimension
+    hops.  nation/region broadcast explicitly; customer broadcasts via
+    AQE at small SF and stays a shuffle join at 100 TB — exactly what
+    we want Catalyst to decide at runtime."""
+    l = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- R12
+@query(
+    "q_agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def q_agg_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical hash-aggregate with partial
+    (map-side) aggregation — the shuffle moves only num_groups rows per
+    partition, not the fact table."""
+    l = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------- R13
+@query(
+    "q_agg_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS uniq_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact count-distinct: Spark expands to a two-phase aggregate
+    (distinct on (event_type, user_id) then count) — scales as long as
+    the distinct pairs fit the shuffle, which they do for bounded user
+    populations."""
+    return (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("uniq_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- R14 (rows-only)
+@query("q_agg_approx_distinct_users", oracle=None)
+def q_agg_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB path for
+    unbounded cardinalities (constant memory per group).  Sketch value
+    is engine-specific, so rows-only check."""
+    return (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+# ---------------------------------------------------------------- R15
+@query(
+    "q_agg_rollup_region_nation",
+    oracle=f"""
+    SELECT r_name, n_name,
+           GROUPING(r_name) AS g_region, GROUPING(n_name) AS g_nation,
+           COUNT(*) AS n_customers,
+           {dsum_sql('c_acctbal')} AS acctbal_sum
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_agg_rollup_region_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy totals with GROUPING flags to disambiguate data
+    NULLs from subtotal rows."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "acctbal_sum"),
+    )
+
+
+# ---------------------------------------------------------------- R16
+@query(
+    "q_agg_having_big_orders",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS spent
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+    """,
+)
+def q_agg_having_big_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spent"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+# ---------------------------------------------------------------- R17
+@query(
+    "q_window_rank_orders_per_cust",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rk,
+           dense_rank() OVER w AS drk,
+           ntile(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    bench=True,
+)
+def q_window_rank_orders_per_cust(spark: SparkSession, sf: str) -> DataFrame:
+    """Ranking window functions; unique o_orderkey tiebreak makes every
+    rank deterministic.  One shuffle on o_custkey."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------- R18
+@query(
+    "q_window_lag_event_gap",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(event_id)  OVER w AS prev_event_id,
+           lead(event_id) OVER w AS next_event_id,
+           CAST(epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS BIGINT) AS gap_ms,
+           first_value(event_type) OVER w AS first_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_lag_event_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """lag/lead/first analytic functions: per-user inter-event gap in
+    milliseconds (BIGINT on both engines)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev = t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)))
+        .cast("long")
+        .alias("gap_ms"),
+        F.first("event_type").over(wf).alias("first_type"),
+    )
+
+
+# ---------------------------------------------------------------- R19
+@query(
+    "q_window_running_total",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS sliding5_value
+    FROM events
+    """,
+)
+def q_window_running_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-spec aggregates: running and 5-row sliding sums, exact via
+    decimal accumulation (cross-engine reproducible)."""
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    slide = base.rowsBetween(-4, Window.currentRow)
+    dec = F.col("value").cast("decimal(18,6)")
+    return t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(dec).over(run).cast("double").alias("running_value"),
+        F.sum(dec).over(slide).cast("double").alias("sliding5_value"),
+    )
+
+
+# ---------------------------------------------------------------- R20
+@query(
+    "q_sort_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey
+    """,
+)
+def q_sort_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-key global sort (range-partitioned exchange + per-partition
+    sort in Spark)."""
+    return (
+        t(spark, sf, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy(
+            F.col("o_orderstatus").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- R21
+@query(
+    "q_topk_revenue_parts",
+    oracle=f"""
+    SELECT p_partkey, p_name, {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_name
+    ORDER BY revenue DESC, p_partkey
+    LIMIT 10
+    """,
+)
+def q_topk_revenue_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-k: Catalyst rewrites orderBy+limit to
+    TakeOrderedAndProject (per-partition top-k then merge on driver —
+    never a full global sort).  Exact-decimal revenue + p_partkey
+    tiebreak keeps the cut deterministic."""
+    p = t(spark, sf, "part")
+    l = t(spark, sf, "lineitem")
+    return (
+        p.join(l, l.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- R22
+@query(
+    "q_topk_per_group_customer_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    bench=True,
+)
+def q_topk_per_group_customer_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group via ranking window + filter (Spark pushes the
+    rn<=3 filter into the window sort as a group-limit optimization)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------- R23
+@query(
+    "q_set_union_segments",
+    oracle="""
+    SELECT c_custkey, c_name, 'building' AS seg
+    FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT c_custkey, c_name, 'machinery' AS seg
+    FROM customer WHERE c_mktsegment = 'MACHINERY'
+    """,
+)
+def q_set_union_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL via unionByName — no shuffle, just concatenated scans."""
+    c = t(spark, sf, "customer")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey", "c_name", F.lit("building").alias("seg")
+    )
+    m = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey", "c_name", F.lit("machinery").alias("seg")
+    )
+    return b.unionByName(m)
+
+
+# ---------------------------------------------------------------- R24
+@query(
+    "q_set_except_customers",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def q_set_except_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT set difference (customers active in 1995 but not 1996)."""
+    o = t(spark, sf, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    return y95.distinct().exceptAll(y96.distinct())
+
+
+@query(
+    "q_set_intersect_customers",
+    oracle="""
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def q_set_intersect_customers(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_custkey")
+    return y95.intersect(y96)
+
+
+# ---------------------------------------------------------------- R25
+@query(
+    "q_scalar_string_part_names",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 5) AS name_pre,
+           p_brand || ':' || p_type AS brand_type,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           replace(p_name, ' ', '_') AS name_us,
+           CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+           CAST(len(string_split(p_type, ' ')) AS BIGINT) AS type_words,
+           trim(p_name) AS name_trim
+    FROM part
+    """,
+)
+def q_scalar_string_part_names(spark: SparkSession, sf: str) -> DataFrame:
+    """String function surface: lower/upper/substr/concat/length/
+    replace/regexp_extract/split/trim."""
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 5).alias("name_pre"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_replace("p_name", " ", "_").alias("name_us"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).cast("long").alias("brand_num"),
+        F.size(F.split("p_type", " ")).cast("long").alias("type_words"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+    )
+
+
+# ---------------------------------------------------------------- R26
+@query(
+    "q_scalar_date_order_months",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(month(o_orderdate) AS BIGINT) AS o_month,
+           CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS days_since_95,
+           CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                * 86400000 AS BIGINT) AS order_epoch_ms
+    FROM orders
+    """,
+)
+def q_scalar_date_order_months(spark: SparkSession, sf: str) -> DataFrame:
+    """Date/time function surface: year/month/quarter/date_trunc/
+    datediff/epoch — all BIGINT-normalized for cross-engine hashing."""
+    o = t(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("o_year"),
+        F.month("o_orderdate").cast("long").alias("o_month"),
+        F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+        # o_orderdate is TIMESTAMP_NTZ (midnight-only); date-based epoch
+        # math stays timezone-free on any driver session tz
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            .cast("long")
+            * 86400000
+        ).alias("order_epoch_ms"),
+    )
+
+
+# ---------------------------------------------------------------- R27
+@query(
+    "q_scalar_math_case",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil7,
+           CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor7,
+           pow(l_quantity, 2) AS qty_sq,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           CASE WHEN l_discount > 0.07 THEN 'high'
+                WHEN l_discount > 0.03 THEN 'mid'
+                ELSE 'low' END AS disc_band,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS rf
+    FROM lineitem
+    """,
+)
+def q_scalar_math_case(spark: SparkSession, sf: str) -> DataFrame:
+    """Math + conditional surface: round/abs/ceil/floor/pow/ln +
+    CASE WHEN + coalesce/nullif.  ln rounded to 6dp (libm last-ulp
+    differences are ~1e-16)."""
+    l = t(spark, sf, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("long").alias("qty_ceil7"),
+        F.floor(F.col("l_quantity") / 7.0).cast("long").alias("qty_floor7"),
+        F.pow("l_quantity", F.lit(2)).alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.when(F.col("l_discount") > 0.07, "high")
+        .when(F.col("l_discount") > 0.03, "mid")
+        .otherwise("low")
+        .alias("disc_band"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "rf"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- R28
+@query(
+    "q_array_explode_embedding",
+    oracle="""
+    SELECT vec_id, unnest(embedding) AS val
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def q_array_explode_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """explode over array<float> — values pass through untouched, so
+    float bits match exactly."""
+    e = t(spark, sf, "embeddings").filter(F.col("vec_id") < 5)
+    return e.select("vec_id", F.explode("embedding").alias("val"))
+
+
+@query(
+    "q_array_stats",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           embedding[1] AS first_val,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+    FROM embeddings
+    """,
+)
+def q_array_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Array function surface: size / element_at / filter-lambda."""
+    e = t(spark, sf, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+# ---------------------------------------------------------------- R29
+@query(
+    "q_json_extract_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(MAX(CAST(regexp_extract(props, '(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT)
+             AS k_max,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_extract_props(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON payload extraction (the kafkaish dynamic message payload,
+    ref src/topic.js:26-29): Spark uses a real JSON path; the oracle
+    extracts the same integer lexically."""
+    ev = t(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("k_sum"),
+        F.max(k).cast("long").alias("k_max"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------- R30
+@query(
+    "q_subquery_above_avg_price",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    """,
+)
+def q_subquery_above_avg_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar subquery via the SQL surface (spark.sql on a temp view) —
+    Catalyst decorrelates into a broadcast of the 1-row aggregate."""
+    t(spark, sf, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part_v
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part_v)
+        """
+    )

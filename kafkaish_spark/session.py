@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local test profile is ``local[$SPARK_GRAFT_CPUS]`` (default 32); the
+configs below are the ones that matter on a real cluster too: AQE for
+runtime re-planning (skew joins, partition coalescing), Arrow for any
+Python<->JVM data movement, and a shuffle-partition count sized to the
+parallelism rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafkaish-spark",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    On a multi-executor cluster the same settings apply; only ``master``
+    would change (provided externally via spark-submit).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.streaming.schemaInference", "false")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+    )
+    if SparkSession.getActiveSession() is None:
+        builder = builder.master(f"local[{cpus}]").config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
+    return builder.getOrCreate()

@@ -1,0 +1,333 @@
+"""Topic log: a durable, totally-ordered, append-only message log on Parquet.
+
+Spark-native re-expression of the reference's MongoDB capped collection
+(see /root/reference/src/topic.js:5-19 — capped collection as bounded
+log; :25-40 publish; :118-201 replay; :202-220 ack; :221-244 latest;
+:8-9 size-based retention).  Mapping:
+
+- capped collection            -> parquet directory used as append log
+- ObjectId ``_id`` (offset)    -> explicit ``offset BIGINT`` assigned at
+                                  publish (strictly increasing per topic)
+- ``{_id, event, message}``    -> envelope row
+                                  (offset, ts, event, message-as-JSON)
+- tailable cursor              -> Structured Streaming file source
+                                  (see kafkaish_spark.streaming)
+- ``<topic>_subscribers``      -> streaming checkpoint (the real ack) +
+  offset collection               a queryable ``_subscribers`` parquet
+                                  table for introspection
+- capped-size FIFO eviction    -> ``Topic.enforce_retention`` maintenance
+                                  job (delete oldest committed files)
+
+Scale notes (100 TB): a topic log is just a parquet directory, so the
+normal levers apply — ``partitioned=True`` lays the log out as
+``pub_date=YYYY-MM-DD/`` for partition pruning, offsets stay strictly
+increasing across the whole topic (single logical partition, exactly the
+reference's model — kafkaish has no partition/key concept).  For
+multi-writer throughput beyond that, shard into N topics and union:
+same relaxation Kafka makes.  Offset assignment is fully distributed
+(per-partition id + driver-side cumsum of partition counts — no global
+sort, no single-partition shuffle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+ENVELOPE = StructType(
+    [
+        StructField("offset", LongType(), False),
+        StructField("ts", TimestampType(), False),
+        StructField("event", StringType(), True),
+        StructField("message", StringType(), True),
+    ]
+)
+
+SUBSCRIBERS_SCHEMA = StructType(
+    [
+        StructField("name", StringType(), False),
+        StructField("last_offset", LongType(), False),
+        StructField("updated_ts", TimestampType(), False),
+    ]
+)
+
+
+def _assign_contiguous_ids(df: DataFrame, start: int) -> DataFrame:
+    """Add ``offset`` = start+1, start+2, ... in input partition order.
+
+    Distributed pattern: ``monotonically_increasing_id`` encodes
+    (partition_id << 33) + within-partition index; per-partition counts
+    are tiny (one long per partition) so the cumulative base map is
+    computed on the driver and mapped back with a broadcast join.  No
+    global sort, no single-partition shuffle — this is what keeps
+    publish scalable at 100 TB (vs ``row_number`` over a global window).
+    """
+    tagged = df.withColumn("_mid", F.monotonically_increasing_id())
+    tagged = tagged.withColumn("_pid", (F.col("_mid") / F.lit(1 << 33)).cast("long"))
+    tagged = tagged.withColumn("_idx", F.col("_mid") % F.lit(1 << 33))
+    # one row per input partition — small by construction
+    counts = tagged.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    base, bases = start, {}
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        bases[r["_pid"]] = base
+        base += r["_n"]
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(
+        [(int(p), int(b)) for p, b in bases.items()], "`_pid` long, `_base` long"
+    )
+    out = (
+        tagged.join(F.broadcast(base_df), "_pid")
+        .withColumn("offset", (F.col("_base") + F.col("_idx") + F.lit(1)).cast("long"))
+        .drop("_mid", "_pid", "_idx", "_base")
+    )
+    return out
+
+
+class Topic:
+    """One durable topic: parquet append log + subscriber-offset table.
+
+    Mirrors the reference Topic API (src/topic.js) with batch methods
+    here and streaming subscribe in ``kafkaish_spark.streaming``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        name: str,
+        retention_bytes: int | None = None,
+        partitioned: bool = False,
+    ):
+        self.spark = spark
+        self.name = name
+        self.root = os.path.join(root, name)
+        self.log_dir = os.path.join(self.root, "log")
+        self.sub_dir = os.path.join(self.root, "_subscribers")
+        self.retention_bytes = retention_bytes
+        self.partitioned = partitioned
+        self._ensure()
+
+    # -- infra ---------------------------------------------------------
+
+    def _ensure(self) -> None:
+        """Idempotent topic init (ref: ensureCollection src/topic.js:245-258).
+
+        An empty log needs no sentinel row (the reference inserts a
+        ``{dummy:true}`` doc, src/topic.js:234-241 — a wrinkle we do not
+        replicate): an empty parquet dir with schema reads as 0 rows and
+        ``latest() == 0``.
+        """
+        if not os.path.exists(self.log_dir):
+            empty = self.spark.createDataFrame([], ENVELOPE)
+            empty.write.mode("append").parquet(self.log_dir)
+        os.makedirs(self.sub_dir, exist_ok=True)
+
+    # -- write path ----------------------------------------------------
+
+    def publish(self, event: str | None, message: Any) -> Row:
+        """Append one message; returns the written envelope row
+        (ref: publish + confirm callback, src/topic.js:25-40)."""
+        rows = self.publish_batch([(event, message)])
+        return rows[0]
+
+    def publish_batch(self, msgs: Iterable[tuple[str | None, Any]]) -> list[Row]:
+        payload = [
+            (e, m if isinstance(m, str) else json.dumps(m, sort_keys=True))
+            for e, m in msgs
+        ]
+        df = self.spark.createDataFrame(payload, "event string, message string")
+        out = self.publish_df(df)
+        return out.orderBy("offset").collect()
+
+    def publish_df(self, df: DataFrame) -> DataFrame:
+        """Append a DataFrame(event, message[, ts]) to the log, assigning
+        contiguous offsets after the current tail.  Returns the written
+        envelope (the reference's publish callback doc, src/topic.js:32-38).
+
+        Single-writer per topic, like the reference (Mongo ObjectId order
+        across concurrent clients is only approximate anyway — see
+        SURVEY.md §7 watch-list a).
+        """
+        start = self.latest()
+        if "ts" not in df.columns:
+            df = df.withColumn("ts", F.current_timestamp())
+        out = _assign_contiguous_ids(df.select("event", "message", "ts"), start)
+        out = out.select(
+            F.col("offset"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event").cast("string").alias("event"),
+            F.col("message").cast("string").alias("message"),
+        )
+        writer = out.write.mode("append")
+        if self.partitioned:
+            out2 = out.withColumn("pub_date", F.to_date("ts"))
+            writer = out2.write.mode("append").partitionBy("pub_date")
+        writer.parquet(self.log_dir)
+        if self.retention_bytes is not None:
+            self.enforce_retention(self.retention_bytes)
+        return out
+
+    # -- read path -----------------------------------------------------
+
+    def log(self) -> DataFrame:
+        """Whole log as a batch DataFrame (filters push down to parquet)."""
+        if self.partitioned:
+            # let Spark pick up the pub_date partition column
+            return self.spark.read.parquet(self.log_dir)
+        return self.spark.read.schema(ENVELOPE).parquet(self.log_dir)
+
+    def latest(self) -> int:
+        """Newest offset, 0 when empty (ref: latest src/topic.js:221-244;
+        we use agg(max) instead of sort-desc-limit-1 — no dummy doc)."""
+        row = self.log().agg(F.coalesce(F.max("offset"), F.lit(0)).alias("m")).first()
+        return int(row["m"])
+
+    def replay(self, since: int = 0, event: str | None = None) -> DataFrame:
+        """Batch replay: everything after ``since`` for ``event`` (None =
+        wildcard), in offset order (ref: replayFrom src/topic.js:143-201).
+        The offset predicate pushes down to parquet row groups — strictly
+        better than the reference, which filters events client-side
+        (src/topic.js:172-173)."""
+        df = self.log()
+        if since:
+            df = df.filter(F.col("offset") > F.lit(int(since)))
+        if event is not None:
+            df = df.filter(F.col("event") == F.lit(event))
+        return df.orderBy("offset")
+
+    # -- ack / subscriber offsets -------------------------------------
+
+    def ack(self, name: str, offset: int) -> None:
+        """Advance a durable subscriber's offset, monotonically (ref:
+        upsert of {name, last}, src/topic.js:202-220).  The *real* ack
+        for streaming subscribers is the checkpoint commit; this table is
+        the queryable twin.  Tiny (1 row/subscriber): driver-side upsert."""
+        existing = {
+            r["name"]: r for r in self.subscribers().collect() if r["name"] != name
+        }
+        prev = self.last_ack(name) or 0
+        rows = [(n, int(r["last_offset"]), r["updated_ts"]) for n, r in existing.items()]
+        import datetime
+
+        rows.append(
+            (name, max(int(offset), prev), datetime.datetime.now(datetime.timezone.utc))
+        )
+        df = self.spark.createDataFrame(rows, SUBSCRIBERS_SCHEMA)
+        tmp = self.sub_dir + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        tbl = os.path.join(self.sub_dir, "table")
+        if os.path.exists(tbl):
+            shutil.rmtree(tbl)
+        os.replace(tmp, tbl)
+
+    def last_ack(self, name: str) -> int | None:
+        row = (
+            self.subscribers()
+            .filter(F.col("name") == name)
+            .agg(F.max("last_offset").alias("m"))
+            .first()
+        )
+        return None if row["m"] is None else int(row["m"])
+
+    def subscribers(self) -> DataFrame:
+        tbl = os.path.join(self.sub_dir, "table")
+        if not os.path.exists(tbl):
+            return self.spark.createDataFrame([], SUBSCRIBERS_SCHEMA)
+        return self.spark.read.schema(SUBSCRIBERS_SCHEMA).parquet(tbl)
+
+    def subscriber_lag(self) -> DataFrame:
+        """Introspection: per-subscriber lag vs the log tail."""
+        tail = self.latest()
+        return self.subscribers().select(
+            "name",
+            "last_offset",
+            (F.lit(tail) - F.col("last_offset")).alias("lag"),
+        )
+
+    # -- retention -----------------------------------------------------
+
+    def enforce_retention(self, cap_bytes: int) -> int:
+        """Size-bounded FIFO eviction (ref: 5 MiB capped collection,
+        src/topic.js:8-9).  Storage-level maintenance, not a query
+        concern: drop oldest committed data files while over cap.
+        Oldest = lowest min-offset, approximated by file mtime then name
+        (publish batches are appended in offset order).  Returns #files
+        deleted.  On a cluster this would be a fs listing + delete via
+        the Hadoop FileSystem API — same logic."""
+        files = []
+        for dirpath, _dirnames, filenames in os.walk(self.log_dir):
+            for fn in filenames:
+                if fn.startswith("part-") and fn.endswith(".parquet"):
+                    p = os.path.join(dirpath, fn)
+                    st = os.stat(p)
+                    files.append((st.st_mtime, p, st.st_size))
+        files.sort()
+        total = sum(sz for _, _, sz in files)
+        deleted = 0
+        for _mtime, path, sz in files:
+            if total <= cap_bytes or len(files) - deleted <= 1:
+                break
+            os.remove(path)
+            total -= sz
+            deleted += 1
+        return deleted
+
+    # -- streaming handles --------------------------------------------
+
+    def stream(self, event: str | None = None) -> DataFrame:
+        """Streaming view of the log (the tailable cursor,
+        src/topic.js:53-61 — but checkpointable and gap-free)."""
+        df = self.spark.readStream.schema(ENVELOPE).parquet(self.log_dir)
+        if event is not None:
+            df = df.filter(F.col("event") == F.lit(event))
+        return df
+
+    def close(self) -> None:
+        """No-op for the batch handle (ref closes its tail cursor,
+        src/topic.js:20-24); streaming subscriptions own their queries."""
+
+
+class Engine:
+    """Connection + topic factory/cache (ref: src/connection.js:6-57 and
+    the kafkaish() factory, src/index.js:3-5).  ``root`` plays the role
+    of the MongoDB database; topics are memoized per name
+    (ref: src/connection.js:40-50)."""
+
+    def __init__(self, spark: SparkSession | None = None, root: str | None = None):
+        from kafkaish_spark.session import get_spark
+
+        self.spark = spark or get_spark()
+        self.root = root or tempfile.mkdtemp(prefix="kafkaish_spark_")
+        self._topics: dict[str, Topic] = {}
+
+    def prepare_topic(
+        self,
+        name: str,
+        retention_bytes: int | None = None,
+        partitioned: bool = False,
+    ) -> Topic:
+        if name not in self._topics:
+            self._topics[name] = Topic(
+                self.spark, self.root, name, retention_bytes, partitioned
+            )
+        return self._topics[name]
+
+    # camelCase alias mirroring the reference API surface
+    prepareTopic = prepare_topic
+
+    def close(self) -> None:
+        self._topics.clear()

@@ -1,0 +1,128 @@
+"""Pub/sub subscriptions as Structured Streaming queries.
+
+Re-expresses the reference's subscription machinery
+(/root/reference/src/topic.js):
+
+- ephemeral subscribe (join, :90-117)      -> streaming query with a
+  fresh temp checkpoint + ``offset > latest-at-subscribe`` filter
+- durable subscribe   (:92-100)            -> checkpointLocation derived
+  from the subscriber name; ack == micro-batch checkpoint commit
+- replay-then-live    (replay, :118-201)   -> the SAME checkpointed
+  query: the file source's first micro-batches drain the backlog, later
+  ones are incremental.  No handoff seam, so the replay->live gap race
+  of the reference (src/topic.js:49-51 + :169) cannot happen.
+- ack                 (:202-220)           -> checkpoint commit, plus an
+  explicit ``_subscribers`` upsert per batch for introspection
+- unsubscribe         (:110-116)           -> query.stop(); one query
+  per subscriber, so no shared-cursor refcounting (the reference's TODO
+  at src/topic.js:109).
+- one-doc trampoline backpressure (:79-87) -> maxFilesPerTrigger /
+  trigger(availableNow) — batch-sized instead of doc-sized.
+
+Delivery contract preserved: per-subscriber total order by offset,
+at-least-once for durable names (an uncommitted batch is redelivered on
+resume), at-most-once-from-now for ephemeral subscribers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafkaish_spark.sources.topic_log import Topic
+
+
+class Subscription:
+    """Handle over a running streaming query (ref: the object returned
+    by join/replay with an ``unsubscribe`` member, src/topic.js:110-116)."""
+
+    def __init__(self, query, name: str | None, checkpoint: str):
+        self.query = query
+        self.name = name
+        self.checkpoint = checkpoint
+
+    def unsubscribe(self) -> None:
+        self.query.stop()
+
+    stop = unsubscribe
+
+    def await_termination(self, timeout: float | None = None):
+        return self.query.awaitTermination(timeout)
+
+    @property
+    def is_active(self) -> bool:
+        return self.query.isActive
+
+
+def _start_offset_for(topic: Topic, name: str | None, replay: bool) -> int:
+    """Where this subscription starts, mirroring the reference's three
+    modes: ephemeral = from now (src/topic.js:104-106); durable new name
+    with replay = from the beginning (src/topic.js:133-136); durable
+    without replay = from now, remembered across restarts."""
+    if name is None:
+        return topic.latest()  # ephemeral: misses pre-subscribe messages
+    marker = os.path.join(topic.sub_dir, f"{name}.start.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return int(json.load(fh)["start_offset"])
+    start = 0 if replay else topic.latest()
+    with open(marker, "w") as fh:
+        json.dump({"start_offset": start}, fh)
+    return start
+
+
+def subscribe(
+    topic: Topic,
+    callback: Callable[[str | None, str, int], None],
+    event: str | None = None,
+    name: str | None = None,
+    replay: bool = False,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> Subscription:
+    """Subscribe to a topic (ref: Topic.subscribe routing,
+    src/topic.js:41-47).
+
+    callback(event, message, offset) is invoked per message in offset
+    order within each micro-batch.  ``event=None`` subscribes to all
+    events — and works for live delivery too, fixing the reference's
+    broken live wildcard (listener registered under the literal null
+    event name, src/topic.js:108 vs emit at :73-74).
+
+    available_now=True processes the current backlog then stops —
+    deterministic tests without wall-clock sleeps.  Pass False for a
+    continuous tail.
+    """
+    if name is None:
+        checkpoint = tempfile.mkdtemp(prefix=f"kafkaish_ephemeral_{topic.name}_")
+    else:
+        checkpoint = os.path.join(topic.sub_dir, name, "checkpoint")
+    start_offset = _start_offset_for(topic, name, replay)
+
+    stream = topic.stream(event=event)
+    if start_offset:
+        stream = stream.filter(F.col("offset") > F.lit(int(start_offset)))
+
+    def deliver(batch_df: DataFrame, _batch_id: int) -> None:
+        rows = batch_df.orderBy("offset").collect()
+        for r in rows:
+            callback(r["event"], r["message"], int(r["offset"]))
+        if name is not None and rows:
+            topic.ack(name, int(rows[-1]["offset"]))
+
+    writer = (
+        stream.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif max_files_per_trigger:
+        writer = writer.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    query = writer.start()
+    return Subscription(query, name, checkpoint)

@@ -1,0 +1,148 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB at
+the given sf, then compares row count, column names, and an
+order-insensitive value comparison (columns sorted by name, rows sorted
+by their full value tuple).  Exact comparison for non-floats; floats
+must match to 1e-9 relative (the driver hashes values, so we ALSO
+report whether they match exactly — any non-exact float is a hash risk
+and should be fixed at the query level).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+from kafkaish_spark.plans.registry import all_queries
+from kafkaish_spark.session import get_spark
+from kafkaish_spark.sources.tables import TABLES
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if hasattr(v, "isoformat"):
+                v = v.isoformat()
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda tup: tuple(str(x) for x in tup)), [
+        cols[i] for i in order
+    ]
+
+
+def values_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None, True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b), str(a) == str(b)
+        exact = fa == fb or (math.isnan(fa) and math.isnan(fb))
+        close = exact or abs(fa - fb) <= 1e-9 * max(1.0, abs(fa), abs(fb))
+        return close, exact
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        if len(a) != len(b):
+            return False, False
+        close = exact = True
+        for x, y in zip(a, b):
+            c, e = values_equal(x, y)
+            close &= c
+            exact &= e
+        return close, exact
+    return a == b, a == b
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.execute(
+            f"CREATE VIEW {tname} AS SELECT * FROM '{sf_dir}/{tname}.parquet'"
+        )
+    specs = all_queries()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, spec in sorted(specs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL  {name}: spark error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(srows)} rows ({time.time()-t0:.1f}s) [rows-only]")
+            n_rowsonly += 1
+            if len(srows) == 0 and name != "q_join_anti_customers_no_orders":
+                print(f"      WARNING: empty result")
+            continue
+        try:
+            cur = con.execute(spec.oracle)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception:
+            print(f"FAIL  {name}: duckdb error")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        ok = True
+        msgs = []
+        if sorted(scols) != sorted(ocols):
+            ok = False
+            msgs.append(f"schema {sorted(scols)} vs {sorted(ocols)}")
+        if len(srows) != len(orows):
+            ok = False
+            msgs.append(f"rowcount {len(srows)} vs {len(orows)}")
+        exact_all = True
+        if ok:
+            ns, _ = normalize(srows, scols)
+            no, _ = normalize(orows, ocols)
+            n_bad = 0
+            for sr, orow in zip(ns, no):
+                close, exact = values_equal(sr, orow)
+                exact_all &= exact
+                if not close:
+                    n_bad += 1
+                    if n_bad <= 3:
+                        msgs.append(f"row diff: spark={sr} oracle={orow}")
+            if n_bad:
+                ok = False
+                msgs.append(f"{n_bad} differing rows")
+        if ok:
+            tag = "PASS " if exact_all else "CLOSE"
+            if not exact_all:
+                msgs.append("float not bit-exact -> HASH RISK")
+            print(
+                f"{tag} {name}: {len(srows)} rows ({time.time()-t0:.1f}s) "
+                + "; ".join(msgs)
+            )
+            n_pass += 1
+            if not exact_all:
+                n_fail += 1
+        else:
+            print(f"FAIL  {name}: " + "; ".join(msgs))
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail/risk, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
