@@ -150,10 +150,11 @@ class Topic:
             for e, m in msgs
         ]
         df = self.spark.createDataFrame(payload, "event string, message string")
-        out = self.publish_df(df)
+        # driver-supplied batches are small: one log segment per publish
+        out = self.publish_df(df, target_files=1)
         return out.orderBy("offset").collect()
 
-    def publish_df(self, df: DataFrame) -> DataFrame:
+    def publish_df(self, df: DataFrame, target_files: int | None = None) -> DataFrame:
         """Append a DataFrame(event, message[, ts]) to the log, assigning
         contiguous offsets after the current tail.  Returns the written
         envelope (the reference's publish callback doc, src/topic.js:32-38).
@@ -165,7 +166,12 @@ class Topic:
         start = self.latest()
         if "ts" not in df.columns:
             df = df.withColumn("ts", F.current_timestamp())
-        out = _assign_contiguous_ids(df.select("event", "message", "ts"), start)
+        src = df.select("event", "message", "ts")
+        if target_files is not None:
+            # coalesce (no shuffle) so a small publish is one segment
+            # file — retention and replay granularity stay sane
+            src = src.coalesce(target_files)
+        out = _assign_contiguous_ids(src, start)
         out = out.select(
             F.col("offset"),
             F.col("ts").cast("timestamp").alias("ts"),
@@ -263,27 +269,32 @@ class Topic:
     def enforce_retention(self, cap_bytes: int) -> int:
         """Size-bounded FIFO eviction (ref: 5 MiB capped collection,
         src/topic.js:8-9).  Storage-level maintenance, not a query
-        concern: drop oldest committed data files while over cap.
-        Oldest = lowest min-offset, approximated by file mtime then name
-        (publish batches are appended in offset order).  Returns #files
-        deleted.  On a cluster this would be a fs listing + delete via
-        the Hadoop FileSystem API — same logic."""
-        files = []
+        concern.  Eviction unit is a whole publish batch (all part
+        files sharing one commit UUID) — the analog of Kafka dropping
+        whole segments — so surviving offsets are always a contiguous
+        suffix of the log; deleting individual files could punch holes
+        mid-batch.  Returns #files deleted.  On a cluster this is the
+        same logic over the Hadoop FileSystem listing."""
+        groups: dict[str, list[tuple[float, str, int]]] = {}
         for dirpath, _dirnames, filenames in os.walk(self.log_dir):
             for fn in filenames:
                 if fn.startswith("part-") and fn.endswith(".parquet"):
                     p = os.path.join(dirpath, fn)
                     st = os.stat(p)
-                    files.append((st.st_mtime, p, st.st_size))
-        files.sort()
-        total = sum(sz for _, _, sz in files)
+                    # part-00000-<commit-uuid>[-...].snappy.parquet
+                    uuid = fn.split("-", 2)[-1]
+                    uuid = uuid.split(".")[0]
+                    groups.setdefault(uuid, []).append((st.st_mtime, p, st.st_size))
+        ordered = sorted(groups.values(), key=lambda fs: min(m for m, _, _ in fs))
+        total = sum(sz for fs in ordered for _, _, sz in fs)
         deleted = 0
-        for _mtime, path, sz in files:
-            if total <= cap_bytes or len(files) - deleted <= 1:
+        for i, fs in enumerate(ordered):
+            if total <= cap_bytes or i == len(ordered) - 1:
                 break
-            os.remove(path)
-            total -= sz
-            deleted += 1
+            for _mtime, path, sz in fs:
+                os.remove(path)
+                total -= sz
+                deleted += 1
         return deleted
 
     # -- streaming handles --------------------------------------------

@@ -1,0 +1,99 @@
+"""Batch log-layer semantics, mirroring the reference's Topic contract
+(/root/reference/src/topic.js; test scenarios in test/topic.js)."""
+
+import json
+
+from pyspark.sql import functions as F
+
+
+def test_empty_topic_latest_is_zero(engine):
+    # no bootstrap dummy doc needed (ref inserts {dummy:true},
+    # src/topic.js:234-241 — we assert the cleaner behavior)
+    topic = engine.prepare_topic("empty")
+    assert topic.latest() == 0
+    assert topic.log().count() == 0
+
+
+def test_publish_assigns_contiguous_offsets(engine):
+    topic = engine.prepare_topic("t_offsets")
+    rows = topic.publish_batch([("a", {"n": i}) for i in range(1, 6)])
+    assert [r["offset"] for r in rows] == [1, 2, 3, 4, 5]
+    rows2 = topic.publish_batch([("b", {"n": i}) for i in range(6, 9)])
+    assert [r["offset"] for r in rows2] == [6, 7, 8]
+    assert topic.latest() == 8
+
+
+def test_publish_returns_written_doc(engine):
+    # ref: publish confirmation callback receives the written doc
+    # (src/topic.js:32-38; test/topic.js:76-89)
+    topic = engine.prepare_topic("t_confirm")
+    row = topic.publish("hello", {"number": 1})
+    assert row["event"] == "hello"
+    assert json.loads(row["message"]) == {"number": 1}
+    assert row["offset"] == 1
+
+
+def test_replay_filters_event_and_offset(engine):
+    topic = engine.prepare_topic("t_replay")
+    topic.publish_batch(
+        [("a", {"n": 1}), ("b", {"n": 2}), ("a", {"n": 3}), ("b", {"n": 4})]
+    )
+    # wildcard (event=None) sees everything — fixed vs the reference's
+    # broken live wildcard (src/topic.js:108)
+    assert topic.replay().count() == 4
+    only_b = topic.replay(event="b").collect()
+    assert [r["offset"] for r in only_b] == [2, 4]
+    late = topic.replay(since=2).collect()
+    assert [r["offset"] for r in late] == [3, 4]
+
+
+def test_ack_monotonic_and_lag(engine):
+    topic = engine.prepare_topic("t_ack")
+    topic.publish_batch([("e", {"n": i}) for i in range(1, 11)])
+    topic.ack("worker", 4)
+    assert topic.last_ack("worker") == 4
+    topic.ack("worker", 2)  # acks never move backwards (ref upsert
+    # always advances via $gt semantics of redelivery)
+    assert topic.last_ack("worker") == 4
+    topic.ack("other", 10)
+    lag = {r["name"]: r["lag"] for r in topic.subscriber_lag().collect()}
+    assert lag == {"worker": 6, "other": 0}
+
+
+def test_retention_evicts_oldest(engine):
+    # ref: capped collection FIFO eviction (src/topic.js:8-9)
+    topic = engine.prepare_topic("t_ret")
+    for i in range(5):
+        topic.publish_batch([("e", {"n": i, "pad": "x" * 1000})])
+    before = topic.log().count()
+    assert before == 5
+    deleted = topic.enforce_retention(cap_bytes=6000)
+    assert deleted > 0
+    remaining = topic.replay().collect()
+    # survivors are the newest suffix of the log
+    assert remaining[-1]["offset"] == 5
+    assert len(remaining) < 5
+    # a durable subscriber whose offset was evicted just resumes from
+    # what remains (offset > last still works)
+    assert topic.replay(since=1).count() == len(remaining)
+
+
+def test_publish_df_large_batch_distributed(engine, spark):
+    # offsets stay contiguous across a multi-partition input batch
+    topic = engine.prepare_topic("t_big")
+    df = spark.range(0, 1000, numPartitions=7).select(
+        F.lit("bulk").alias("event"), F.col("id").cast("string").alias("message")
+    )
+    topic.publish_df(df)
+    log = topic.log()
+    assert log.count() == 1000
+    stats = log.agg(
+        F.min("offset").alias("lo"),
+        F.max("offset").alias("hi"),
+        F.countDistinct("offset").alias("n"),
+    ).first()
+    assert (stats["lo"], stats["hi"], stats["n"]) == (1, 1000, 1000)
+
+
+def test_topic_memoized(engine):
+    assert engine.prepare_topic("same") is engine.prepare_topic("same")

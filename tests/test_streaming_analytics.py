@@ -1,0 +1,199 @@
+"""Streaming analytics operators (SURVEY.md §2.3 S4-S10): windows,
+watermarks, stateful dedup, arbitrary per-key state, trigger control.
+All use file-source streams over temp topic logs with availableNow
+triggers — no wall-clock dependence.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _seed_topic(engine, name, rows):
+    """rows: list of (event, message, ts_string)."""
+    topic = engine.prepare_topic(name)
+    df = topic.spark.createDataFrame(
+        [(e, m, t) for e, m, t in rows], "event string, message string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    topic.publish_df(df)
+    return topic
+
+
+def _collect_stream(spark, stream_df, tmp_path, mode="update"):
+    rows = []
+    q = (
+        stream_df.writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode(mode)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def test_tumbling_window_stream(engine, spark, tmp_path):
+    topic = _seed_topic(
+        engine,
+        "w_tumble",
+        [
+            ("e", "a", "2024-01-01 10:05:00"),
+            ("e", "b", "2024-01-01 10:55:00"),
+            ("e", "c", "2024-01-01 11:05:00"),
+        ],
+    )
+    agg = (
+        topic.stream()
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "n")
+    )
+    rows = _collect_stream(spark, agg, tmp_path)
+    got = {r["ws"]: r["n"] for r in rows}
+    assert got == {"2024-01-01 10:00:00": 2, "2024-01-01 11:00:00": 1}
+
+
+def test_watermark_drops_late_data(engine, spark, tmp_path):
+    """S7: with a 10-minute watermark, an event arriving after the
+    watermark has passed its window is dropped from the aggregation.
+    Two checkpointed runs make the watermark advancement deterministic
+    (it persists in the checkpoint commit log between runs)."""
+    topic = engine.prepare_topic("w_late")
+
+    def agg():
+        return (
+            topic.stream()
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("string").alias("ws"), "n")
+        )
+
+    # run 1: on-time events; final no-data batch advances the watermark
+    # to 12:50 and emits the finalized 10:00 window
+    topic.publish_df(
+        spark.createDataFrame(
+            [("e", "x", "2024-01-01 10:05:00"), ("e", "y", "2024-01-01 13:00:00")],
+            "event string, message string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    rows1 = _collect_stream(spark, agg(), tmp_path, mode="append")
+    got1 = {r["ws"]: r["n"] for r in rows1}
+    assert got1.get("2024-01-01 10:00:00") == 1
+
+    # run 2: a late event for the already-finalized 10:00 window — the
+    # restored watermark (12:50) drops it; nothing new is emitted for
+    # that window
+    topic.publish_df(
+        spark.createDataFrame(
+            [("e", "late", "2024-01-01 10:10:00")],
+            "event string, message string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    rows2 = _collect_stream(spark, agg(), tmp_path, mode="append")
+    assert all(r["ws"] != "2024-01-01 10:00:00" for r in rows2)
+
+
+def test_stateful_dedup_within_watermark(engine, spark, tmp_path):
+    """S8: dropDuplicates on a key column across micro-batches."""
+    topic = _seed_topic(
+        engine,
+        "w_dedup",
+        [
+            ("e", "k1", "2024-01-01 10:00:00"),
+            ("e", "k2", "2024-01-01 10:01:00"),
+            ("e", "k1", "2024-01-01 10:02:00"),
+        ],
+    )
+    dedup = (
+        topic.stream()
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["message"])
+        .select("message")
+    )
+    rows = _collect_stream(spark, dedup, tmp_path, mode="append")
+    assert sorted(r["message"] for r in rows) == ["k1", "k2"]
+
+
+def test_apply_in_pandas_with_state(engine, spark, tmp_path):
+    """S9: arbitrary stateful processing — per-event running counters
+    via applyInPandasWithState (GroupState), the Spark analog of a
+    custom stateful consumer."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    topic = _seed_topic(
+        engine,
+        "w_state",
+        [
+            ("a", "1", "2024-01-01 10:00:00"),
+            ("b", "2", "2024-01-01 10:01:00"),
+            ("a", "3", "2024-01-01 10:02:00"),
+        ],
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event", StringType()),
+            StructField("total", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("cnt", LongType())])
+
+    def count_state(key, pdfs, state):
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        import pandas as pd
+
+        yield pd.DataFrame({"event": [key[0]], "total": [cnt]})
+
+    counted = (
+        topic.stream()
+        .groupBy("event")
+        .applyInPandasWithState(
+            count_state,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    rows = _collect_stream(spark, counted, tmp_path)
+    got = {r["event"]: r["total"] for r in rows}
+    assert got == {"a": 2, "b": 1}
+
+
+def test_session_window_stream(engine, spark, tmp_path):
+    """S6: session windows merge events closer than the gap."""
+    topic = _seed_topic(
+        engine,
+        "w_session",
+        [
+            ("e", "a", "2024-01-01 10:00:00"),
+            ("e", "b", "2024-01-01 10:10:00"),  # same session (gap 30m)
+            ("e", "c", "2024-01-01 12:00:00"),  # new session
+        ],
+    )
+    # streaming session windows require a grouping key (no global
+    # session agg) — the event routing key is the natural one
+    agg = (
+        topic.stream()
+        .withWatermark("ts", "1 minute")
+        .groupBy("event", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "n")
+    )
+    rows = _collect_stream(spark, agg, tmp_path, mode="append")
+    got = {r["ws"]: r["n"] for r in rows}
+    # append mode emits only sessions the watermark has closed: the
+    # 10:00-10:40 session (2 events merged across the 10-min gap).  The
+    # 12:00 session is still open (watermark 11:59 < session end 12:30)
+    # — correctly NOT emitted yet.
+    assert got == {"2024-01-01 10:00:00": 2}

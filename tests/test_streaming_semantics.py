@@ -1,0 +1,137 @@
+"""Streaming pub/sub semantics, ported 1:1 from the reference's mocha
+scenarios (/root/reference/test/topic.js; canonical sequences in
+FIXTURES.md §B).  availableNow triggers + awaitTermination replace the
+reference's wall-clock sleeps, making every test deterministic.
+"""
+
+import json
+
+import pytest
+
+from kafkaish_spark.streaming.subscribe import subscribe
+
+
+def _drain(topic, name=None, event=None, replay=False, fail_at=None):
+    got = []
+
+    def cb(ev, msg, off):
+        if fail_at is not None and off == fail_at:
+            raise RuntimeError(f"simulated consumer crash at {off}")
+        got.append((ev, json.loads(msg)["number"] if msg.startswith("{") else msg, off))
+
+    sub = subscribe(topic, cb, event=event, name=name, replay=replay)
+    try:
+        sub.await_termination()
+    except Exception:
+        if fail_at is None:
+            raise
+    finally:
+        sub.unsubscribe()
+    return got
+
+
+def test_ephemeral_misses_pre_subscribe(engine):
+    """test/topic.js:93-116 — ephemeral subscriber does NOT see the
+    message published before it subscribed."""
+    topic = engine.prepare_topic("s_eph")
+    topic.publish("test-event", {"number": 1})
+    got = _drain(topic)  # ephemeral: from now; backlog invisible
+    assert got == []
+    topic.publish("test-event", {"number": 2})
+    # a NEW ephemeral subscription again starts from now
+    assert _drain(topic) == []
+
+
+def test_durable_replay_backlog_then_live(engine):
+    """test/topic.js:117-147 — durable replay delivers backlog, then a
+    later run delivers what was published after, in order."""
+    topic = engine.prepare_topic("s_replay")
+    topic.publish("ev", {"number": 1})
+    got = _drain(topic, name="sub1", replay=True)
+    assert [n for _, n, _ in got] == [1]
+    topic.publish("ev", {"number": 2})
+    got2 = _drain(topic, name="sub1", replay=True)
+    assert [n for _, n, _ in got2] == [2]
+
+
+def test_resume_from_last_ack(engine):
+    """test/topic.js:180-242 — publish 1-6, consume (acks commit),
+    publish 7-10, resubscribe -> receives only 7-10."""
+    topic = engine.prepare_topic("s_resume")
+    topic.publish_batch([("ev", {"number": i}) for i in range(1, 7)])
+    got = _drain(topic, name="worker", replay=True)
+    assert [n for _, n, _ in got] == [1, 2, 3, 4, 5, 6]
+    assert topic.last_ack("worker") == 6
+    topic.publish_batch([("ev", {"number": i}) for i in range(7, 11)])
+    got2 = _drain(topic, name="worker", replay=True)
+    assert [n for _, n, _ in got2] == [7, 8, 9, 10]
+
+
+def test_unacked_redelivered(engine):
+    """test/topic.js:243-309 — if the consumer dies before the batch
+    commits, the uncommitted messages are redelivered on the next
+    subscribe (at-least-once)."""
+    topic = engine.prepare_topic("s_redeliver")
+    topic.publish_batch([("ev", {"number": i}) for i in range(1, 6)])
+    got = _drain(topic, name="worker", replay=True, fail_at=3)
+    # crash mid-batch: batch did not commit, ack not advanced
+    assert topic.last_ack("worker") is None
+    got2 = _drain(topic, name="worker", replay=True)
+    assert [n for _, n, _ in got2] == [1, 2, 3, 4, 5]
+    assert topic.last_ack("worker") == 5
+
+
+def test_durable_without_replay_starts_now(engine):
+    """test/topic.js:311-377 — a durable subscriber without replay only
+    sees post-subscribe publishes, and resumes correctly."""
+    topic = engine.prepare_topic("s_livedur")
+    topic.publish_batch([("ev", {"number": i}) for i in range(1, 5)])
+    got = _drain(topic, name="live1", replay=False)
+    assert got == []  # 1-4 published before first subscribe
+    topic.publish_batch([("ev", {"number": i}) for i in range(5, 11)])
+    got2 = _drain(topic, name="live1", replay=False)
+    assert [n for _, n, _ in got2] == [5, 6, 7, 8, 9, 10]
+
+
+def test_event_routing_and_wildcard(engine):
+    """README.md:81-87 — event filter routes; null event receives all
+    (including live, fixing the reference's broken live wildcard,
+    src/topic.js:108)."""
+    topic = engine.prepare_topic("s_route")
+    topic.publish_batch(
+        [("a", {"number": 1}), ("b", {"number": 2}), ("a", {"number": 3})]
+    )
+    only_a = _drain(topic, name="suba", event="a", replay=True)
+    assert [n for _, n, _ in only_a] == [1, 3]
+    everything = _drain(topic, name="suball", event=None, replay=True)
+    assert [n for _, n, _ in everything] == [1, 2, 3]
+
+
+def test_unsubscribe_stops_delivery(engine):
+    """test/topic.js:148-179 — after unsubscribe, no further delivery;
+    one query per subscriber so no shared-cursor refcounting."""
+    topic = engine.prepare_topic("s_unsub")
+    topic.publish("ev", {"number": 1})
+    got = []
+    sub = subscribe(
+        topic, lambda e, m, o: got.append(o), name="u1", replay=True
+    )
+    sub.await_termination()
+    sub.unsubscribe()
+    assert not sub.is_active
+    topic.publish("ev", {"number": 2})
+    # stopped query delivers nothing more until re-subscribed
+    assert got == [1]
+
+
+def test_two_subscribers_independent_offsets(engine):
+    """Fan-out: two durable names each get the full stream and track
+    their own offsets (ref: EventEmitter fan-out + per-name acks)."""
+    topic = engine.prepare_topic("s_fanout")
+    topic.publish_batch([("ev", {"number": i}) for i in range(1, 4)])
+    a = _drain(topic, name="alpha", replay=True)
+    b = _drain(topic, name="beta", replay=True)
+    assert [n for _, n, _ in a] == [1, 2, 3]
+    assert [n for _, n, _ in b] == [1, 2, 3]
+    assert topic.last_ack("alpha") == 3
+    assert topic.last_ack("beta") == 3
