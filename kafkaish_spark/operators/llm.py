@@ -39,23 +39,30 @@ def _words(col: str = "text"):
 
 def _shingles_df(docs: DataFrame, k: int = 3) -> DataFrame:
     """Distinct word k-gram shingles per doc, pure DataFrame ops:
-    split -> transform over a position sequence -> explode -> distinct."""
-    w = _words()
+    split -> transform over a position sequence -> explode -> distinct.
+
+    Two scale-critical details: (a) the k-gram is built by zipping k
+    shifted slices of the word array, so the lambda touches only its
+    own struct element — with per-position element_at the interpreted
+    HOF lambda re-evaluates the (inlined, projection-collapsed) split
+    per element, O(L^2) per doc and ~4x slower measured; (b) the input
+    is repartitioned to the session parallelism BEFORE the explode —
+    document tables arrive in few large-row files, and without this
+    the expensive shingle expansion runs on a handful of tasks
+    regardless of cluster size."""
+    cpus = docs.sparkSession.sparkContext.defaultParallelism
+    w = F.split(F.col("text"), " ")
     n = F.size(w)
+    m = n - (k - 1)
+    z = F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(k)])
     sh = F.when(
         n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(w, i + 1),
-                F.element_at(w, i + 2),
-                F.element_at(w, i + 3),
-            ),
-        ),
+        F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+        docs.repartition(cpus, "doc_id")
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
     )
 
 
