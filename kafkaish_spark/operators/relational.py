@@ -860,3 +860,151 @@ def q_subquery_above_avg_price(spark: SparkSession, sf: str) -> DataFrame:
         WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part_v)
         """
     )
+
+
+# ---------------------------------------------------------------- R15b (cube)
+@query(
+    "q_agg_cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube_status_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE with grouping_id: all 4 grouping sets in ONE pass — Spark
+    expands the cube map-side and partially aggregates before the
+    shuffle, so the shuffle carries num_groups x 4 rows, not the fact
+    table.  Bit order of grouping_id matches DuckDB's GROUPING(a, b)."""
+    o = t(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price")
+    )
+
+
+# ---------------------------------------------------------------- R17b (ntile)
+@query(
+    "q_window_ntile_customer_value",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey) AS BIGINT)
+             AS value_quartile
+    FROM customer
+    """,
+)
+def q_window_ntile_customer_value(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile quartiles per market segment, unique-key tiebreak so the
+    bucket assignment is deterministic across engines.  One shuffle on
+    the partition key; each segment sorts locally."""
+    c = t(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("long").alias("value_quartile"),
+    )
+
+
+# ---------------------------------------------------------------- R12b (percentiles)
+@query(
+    "q_agg_percentiles_quantity",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_quantity, 0.99) AS p99_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentiles_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both linear interpolation).  Exact
+    percentile gathers per-group values — fine for bounded group
+    cardinality; the sketch path for unbounded keys is
+    q_agg_approx_distinct_users's approx family."""
+    l = t(spark, sf, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("p50_qty"),
+            F.percentile("l_quantity", 0.9).alias("p90_qty"),
+            F.percentile("l_quantity", 0.99).alias("p99_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- R12c (pivot)
+@query(
+    "q_pivot_orders_priority",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high,
+           COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+           COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_pivot_orders_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (long->wide) with an EXPLICIT value list — no extra
+    distinct-values job, deterministic output schema, single shuffle.
+    The oracle is the equivalent conditional aggregation."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    names = {
+        "1-URGENT": "urgent",
+        "2-HIGH": "high",
+        "3-MEDIUM": "medium",
+        "4-NOT SPECIFIED": "not_specified",
+        "5-LOW": "low",
+    }
+    wide = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", list(names))
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "c_mktsegment", *[F.col(f"`{v}`").alias(a) for v, a in names.items()]
+    )
+
+
+# ---------------------------------------------------------------- R30b (EXISTS)
+@query(
+    "q_subquery_exists_bulk_supplier",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+    """,
+)
+def q_subquery_exists_bulk_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated EXISTS through the SQL surface — Catalyst decorrelates
+    to a left-semi join keyed on suppkey; the quantity predicate pushes
+    to the lineitem scan before the join."""
+    t(spark, sf, "supplier").createOrReplaceTempView("supplier_v")
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, s_nationkey
+        FROM supplier_v s
+        WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
+        """
+    )
