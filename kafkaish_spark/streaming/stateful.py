@@ -1,0 +1,76 @@
+"""Arbitrary-stateful streaming operators (SURVEY.md §2.3 S9).
+
+The reference's only stateful consumer-side construct is the ack'd
+offset (a single long per subscriber, /root/reference/src/topic.js:202-220);
+anything richer (per-key counters, custom accumulators) a kafkaish user
+would hand-roll inside their subscriber callback.  Here those are
+first-class operators over ``applyInPandasWithState``: state lives in
+the streaming state store (checkpointed, recoverable, partitioned by
+key), and each micro-batch updates it with Arrow-batched pandas —
+bounded memory per key group regardless of stream length.
+
+At 100 TB / unbounded streams: state is sharded across executors by the
+grouping key (one shuffle per micro-batch, same key -> same partition),
+and an optional processing-time timeout evicts idle keys so the store
+doesn't grow without bound.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd  # noqa: TID251  (driver-side import; workers re-import)
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+
+def running_totals(
+    stream: DataFrame,
+    key_col: str = "event",
+    *,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Per-key running message counters over a topic stream.
+
+    Emits one ``(key, total)`` row per key per micro-batch in update
+    mode — the streaming analog of a subscriber keeping a tally per
+    event name.  ``idle_timeout_ms`` evicts state for keys silent that
+    long (processing time), emitting a final row with ``expired=1``.
+    """
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("total", LongType()),
+            StructField("expired", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("cnt", LongType())])
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            (cnt,) = state.get
+            state.remove()
+            yield pd.DataFrame({"key": [key[0]], "total": [cnt], "expired": [1]})
+            return
+        cnt = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({"key": [key[0]], "total": [cnt], "expired": [0]})
+
+    keyed = stream.withColumn("key", stream[key_col])
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout,
+    )

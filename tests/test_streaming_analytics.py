@@ -197,3 +197,34 @@ def test_session_window_stream(engine, spark, tmp_path):
     # 12:00 session is still open (watermark 11:59 < session end 12:30)
     # — correctly NOT emitted yet.
     assert got == {"2024-01-01 10:00:00": 2}
+
+
+def test_running_totals_library_op(engine, spark, tmp_path):
+    """S9 as a library operator: kafkaish_spark.streaming.stateful
+    keeps checkpointed per-key counters across restarts."""
+    from kafkaish_spark.streaming.stateful import running_totals
+
+    topic = _seed_topic(
+        engine,
+        "w_state_lib",
+        [
+            ("a", "1", "2024-01-01 10:00:00"),
+            ("b", "2", "2024-01-01 10:01:00"),
+            ("a", "3", "2024-01-01 10:02:00"),
+        ],
+    )
+    rows = _collect_stream(spark, running_totals(topic.stream()), tmp_path)
+    got = {r["key"]: r["total"] for r in rows}
+    assert got == {"a": 2, "b": 1}
+
+    # state survives a restart: new messages continue the counters from
+    # the checkpointed totals
+    topic.publish_df(
+        spark.createDataFrame(
+            [("a", "4", "2024-01-01 10:03:00")],
+            "event string, message string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    rows2 = _collect_stream(spark, running_totals(topic.stream()), tmp_path)
+    got2 = {r["key"]: r["total"] for r in rows2}
+    assert got2["a"] == 3
