@@ -669,3 +669,89 @@ def q_udaf_normalize_per_group(spark: SparkSession, sf: str) -> DataFrame:
     return d.groupBy("lang").applyInPandas(
         zscore, "doc_id long, lang string, z_chars double"
     )
+
+
+# ---------------------------------------------------------------- M4b (BPE-ish tokens)
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "q_text_bpe_token_stats",
+    oracle=f"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT)
+             AS total_bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{_BPE_RE}'))) AS DOUBLE)
+             / SUM(len(string_split(text, ' '))) AS bpe_per_word
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish tokenizer (letter runs / digit runs / single punctuation
+    — the GPT-2 pre-tokenizer shape without the merges table) vs
+    whitespace tokens, per language.  Pure JVM regex, no Python in the
+    row path; a real BPE vocab would slot in as a pandas_udf over the
+    same pre-tokens."""
+    d = t(spark, sf, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+    ws = F.size(_words())
+    return d.groupBy("lang").agg(
+        F.sum(bpe).cast("long").alias("total_bpe_tokens"),
+        F.sum(ws).cast("long").alias("total_ws_tokens"),
+        (F.sum(bpe).cast("double") / F.sum(ws)).alias("bpe_per_word"),
+    )
+
+
+# ---------------------------------------------------------------- M3d IVF ANN (rows-only)
+@query("q_sim_ivf_ann", oracle=None)
+def q_sim_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors to their nearest seed
+    centroid (every 100th vector by id — deterministic stand-in for a
+    trained k-means codebook), then search only the nprobe=3 closest
+    inverted lists per query.
+
+    Cost model at 100 TB: assignment is O(N x K) JVM-side with the seed
+    set broadcast (never shuffled); the probe join touches ~nprobe/K of
+    the corpus per query instead of all of it.  Engine-specific seed
+    choice => rows-only; pytest checks recall vs the brute-force
+    baseline (q_sim_topk_embeddings)."""
+    NPROBE, TOPK = 3, 5
+    e = t(spark, sf, "embeddings")
+    seeds = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+
+    def nearest(df, vec_col, id_col, out, n):
+        """id -> its n nearest centroids by cosine (broadcast seeds)."""
+        sim = cosine_sim(F.col(vec_col), F.col("ce"))
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("c_sim"), F.col("centroid_id")
+        )
+        return (
+            df.crossJoin(F.broadcast(seeds))
+            .withColumn("c_sim", sim)
+            .withColumn("c_rn", F.row_number().over(w))
+            .filter(F.col("c_rn") <= n)
+            .select(id_col, vec_col, F.col("centroid_id").alias(out))
+        )
+
+    assigned = nearest(e.select("vec_id", "embedding"), "embedding", "vec_id", "cell", 1)
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    probes = nearest(q, "qe", "query_id", "probe_cell", NPROBE)
+    cand = probes.join(
+        assigned.withColumnRenamed("vec_id", "neighbor_id"),
+        probes.probe_cell == F.col("cell"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = F.round(cosine_sim(F.col("qe"), F.col("embedding")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+    )

@@ -124,3 +124,22 @@ def test_column_pruning(spark, sf_dir):
     )
     read = plan.split("ReadSchema")[1][:400]
     assert "l_returnflag" not in read and "l_shipdate" not in read
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    """IVF probe search must recover a solid fraction of the exact
+    top-k (recall 0.76 measured at sf0.01 with nprobe=3 of ~5 cells;
+    the floor leaves headroom for corpus geometry)."""
+    from kafkaish_spark.operators.llm import q_sim_ivf_ann, q_sim_topk_embeddings
+
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_sim_topk_embeddings(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_sim_ivf_ann(spark, sf_dir).collect()
+    }
+    assert len(ivf) == len(brute) == 25
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
