@@ -28,3 +28,19 @@ def engine(spark, tmp_path):
     from kafkaish_spark.sources.topic_log import Engine
 
     return Engine(spark, str(tmp_path / "topics"))
+
+
+@pytest.fixture()
+def engine_factory(spark, tmp_path):
+    """Fresh Engine per call — hypothesis runs many examples inside one
+    test invocation, each needing its own topic root."""
+    import itertools
+
+    from kafkaish_spark.sources.topic_log import Engine
+
+    counter = itertools.count()
+
+    def make():
+        return Engine(spark, str(tmp_path / f"topics_{next(counter)}"))
+
+    return make
