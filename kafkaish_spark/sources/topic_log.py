@@ -297,6 +297,75 @@ class Topic:
                 deleted += 1
         return deleted
 
+    def enforce_retention_age(self, max_age_seconds: float) -> int:
+        """Time-based retention (Kafka's ``retention.ms`` analog; the
+        reference has only the size cap).  Evicts whole publish batches
+        whose newest ``ts`` is older than the horizon, keeping offsets a
+        contiguous suffix.  Returns #files deleted."""
+        import datetime
+
+        horizon = datetime.datetime.now(
+            datetime.timezone.utc
+        ) - datetime.timedelta(seconds=max_age_seconds)
+        # max ts per file from parquet metadata via a grouped read
+        per_file = (
+            self.log()
+            .withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg(F.max("ts").alias("newest"), F.max("offset").alias("max_off"))
+            .collect()
+        )
+        tail = max((int(r["max_off"]) for r in per_file), default=0)
+        deleted = 0
+        for r in sorted(per_file, key=lambda r: int(r["max_off"])):
+            newest = r["newest"]
+            if newest.tzinfo is None:
+                newest = newest.replace(tzinfo=datetime.timezone.utc)
+            # never delete the tail file: latest() must keep its anchor
+            if newest < horizon and int(r["max_off"]) < tail:
+                path = r["_f"].removeprefix("file://")
+                if os.path.exists(path):
+                    os.remove(path)
+                    deleted += 1
+        return deleted
+
+    def compact(self, target_files: int = 1) -> int:
+        """Merge small log segments into ``target_files`` per partition
+        — the companion job to streaming ingest (many tiny appends
+        degrade file listing; see SCALE.md §6).  Offsets ride in the
+        data, so content and order are exactly preserved.
+
+        Streaming caveat (documented, same guarantee class): a
+        subscriber checkpoint tracks *filenames*, so a stream resumed
+        across a compaction re-delivers the compacted range —
+        at-least-once, never lost.  Run compaction when subscribers are
+        caught up (their next batch is then empty).  Returns the number
+        of data files after compaction."""
+        current = self.log().cache()
+        n_before = current.count()  # materialize before the swap
+        tmp = self.log_dir + ".compact.tmp"
+        writer = current.coalesce(target_files).write.mode("overwrite")
+        if self.partitioned:
+            writer = (
+                current.withColumn("pub_date", F.to_date("ts"))
+                .coalesce(target_files)
+                .write.mode("overwrite")
+                .partitionBy("pub_date")
+            )
+        writer.parquet(tmp)
+        current.unpersist()
+        old = self.log_dir + ".compact.old"
+        os.replace(self.log_dir, old)
+        os.replace(tmp, self.log_dir)
+        shutil.rmtree(old)
+        assert self.log().count() == n_before
+        return sum(
+            1
+            for _dir, _sub, files in os.walk(self.log_dir)
+            for f in files
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+
     # -- streaming handles --------------------------------------------
 
     def stream(self, event: str | None = None) -> DataFrame:

@@ -97,3 +97,35 @@ def test_publish_df_large_batch_distributed(engine, spark):
 
 def test_topic_memoized(engine):
     assert engine.prepare_topic("same") is engine.prepare_topic("same")
+
+
+def test_age_retention_evicts_old_batches(engine, spark):
+    from pyspark.sql import functions as F
+
+    topic = engine.prepare_topic("age_ret")
+    old = spark.createDataFrame(
+        [("e", "ancient", "2020-01-01 00:00:00")],
+        "event string, message string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    topic.publish_df(old)
+    topic.publish_batch([("e", "fresh")])  # ts = now
+
+    deleted = topic.enforce_retention_age(max_age_seconds=3600 * 24 * 365)
+    assert deleted >= 1
+    msgs = [r["message"] for r in topic.replay().collect()]
+    assert "ancient" not in msgs and "fresh" in msgs
+
+
+def test_compact_preserves_content_and_order(engine):
+    topic = engine.prepare_topic("compact_me")
+    for i in range(5):  # 5 separate publishes -> >=5 segment files
+        topic.publish_batch([("e", f"m{i}")])
+    before = [(r["offset"], r["message"]) for r in topic.replay().collect()]
+
+    n_files = topic.compact(target_files=1)
+    assert n_files == 1
+    after = [(r["offset"], r["message"]) for r in topic.replay().collect()]
+    assert after == before
+    # log remains appendable after the swap
+    topic.publish_batch([("e", "post")])
+    assert topic.replay().collect()[-1]["message"] == "post"
