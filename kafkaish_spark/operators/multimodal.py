@@ -104,3 +104,85 @@ def q_multimodal_meta_filter(spark: SparkSession, sf: str) -> DataFrame:
     return media.select(
         "doc_id", F.octet_length("payload").cast("long").alias("n_bytes")
     ).filter(F.col("n_bytes") > 300)
+
+
+RESIZED_SCHEMA = "doc_id long, width long, height long, out_w long, out_h long, thumb binary"
+
+
+def resize_batches(target: int = 32):
+    """mapInPandas kernel factory: decode -> resize-to-target thumbnail.
+    The pixel work is STUBBED (no PIL in this container): the fake
+    'thumbnail' is a deterministic digest-derived byte block of the
+    right nominal size, but the batch shape, aspect-ratio math, and
+    binary-out schema are the real plumbing."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "out_w": [], "out_h": [], "thumb": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h = _fake_decode(b)
+                scale = target / max(w, h)
+                ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+                # STUB: real path would be img.resize((ow, oh)).tobytes()
+                digest = hashlib.sha256(b).digest()
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["thumb"].append(digest * (ow * oh * 3 // len(digest) + 1))
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+@query("q_multimodal_resize_stub", oracle=None)
+def q_multimodal_resize_stub(spark: SparkSession, sf: str) -> DataFrame:
+    """Image-resize pipeline over binary payloads (stubbed pixels, real
+    Arrow-batched plumbing).  At 100 TB the thumb column is ~3*t^2
+    bytes/row regardless of source size — output partitions stay
+    bounded."""
+    media = media_table(spark, sf)
+    return media.mapInPandas(resize_batches(32), RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx long, frame_ts_ms long, frame binary"
+
+
+def sample_frame_batches(every_ms: int = 1000, max_frames: int = 4):
+    """mapInPandas kernel factory for video frame sampling: one input
+    row (video payload) fans out to <= max_frames frame rows.  Decode
+    is STUBBED (no av/ffmpeg here): fake duration/frames derive from
+    the digest; the row-explosion shape, timestamp spacing, and binary
+    frame column are real."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                digest = hashlib.sha256(b).digest()
+                fake_duration_ms = 500 + int.from_bytes(digest[:2], "big")
+                n = min(max_frames, max(1, fake_duration_ms // every_ms))
+                for i in range(n):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_ts_ms"].append(i * every_ms)
+                    # STUB: real path seeks the container and decodes
+                    out["frame"].append(digest)
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+@query("q_multimodal_frame_sample_stub", oracle=None)
+def q_multimodal_frame_sample_stub(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling fan-out through mapInPandas (stubbed codec,
+    real row-explosion plumbing)."""
+    media = media_table(spark, sf)
+    return media.mapInPandas(sample_frame_batches(), FRAMES_SCHEMA)

@@ -143,3 +143,23 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     assert len(ivf) == len(brute) == 25
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
+def test_multimodal_resize_plumbing(spark, sf_dir):
+    from kafkaish_spark.operators.multimodal import q_multimodal_resize_stub
+
+    rows = q_multimodal_resize_stub(spark, sf_dir).limit(5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert max(r["out_w"], r["out_h"]) == 32
+        assert len(r["thumb"]) >= r["out_w"] * r["out_h"] * 3
+
+
+def test_multimodal_frame_sample_fanout(spark, sf_dir):
+    from kafkaish_spark.operators.multimodal import q_multimodal_frame_sample_stub
+
+    df = q_multimodal_frame_sample_stub(spark, sf_dir)
+    per_doc = df.groupBy("doc_id").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in per_doc)
+    one = df.filter(df.doc_id == per_doc[0]["doc_id"]).orderBy("frame_idx").collect()
+    assert [r["frame_ts_ms"] for r in one] == [i * 1000 for i in range(len(one))]

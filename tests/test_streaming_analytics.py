@@ -228,3 +228,22 @@ def test_running_totals_library_op(engine, spark, tmp_path):
     rows2 = _collect_stream(spark, running_totals(topic.stream()), tmp_path)
     got2 = {r["key"]: r["total"] for r in rows2}
     assert got2["a"] == 3
+
+
+def test_sliding_window_stream(engine, spark, tmp_path):
+    """S5: overlapping 1h windows sliding by 30m — one event lands in
+    two windows."""
+    topic = _seed_topic(
+        engine,
+        "w_slide",
+        [("e", "a", "2024-01-01 10:45:00")],
+    )
+    agg = (
+        topic.stream()
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "n")
+    )
+    rows = _collect_stream(spark, agg, tmp_path)
+    got = {r["ws"]: r["n"] for r in rows}
+    assert got == {"2024-01-01 10:00:00": 1, "2024-01-01 10:30:00": 1}
