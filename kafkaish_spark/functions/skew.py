@@ -1,0 +1,46 @@
+"""Skew mitigation for joins on hot keys.
+
+AQE's skew-join split (enabled in session.py) handles most cases at
+runtime by splitting oversized shuffle partitions.  ``salted_join`` is
+the explicit fallback for the pathological shape AQE can't fix: a
+*single* join key so hot that even one split of it overwhelms a task
+(the classic null-key / celebrity-user / default-value skew at 100 TB).
+
+Mechanics: the fact side gets a uniform random-ish salt in [0, S);
+the dimension side is exploded S times (one row per salt value); the
+join key becomes (key, salt), spreading one hot key over S tasks.
+Dimension blow-up is S×, so use it only when the dimension is small
+relative to the fact side — exactly the situation where skew hurts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join ``fact`` with ``dim`` on column ``on``, salting the key
+    across ``salt_buckets`` shuffle partitions per value.
+
+    The salt is derived deterministically from a high-cardinality hash
+    of the full fact row (not rand(), so retries/speculative tasks stay
+    consistent), which distributes each hot key's rows uniformly."""
+    fact_salted = fact.withColumn(
+        _SALT,
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)),
+    )
+    dim_exploded = dim.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = fact_salted.join(dim_exploded, [on, _SALT], how)
+    return out.drop(_SALT)

@@ -1008,3 +1008,37 @@ def q_subquery_exists_bulk_supplier(spark: SparkSession, sf: str) -> DataFrame:
                       WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity >= 49)
         """
     )
+
+
+# ---------------------------------------------------------------- R18b (first/last)
+@query(
+    "q_window_first_last_order",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderdate) OVER w AS first_order,
+           last_value(o_orderdate)  OVER w AS last_order,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_first_last_order(spark: SparkSession, sf: str) -> DataFrame:
+    """first/last analytic functions over an unbounded frame with a
+    deterministic (date, key) order — per-customer first and most
+    recent order.  One shuffle on the high-cardinality customer key."""
+    o = t(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderdate").over(w).alias("first_order"),
+            F.last("o_orderdate").over(w).alias("last_order"),
+            F.first("o_orderkey").over(w).cast("long").alias("first_orderkey"),
+        )
+        .distinct()
+    )

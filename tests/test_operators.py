@@ -163,3 +163,19 @@ def test_multimodal_frame_sample_fanout(spark, sf_dir):
     assert all(1 <= r["count"] <= 4 for r in per_doc)
     one = df.filter(df.doc_id == per_doc[0]["doc_id"]).orderBy("frame_idx").collect()
     assert [r["frame_ts_ms"] for r in one] == [i * 1000 for i in range(len(one))]
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change join semantics — same result set as the
+    plain join, with the hot key spread over salt buckets."""
+    from kafkaish_spark.functions.skew import salted_join
+    from kafkaish_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = o.join(c, "o_custkey").collect()
+    salted = salted_join(o, c, "o_custkey", salt_buckets=8).collect()
+    key = lambda r: (r["o_orderkey"], r["o_custkey"], r["c_name"])  # noqa: E731
+    assert sorted(map(key, salted)) == sorted(map(key, plain))
