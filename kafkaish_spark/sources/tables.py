@@ -51,3 +51,28 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    buckets: int = 16,
+) -> None:
+    """Persist ``df`` as an external bucketed+sorted table: both sides
+    of a repeated equi-join written this way co-locate by ``key``, so
+    the join compiles to a zero-Exchange sort-merge join (asserted in
+    tests/test_operators.py).  This is the 100 TB answer to "this join
+    runs every hour": pay the shuffle once at write time, never at read
+    time.  The bucket count is a real tuning knob — it fixes join
+    parallelism, so size it to the cluster (e.g. 2-4x executor cores),
+    not to the data."""
+    (
+        df.write.bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -179,3 +179,32 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     salted = salted_join(o, c, "o_custkey", salt_buckets=8).collect()
     key = lambda r: (r["o_orderkey"], r["o_custkey"], r["c_name"])  # noqa: E731
     assert sorted(map(key, salted)) == sorted(map(key, plain))
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Pre-bucketed tables must join without any shuffle Exchange —
+    the pay-once co-location strategy from SCALE.md §2."""
+    from kafkaish_spark.sources.tables import load_table, write_bucketed
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    write_bucketed(o, "orders_b", str(tmp_path / "ob"), "o_custkey", 8)
+    write_bucketed(
+        c.withColumnRenamed("c_custkey", "o_custkey"),
+        "customer_b",
+        str(tmp_path / "cb"),
+        "o_custkey",
+        8,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(spark.table("customer_b"), "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == load_table(spark, sf_dir, "orders").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
