@@ -755,3 +755,86 @@ def q_sim_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOPK)
     )
+
+
+# ---------------------------------------------------------------- M2c (edit distance)
+@query(
+    "q_dedup_levenshtein_parts",
+    oracle="""
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    """,
+)
+def q_dedup_levenshtein_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance near-dup pairs, blocked by brand so the quadratic
+    stays within small same-brand groups (the blocking-key pattern every
+    scale dedup uses — never all-pairs across the corpus).  levenshtein
+    is the same integer metric in both engines."""
+    p = t(spark, sf, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 8)
+    )
+
+
+# ---------------------------------------------------------------- U2 (vectorized pandas UDF)
+def _cosine_pandas_udf():
+    """Arrow-batched Series->Series cosine against a closed-over query
+    vector — the U2 surface.  numpy's pairwise-summed dot differs from
+    the JVM fold only below the 1e-6 rounding used everywhere here."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def make(qvec: list):
+        q = np.asarray(qvec, dtype=np.float64)
+        qn = float(np.sqrt(q @ q))
+
+        def cos(col):
+            m = np.stack(col.to_numpy()).astype(np.float64)
+            dots = m @ q
+            norms = np.sqrt((m**2).sum(axis=1))
+            return pd.Series(dots / (norms * qn))
+
+        return pandas_udf(cos, "double")
+
+    return make
+
+
+@query("q_sim_pandas_udf_cosine", oracle=None)
+def q_sim_pandas_udf_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k cosine via an Arrow-batched pandas UDF — the fallback path
+    when similarity math outgrows builtin expressions (e.g. a learned
+    re-ranker).  Rows-only: BLAS pairwise summation vs the JVM's
+    sequential fold differ in the last ulps; pytest asserts the ranking
+    matches the JVM baseline exactly."""
+    make = _cosine_pandas_udf()
+    e = t(spark, sf, "embeddings")
+    qvec = (
+        e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    )
+    cos = make(list(qvec))
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos(F.col("embedding")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+    )

@@ -208,3 +208,35 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_pandas_udf_cosine_matches_jvm_ranking(spark, sf_dir):
+    """U2: the Arrow-batched pandas-UDF cosine must rank identically to
+    the JVM fold (scores equal at the 1e-6 rounding)."""
+    from kafkaish_spark.functions.vectors import cosine_sim
+    from kafkaish_spark.operators.llm import q_sim_pandas_udf_cosine
+    from kafkaish_spark.sources.tables import load_table
+
+    got = {
+        r["neighbor_id"]: r["cos_sim"]
+        for r in q_sim_pandas_udf_cosine(spark, sf_dir).collect()
+    }
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).first()["embedding"]
+    jvm = (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                cosine_sim(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in qvec]),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "neighbor_id")
+        .limit(10)
+        .collect()
+    )
+    assert {r["neighbor_id"]: r["cos_sim"] for r in jvm} == got
