@@ -838,3 +838,65 @@ def q_sim_pandas_udf_cosine(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
     )
+
+
+# ---------------------------------------------------------------- M4c (lang distribution)
+@query(
+    "q_text_lang_dist",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           round(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents), 6) AS frac
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_lang_dist(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus language distribution — the mix report every training-data
+    pipeline starts with.  Two aggregates (per-lang and total) that
+    Catalyst evaluates as one scan + a broadcast scalar."""
+    d = t(spark, sf, "documents")
+    total = d.count()
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.count(F.lit(1)) / F.lit(total), 6).alias("frac"),
+    )
+
+
+# ---------------------------------------------------------------- M2 (verdict view)
+@query(
+    "q_dedup_near_documents",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    dups AS (
+      SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of
+      FROM common
+      JOIN counts na ON na.doc_id = doc_a
+      JOIN counts nb ON nb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+      GROUP BY doc_b)
+    SELECT d.doc_id, CAST(COALESCE(dup_of, -1) AS BIGINT) AS dup_of,
+           CAST(dup_of IS NULL AS BIGINT) AS keep
+    FROM documents d LEFT JOIN dups USING (doc_id)
+    """,
+)
+def q_dedup_near_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """The near-dedup *verdict*: every doc marked keep/drop, dropped
+    docs pointing at their lowest-id near-duplicate (3-gram Jaccard >=
+    0.5).  This is the table a pipeline actually joins against to
+    filter the corpus; q_dedup_ngram_jaccard exposes the raw pairs."""
+    d = t(spark, sf, "documents")
+    pairs = q_dedup_ngram_jaccard(spark, sf).filter(F.col("jaccard") >= 0.5)
+    dups = pairs.groupBy(F.col("doc_b").alias("doc_id")).agg(
+        F.min("doc_a").alias("dup_of")
+    )
+    return d.select("doc_id").join(dups, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
+        F.col("dup_of").isNull().cast("long").alias("keep"),
+    )
