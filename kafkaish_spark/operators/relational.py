@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkaish_spark.functions.exact import davg, davg_sql, dsum, dsum_sql
+from kafkaish_spark.functions.timeutil import epoch_ms
 from kafkaish_spark.plans.registry import query
 from kafkaish_spark.sources.tables import load_table as t
 
@@ -250,7 +251,7 @@ def q_join_asof_event_order(spark: SparkSession, sf: str) -> DataFrame:
             F.col("event_id").alias("purchase_id"),
             "user_id",
             "view_id",
-            (F.unix_millis("ts") - F.unix_millis("view_ts")).cast("long").alias("gap_ms"),
+            (epoch_ms("ts") - epoch_ms("view_ts")).cast("long").alias("gap_ms"),
         )
     )
     return out
@@ -475,7 +476,7 @@ def q_window_lag_event_gap(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         F.lag("event_id").over(w).alias("prev_event_id"),
         F.lead("event_id").over(w).alias("next_event_id"),
-        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)))
+        (epoch_ms("ts") - epoch_ms(F.lag("ts").over(w)))
         .cast("long")
         .alias("gap_ms"),
         F.first("event_type").over(wf).alias("first_type"),

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafkaish_spark.functions.exact import dsum, dsum_sql
+from kafkaish_spark.functions.timeutil import epoch_ms
 from kafkaish_spark.plans.registry import query
 from kafkaish_spark.sources.tables import load_table as t
 
@@ -42,7 +43,7 @@ def q_stream_tumbling_counts(spark: SparkSession, sf: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "value_sum"))
         .select(
-            F.unix_millis(F.col("w.start")).cast("long").alias("window_start_ms"),
+            epoch_ms(F.col("w.start")).cast("long").alias("window_start_ms"),
             "n_events",
             "value_sum",
         )
@@ -73,7 +74,7 @@ def q_stream_sliding_counts(spark: SparkSession, sf: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "value_sum"))
         .select(
-            F.unix_millis(F.col("w.start")).cast("long").alias("window_start_ms"),
+            epoch_ms(F.col("w.start")).cast("long").alias("window_start_ms"),
             "n_events",
             "value_sum",
         )
@@ -114,8 +115,8 @@ def q_stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "value_sum"))
         .select(
             "user_id",
-            F.unix_millis(F.col("w.start")).cast("long").alias("session_start_ms"),
-            F.unix_millis(F.col("w.end")).cast("long").alias("session_end_ms"),
+            epoch_ms(F.col("w.start")).cast("long").alias("session_start_ms"),
+            epoch_ms(F.col("w.end")).cast("long").alias("session_end_ms"),
             "n_events",
             "value_sum",
         )

@@ -42,10 +42,21 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The source instant is a UTC epoch; deliver it as TIMESTAMP_NTZ
+    # holding the UTC wall-clock (like every other testdata table).
+    # Plain TIMESTAMP would be re-rendered through the *Python-process*
+    # local zone at collect() — hours of drift vs the naive-UTC oracle
+    # when the caller (e.g. the driver's own plain session) isn't UTC.
+    # The session-tz pin makes the TIMESTAMP->NTZ cast below read the
+    # instant as UTC; it must be set before the plan is analyzed.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
     return df.select("event_id", "ts", "user_id", "event_type", "value", "props")
 
 
