@@ -247,3 +247,37 @@ def test_sliding_window_stream(engine, spark, tmp_path):
     rows = _collect_stream(spark, agg, tmp_path)
     got = {r["ws"]: r["n"] for r in rows}
     assert got == {"2024-01-01 10:00:00": 1, "2024-01-01 10:30:00": 1}
+
+
+def test_stream_stream_interval_join(engine, spark, tmp_path):
+    """Stream-stream correlation: each purchase joins the click by the
+    same user within the preceding hour; older clicks fall outside the
+    interval and match nothing."""
+    from kafkaish_spark.streaming.joins import interval_join
+
+    clicks = _seed_topic(
+        engine,
+        "ssj_clicks",
+        [
+            ("u1", "c_recent", "2024-01-01 09:40:00"),
+            ("u2", "c_stale", "2024-01-01 07:00:00"),
+        ],
+    )
+    purchases = _seed_topic(
+        engine,
+        "ssj_purch",
+        [
+            ("u1", "p1", "2024-01-01 10:00:00"),
+            ("u2", "p2", "2024-01-01 10:00:00"),
+        ],
+    )
+    joined = interval_join(
+        purchases.stream(),
+        clicks.stream(),
+        key="event",
+        max_delay="1 hour",
+        watermark="1 minute",
+    ).select("l_event", "l_message", "r_message")
+    rows = _collect_stream(spark, joined, tmp_path, mode="append")
+    got = {(r["l_event"], r["l_message"], r["r_message"]) for r in rows}
+    assert got == {("u1", "p1", "c_recent")}
