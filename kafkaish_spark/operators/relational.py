@@ -1043,3 +1043,20 @@ def q_window_first_last_order(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------- R14b (sketch percentiles)
+@query("q_agg_approx_percentiles", oracle=None)
+def q_agg_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile (KLL-style mergeable sketch) — the unbounded-
+    cardinality twin of q_agg_percentiles_quantity: map-side sketches
+    merge associatively, so the shuffle carries one sketch per group
+    per partition no matter how many rows.  Nondeterministic vs the
+    oracle's exact interpolation => rows-only; pytest bounds the error
+    against the exact form."""
+    l = t(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_price"),
+        F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

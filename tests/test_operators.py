@@ -240,3 +240,28 @@ def test_pandas_udf_cosine_matches_jvm_ranking(spark, sf_dir):
         .collect()
     )
     assert {r["neighbor_id"]: r["cos_sim"] for r in jvm} == got
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """Sketch percentiles must land within 1% of the exact values."""
+    from kafkaish_spark.operators.relational import q_agg_approx_percentiles
+    from kafkaish_spark.sources.tables import load_table
+
+    approx = {
+        r["l_returnflag"]: (r["p50_price"], r["p99_price"])
+        for r in q_agg_approx_percentiles(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p99"])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", 0.5).alias("p50"),
+            F.percentile("l_extendedprice", 0.99).alias("p99"),
+        )
+        .collect()
+    }
+    for flag, (a50, a99) in approx.items():
+        e50, e99 = exact[flag]
+        assert abs(a50 - e50) / e50 < 0.01
+        assert abs(a99 - e99) / e99 < 0.01
