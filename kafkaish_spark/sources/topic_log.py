@@ -409,5 +409,26 @@ class Engine:
     # camelCase alias mirroring the reference API surface
     prepareTopic = prepare_topic
 
+    def topics(self) -> list[str]:
+        """All topics under this root, prepared or not (the reference
+        exposes no listing; Mongo's collection list is the analog)."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d
+            for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d, "log"))
+        )
+
+    def drop_topic(self, name: str) -> bool:
+        """Delete a topic's log, subscriber state, and pipelines.
+        Returns False if it didn't exist."""
+        self._topics.pop(name, None)
+        path = os.path.join(self.root, name)
+        if not os.path.isdir(path):
+            return False
+        shutil.rmtree(path)
+        return True
+
     def close(self) -> None:
         self._topics.clear()

@@ -1,0 +1,64 @@
+"""Topic-to-topic streaming pipelines (the Kafka-Streams shape).
+
+The reference can only move data topic->subscriber; re-publishing a
+transformed stream means user code consuming and calling publish by
+hand.  Here a pipeline is one checkpointed streaming query whose sink
+is another topic's publish path: read topic A, transform with any
+DataFrame logic, append to topic B with fresh contiguous offsets.
+
+Delivery is at-least-once end to end: a crashed micro-batch replays
+from the source checkpoint, and its re-publish appends again (new
+offsets, duplicate payloads) — downstream consumers dedup on a payload
+key if they need effectively-once, exactly like any at-least-once
+Kafka pipeline.  At 100 TB each hop is an independent query with its
+own parallelism and checkpoint; hops compose into DAGs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from kafkaish_spark.sources.topic_log import Topic
+from kafkaish_spark.streaming.subscribe import Subscription
+
+
+def pipe(
+    source: Topic,
+    sink: Topic,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    *,
+    name: str = "pipe",
+    event: str | None = None,
+    available_now: bool = True,
+) -> Subscription:
+    """Stream ``source`` into ``sink``, optionally transforming the
+    envelope frame in between.
+
+    ``transform`` receives the envelope DataFrame (offset/ts/event/
+    message) and must return a frame with at least (event, message)
+    — same contract as ``Topic.publish_df``.  The checkpoint lives
+    under the SINK topic keyed by ``name``, so each pipeline resumes
+    independently."""
+    import os
+
+    stream = source.stream(event=event)
+    if transform is not None:
+        stream = transform(stream)
+
+    def deliver(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cols = [c for c in ("event", "message", "ts") if c in batch_df.columns]
+        sink.publish_df(batch_df.select(*cols))
+
+    checkpoint = os.path.join(sink.root, "_pipelines", name, "checkpoint")
+    writer = (
+        stream.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return Subscription(writer.start(), name, checkpoint)

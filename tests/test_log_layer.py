@@ -129,3 +129,15 @@ def test_compact_preserves_content_and_order(engine):
     # log remains appendable after the swap
     topic.publish_batch([("e", "post")])
     assert topic.replay().collect()[-1]["message"] == "post"
+
+
+def test_engine_topic_listing_and_drop(engine):
+    engine.prepare_topic("list_a")
+    engine.prepare_topic("list_b")
+    assert engine.topics() == ["list_a", "list_b"]
+    assert engine.drop_topic("list_a") is True
+    assert engine.topics() == ["list_b"]
+    assert engine.drop_topic("list_a") is False
+    # re-preparing a dropped topic starts empty at offset 0
+    t = engine.prepare_topic("list_a")
+    assert t.latest() == 0

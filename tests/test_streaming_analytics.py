@@ -281,3 +281,31 @@ def test_stream_stream_interval_join(engine, spark, tmp_path):
     rows = _collect_stream(spark, joined, tmp_path, mode="append")
     got = {(r["l_event"], r["l_message"], r["r_message"]) for r in rows}
     assert got == {("u1", "p1", "c_recent")}
+
+
+def test_topic_to_topic_pipeline(engine, spark, tmp_path):
+    """pipe(): transformed re-publish with fresh offsets; resuming only
+    moves NEW source messages (checkpointed per pipeline)."""
+    from pyspark.sql import functions as PF
+
+    from kafkaish_spark.streaming.pipeline import pipe
+
+    src = _seed_topic(
+        engine,
+        "pipe_src",
+        [("click", "a", "2024-01-01 10:00:00"), ("view", "b", "2024-01-01 10:01:00")],
+    )
+    dst = engine.prepare_topic("pipe_dst")
+
+    def upper(df):
+        return df.select("event", PF.upper("message").alias("message"), "ts")
+
+    pipe(src, dst, upper, name="up").await_termination()
+    got = [(r["offset"], r["event"], r["message"]) for r in dst.replay().collect()]
+    assert got == [(1, "click", "A"), (2, "view", "B")]
+
+    # resume: only the new message flows through
+    src.publish_batch([("click", "c")])
+    pipe(src, dst, upper, name="up").await_termination()
+    msgs = [r["message"] for r in dst.replay().collect()]
+    assert msgs == ["A", "B", "C"]
