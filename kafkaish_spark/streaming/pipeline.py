@@ -6,16 +6,20 @@ hand.  Here a pipeline is one checkpointed streaming query whose sink
 is another topic's publish path: read topic A, transform with any
 DataFrame logic, append to topic B with fresh contiguous offsets.
 
-Delivery is at-least-once end to end: a crashed micro-batch replays
-from the source checkpoint, and its re-publish appends again (new
-offsets, duplicate payloads) — downstream consumers dedup on a payload
-key if they need effectively-once, exactly like any at-least-once
-Kafka pipeline.  At 100 TB each hop is an independent query with its
-own parallelism and checkpoint; hops compose into DAGs.
+Delivery is **effectively-once** end to end via the standard
+foreachBatch idempotency pattern: the sink records the last published
+micro-batch id; a batch replayed after a crash (same id) is skipped
+instead of re-appended.  The marker write happens after the publish,
+so the residual failure window (publish committed, marker lost)
+degrades to at-least-once — same class as transactional-outbox
+without the transaction.  At 100 TB each hop is an independent query
+with its own parallelism and checkpoint; hops compose into DAGs.
 """
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
@@ -41,17 +45,23 @@ def pipe(
     — same contract as ``Topic.publish_df``.  The checkpoint lives
     under the SINK topic keyed by ``name``, so each pipeline resumes
     independently."""
-    import os
-
     stream = source.stream(event=event)
     if transform is not None:
         stream = transform(stream)
 
-    def deliver(batch_df: DataFrame, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        cols = [c for c in ("event", "message", "ts") if c in batch_df.columns]
-        sink.publish_df(batch_df.select(*cols))
+    marker = os.path.join(sink.root, "_pipelines", name, "last_batch.json")
+
+    def deliver(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if batch_id <= json.load(fh)["batch_id"]:
+                    return  # replayed batch already published: skip
+        if not batch_df.isEmpty():
+            cols = [c for c in ("event", "message", "ts") if c in batch_df.columns]
+            sink.publish_df(batch_df.select(*cols))
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as fh:
+            json.dump({"batch_id": batch_id}, fh)
 
     checkpoint = os.path.join(sink.root, "_pipelines", name, "checkpoint")
     writer = (

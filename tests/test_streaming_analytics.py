@@ -309,3 +309,28 @@ def test_topic_to_topic_pipeline(engine, spark, tmp_path):
     pipe(src, dst, upper, name="up").await_termination()
     msgs = [r["message"] for r in dst.replay().collect()]
     assert msgs == ["A", "B", "C"]
+
+
+def test_pipeline_skips_replayed_batch(engine, spark, tmp_path):
+    """Effectively-once: a micro-batch replayed with an already-recorded
+    batch id must not re-publish (foreachBatch idempotency marker)."""
+    import json
+    import os
+
+    from kafkaish_spark.streaming.pipeline import pipe
+
+    src = _seed_topic(engine, "idem_src", [("e", "x", "2024-01-01 10:00:00")])
+    dst = engine.prepare_topic("idem_dst")
+    pipe(src, dst, name="p").await_termination()
+    assert dst.latest() == 1
+
+    # simulate a source-checkpoint rollback: wipe the checkpoint so the
+    # same data replays as batch 0 again — the marker must block it
+    ckpt = os.path.join(dst.root, "_pipelines", "p", "checkpoint")
+    import shutil
+
+    shutil.rmtree(ckpt)
+    marker = os.path.join(dst.root, "_pipelines", "p", "last_batch.json")
+    assert json.load(open(marker))["batch_id"] == 0
+    pipe(src, dst, name="p").await_termination()
+    assert dst.latest() == 1  # no duplicate publish
