@@ -1060,3 +1060,32 @@ def q_agg_approx_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.99, 10000).alias("p99_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------- R29b (map functions)
+@query(
+    "q_map_props_entries",
+    oracle="""
+    SELECT 'k' AS map_key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(regexp_extract(props, '(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT)
+             AS value_sum,
+           CAST(MIN(CAST(regexp_extract(props, '(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT)
+             AS value_min
+    FROM events WHERE props IS NOT NULL
+    """,
+)
+def q_map_props_entries(spark: SparkSession, sf: str) -> DataFrame:
+    """MapType surface: parse the JSON payload to map<string,long>,
+    explode entries, aggregate per key — the schema-on-read path for
+    messages whose keys are NOT known ahead of time (the reference's
+    arbitrary BSON payload).  The oracle exploits that this corpus has
+    the single key 'k'."""
+    ev = t(spark, sf, "events").filter(F.col("props").isNotNull())
+    m = F.from_json("props", "map<string,long>")
+    entries = ev.select(F.explode(m).alias("map_key", "val"))
+    return entries.groupBy("map_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").cast("long").alias("value_sum"),
+        F.min("val").cast("long").alias("value_min"),
+    )
