@@ -32,12 +32,17 @@ def salted_join(
     """Equi-join ``fact`` with ``dim`` on column ``on``, salting the key
     across ``salt_buckets`` shuffle partitions per value.
 
-    The salt is derived deterministically from a high-cardinality hash
-    of the full fact row (not rand(), so retries/speculative tasks stay
-    consistent), which distributes each hot key's rows uniformly."""
+    The salt mixes the row hash with the row's position
+    (monotonically_increasing_id), so even FULLY IDENTICAL duplicate
+    rows — the common hot-key shape — spread across buckets; position
+    is deterministic for a deterministic input, so retries stay
+    consistent (unlike rand())."""
     fact_salted = fact.withColumn(
         _SALT,
-        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets)),
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in fact.columns]),
+            F.lit(salt_buckets),
+        ),
     )
     dim_exploded = dim.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

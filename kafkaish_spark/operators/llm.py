@@ -98,6 +98,9 @@ def q_dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SHINGLE_CACHE = None  # last cached shingle frame (bounded-leak guard)
+
+
 # ---------------------------------------------------------------- M2 (oracle twin)
 @query(
     "q_dedup_ngram_jaccard",
@@ -124,7 +127,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     This is the correctness twin — q_dedup_minhash_lsh is the scale
     path."""
     d = t(spark, sf, "documents")
+    # The shingle set feeds three plan subtrees (counts + both join
+    # sides) that Catalyst does NOT unify (no ReusedExchange; measured
+    # 3-5x slower uncached), so caching is right — but pin at most ONE
+    # copy: evict the previous invocation's cache before creating a new
+    # one, so repeated runs can't accumulate storage memory.
+    global _SHINGLE_CACHE
+    if _SHINGLE_CACHE is not None:
+        _SHINGLE_CACHE.unpersist(blocking=False)
     sh = _shingles_df(d).cache()
+    _SHINGLE_CACHE = sh
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -980,8 +980,11 @@ def q_pivot_orders_priority(spark: SparkSession, sf: str) -> DataFrame:
         .pivot("o_orderpriority", list(names))
         .agg(F.count(F.lit(1)))
     )
+    # pivot yields NULL for an absent (segment, priority) cell; the
+    # oracle's COUNT(*) FILTER yields 0 — coalesce to match
     return wide.select(
-        "c_mktsegment", *[F.col(f"`{v}`").alias(a) for v, a in names.items()]
+        "c_mktsegment",
+        *[F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(a) for v, a in names.items()],
     )
 
 

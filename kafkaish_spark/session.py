@@ -35,7 +35,6 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.streaming.schemaInference", "false")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
     )
     if SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{cpus}]").config(

@@ -41,6 +41,7 @@ from typing import Any, Iterable
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DateType,
     LongType,
     StringType,
     StructField,
@@ -130,10 +131,18 @@ class Topic:
         ``{dummy:true}`` doc, src/topic.js:234-241 — a wrinkle we do not
         replicate): an empty parquet dir with schema reads as 0 rows and
         ``latest() == 0``.
+
+        Partitioned topics get only the bare directory — a root-level
+        seed file would conflict with the ``pub_date=...`` subdirs at
+        the first partitioned append ("Conflicting directory
+        structures"); ``log()`` synthesizes the empty frame instead.
         """
         if not os.path.exists(self.log_dir):
-            empty = self.spark.createDataFrame([], ENVELOPE)
-            empty.write.mode("append").parquet(self.log_dir)
+            if self.partitioned:
+                os.makedirs(self.log_dir, exist_ok=True)
+            else:
+                empty = self.spark.createDataFrame([], ENVELOPE)
+                empty.write.mode("append").parquet(self.log_dir)
         os.makedirs(self.sub_dir, exist_ok=True)
 
     # -- write path ----------------------------------------------------
@@ -192,6 +201,14 @@ class Topic:
     def log(self) -> DataFrame:
         """Whole log as a batch DataFrame (filters push down to parquet)."""
         if self.partitioned:
+            if not any(
+                e.startswith("pub_date=") for e in os.listdir(self.log_dir)
+            ):
+                # nothing published yet: empty frame with the envelope
+                # plus the (discovered-at-read-time) partition column
+                return self.spark.createDataFrame([], ENVELOPE).withColumn(
+                    "pub_date", F.lit(None).cast("date")
+                )
             # let Spark pick up the pub_date partition column
             return self.spark.read.parquet(self.log_dir)
         return self.spark.read.schema(ENVELOPE).parquet(self.log_dir)
@@ -217,43 +234,57 @@ class Topic:
 
     # -- ack / subscriber offsets -------------------------------------
 
+    def _ack_path(self, name: str) -> str:
+        return os.path.join(self.sub_dir, f"{name}.ack.json")
+
     def ack(self, name: str, offset: int) -> None:
         """Advance a durable subscriber's offset, monotonically (ref:
         upsert of {name, last}, src/topic.js:202-220).  The *real* ack
-        for streaming subscribers is the checkpoint commit; this table is
-        the queryable twin.  Tiny (1 row/subscriber): driver-side upsert."""
-        existing = {
-            r["name"]: r for r in self.subscribers().collect() if r["name"] != name
-        }
-        prev = self.last_ack(name) or 0
-        rows = [(n, int(r["last_offset"]), r["updated_ts"]) for n, r in existing.items()]
-        import datetime
+        for streaming subscribers is the checkpoint commit; this is the
+        queryable twin.
 
-        rows.append(
-            (name, max(int(offset), prev), datetime.datetime.now(datetime.timezone.utc))
-        )
-        df = self.spark.createDataFrame(rows, SUBSCRIBERS_SCHEMA)
-        tmp = self.sub_dir + ".tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        tbl = os.path.join(self.sub_dir, "table")
-        if os.path.exists(tbl):
-            shutil.rmtree(tbl)
-        os.replace(tmp, tbl)
+        One JSON file per subscriber, written tmp+rename: concurrent
+        subscribers never touch each other's state (the old shared
+        parquet table was a read-modify-write race), a reader never
+        sees a half-written file, and the per-name write is sequential
+        by construction (one streaming query per subscriber name)."""
+        prev = self.last_ack(name) or 0
+        path = self._ack_path(name)
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"last_offset": max(int(offset), prev), "updated_unix": time.time()},
+                fh,
+            )
+        os.replace(tmp, path)
 
     def last_ack(self, name: str) -> int | None:
-        row = (
-            self.subscribers()
-            .filter(F.col("name") == name)
-            .agg(F.max("last_offset").alias("m"))
-            .first()
-        )
-        return None if row["m"] is None else int(row["m"])
+        path = self._ack_path(name)
+        if not os.path.exists(path):
+            return None
+        with open(path) as fh:
+            return int(json.load(fh)["last_offset"])
 
     def subscribers(self) -> DataFrame:
-        tbl = os.path.join(self.sub_dir, "table")
-        if not os.path.exists(tbl):
-            return self.spark.createDataFrame([], SUBSCRIBERS_SCHEMA)
-        return self.spark.read.schema(SUBSCRIBERS_SCHEMA).parquet(tbl)
+        """All durable subscribers as a DataFrame (driver-side listing —
+        one tiny JSON per subscriber)."""
+        import datetime
+
+        rows = []
+        for fn in sorted(os.listdir(self.sub_dir)):
+            if fn.endswith(".ack.json"):
+                with open(os.path.join(self.sub_dir, fn)) as fh:
+                    doc = json.load(fh)
+                rows.append(
+                    (
+                        fn.removesuffix(".ack.json"),
+                        int(doc["last_offset"]),
+                        datetime.datetime.fromtimestamp(
+                            doc["updated_unix"], datetime.timezone.utc
+                        ).replace(tzinfo=None),
+                    )
+                )
+        return self.spark.createDataFrame(rows, SUBSCRIBERS_SCHEMA)
 
     def subscriber_lag(self) -> DataFrame:
         """Introspection: per-subscriber lag vs the log tail."""
@@ -299,34 +330,42 @@ class Topic:
 
     def enforce_retention_age(self, max_age_seconds: float) -> int:
         """Time-based retention (Kafka's ``retention.ms`` analog; the
-        reference has only the size cap).  Evicts whole publish batches
-        whose newest ``ts`` is older than the horizon, keeping offsets a
-        contiguous suffix.  Returns #files deleted."""
+        reference has only the size cap).  Evicts the longest PREFIX of
+        the offset-ordered log whose batches are entirely older than
+        the horizon, stopping at the first young-enough batch — so
+        surviving offsets are always a contiguous suffix even when a
+        caller backfills old ``ts`` values after new ones (deleting by
+        age alone would punch offset holes mid-log).  Eviction unit is
+        the file; the tail file always survives as the offset anchor.
+        Returns #files deleted."""
         import datetime
 
         horizon = datetime.datetime.now(
             datetime.timezone.utc
         ) - datetime.timedelta(seconds=max_age_seconds)
-        # max ts per file from parquet metadata via a grouped read
         per_file = (
             self.log()
             .withColumn("_f", F.input_file_name())
             .groupBy("_f")
-            .agg(F.max("ts").alias("newest"), F.max("offset").alias("max_off"))
+            .agg(
+                F.max("ts").alias("newest"),
+                F.max("offset").alias("max_off"),
+                F.min("offset").alias("min_off"),
+            )
             .collect()
         )
         tail = max((int(r["max_off"]) for r in per_file), default=0)
         deleted = 0
-        for r in sorted(per_file, key=lambda r: int(r["max_off"])):
+        for r in sorted(per_file, key=lambda r: int(r["min_off"])):
             newest = r["newest"]
             if newest.tzinfo is None:
                 newest = newest.replace(tzinfo=datetime.timezone.utc)
-            # never delete the tail file: latest() must keep its anchor
-            if newest < horizon and int(r["max_off"]) < tail:
-                path = r["_f"].removeprefix("file://")
-                if os.path.exists(path):
-                    os.remove(path)
-                    deleted += 1
+            if newest >= horizon or int(r["max_off"]) >= tail:
+                break  # prefix semantics: first surviving batch ends eviction
+            path = r["_f"].removeprefix("file://")
+            if os.path.exists(path):
+                os.remove(path)
+                deleted += 1
         return deleted
 
     def compact(self, target_files: int = 1) -> int:
@@ -335,12 +374,14 @@ class Topic:
         degrade file listing; see SCALE.md §6).  Offsets ride in the
         data, so content and order are exactly preserved.
 
-        Streaming caveat (documented, same guarantee class): a
-        subscriber checkpoint tracks *filenames*, so a stream resumed
-        across a compaction re-delivers the compacted range —
-        at-least-once, never lost.  Run compaction when subscribers are
-        caught up (their next batch is then empty).  Returns the number
-        of data files after compaction."""
+        Run this QUIESCED — it is a maintenance op, not a concurrent
+        one: (a) the dir swap is two renames, so a reader listing the
+        log in the gap sees a missing path and fails (an ACTIVE
+        streaming poll would die, not just re-deliver); (b) a resumed
+        subscriber checkpoint tracks *filenames*, so a stream restarted
+        after compaction re-delivers the compacted range —
+        at-least-once, never lost.  Returns the number of data files
+        after compaction."""
         current = self.log().cache()
         n_before = current.count()  # materialize before the swap
         tmp = self.log_dir + ".compact.tmp"
@@ -357,8 +398,17 @@ class Topic:
         old = self.log_dir + ".compact.old"
         os.replace(self.log_dir, old)
         os.replace(tmp, self.log_dir)
+        n_after = self.log().count()
+        if n_after != n_before:
+            # roll back before raising: the original log is untouched
+            os.replace(self.log_dir, tmp)
+            os.replace(old, self.log_dir)
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"compaction row-count mismatch ({n_after} != {n_before}); "
+                "log restored"
+            )
         shutil.rmtree(old)
-        assert self.log().count() == n_before
         return sum(
             1
             for _dir, _sub, files in os.walk(self.log_dir)
@@ -368,10 +418,27 @@ class Topic:
 
     # -- streaming handles --------------------------------------------
 
-    def stream(self, event: str | None = None) -> DataFrame:
+    def stream(
+        self,
+        event: str | None = None,
+        max_files_per_trigger: int | None = None,
+    ) -> DataFrame:
         """Streaming view of the log (the tailable cursor,
-        src/topic.js:53-61 — but checkpointable and gap-free)."""
-        df = self.spark.readStream.schema(ENVELOPE).parquet(self.log_dir)
+        src/topic.js:53-61 — but checkpointable and gap-free).
+
+        ``max_files_per_trigger`` is the backpressure knob (≙ the
+        reference's one-doc-at-a-time trampoline, src/topic.js:79-87)
+        — it is a file-SOURCE read option, so it must be set here, not
+        on the sink writer.  It bounds each micro-batch even under
+        ``trigger(availableNow=True)`` (the backlog drains in capped
+        chunks)."""
+        reader = self.spark.readStream
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        schema = ENVELOPE
+        if self.partitioned:
+            schema = StructType(ENVELOPE.fields + [StructField("pub_date", DateType(), True)])
+        df = reader.schema(schema).parquet(self.log_dir)
         if event is not None:
             df = df.filter(F.col("event") == F.lit(event))
         return df

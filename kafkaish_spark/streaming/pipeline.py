@@ -53,15 +53,22 @@ def pipe(
 
     def deliver(batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(marker):
-            with open(marker) as fh:
-                if batch_id <= json.load(fh)["batch_id"]:
-                    return  # replayed batch already published: skip
+            try:
+                with open(marker) as fh:
+                    if batch_id <= json.load(fh)["batch_id"]:
+                        return  # replayed batch already published: skip
+            except (json.JSONDecodeError, KeyError, ValueError):
+                # torn write from a crash mid-marker: treat as absent
+                # (degrades this batch to at-least-once, never wedges)
+                pass
         if not batch_df.isEmpty():
             cols = [c for c in ("event", "message", "ts") if c in batch_df.columns]
             sink.publish_df(batch_df.select(*cols))
         os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as fh:
+        tmp = f"{marker}.tmp"
+        with open(tmp, "w") as fh:
             json.dump({"batch_id": batch_id}, fh)
+        os.replace(tmp, marker)
 
     checkpoint = os.path.join(sink.root, "_pipelines", name, "checkpoint")
     writer = (

@@ -104,7 +104,7 @@ def subscribe(
         checkpoint = os.path.join(topic.sub_dir, name, "checkpoint")
     start_offset = _start_offset_for(topic, name, replay)
 
-    stream = topic.stream(event=event)
+    stream = topic.stream(event=event, max_files_per_trigger=max_files_per_trigger)
     if start_offset:
         stream = stream.filter(F.col("offset") > F.lit(int(start_offset)))
 
@@ -120,9 +120,10 @@ def subscribe(
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+    # maxFilesPerTrigger is a SOURCE option (set in topic.stream above);
+    # it bounds micro-batch size in both modes, including the
+    # availableNow backlog drain.
     if available_now:
         writer = writer.trigger(availableNow=True)
-    elif max_files_per_trigger:
-        writer = writer.option("maxFilesPerTrigger", str(max_files_per_trigger))
     query = writer.start()
     return Subscription(query, name, checkpoint)
