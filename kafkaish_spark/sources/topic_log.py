@@ -163,16 +163,31 @@ class Topic:
         out = self.publish_df(df, target_files=1)
         return out.orderBy("offset").collect()
 
-    def publish_df(self, df: DataFrame, target_files: int | None = None) -> DataFrame:
+    def publish_df(
+        self,
+        df: DataFrame,
+        target_files: int | None = None,
+        dedup: bool = False,
+    ) -> DataFrame:
         """Append a DataFrame(event, message[, ts]) to the log, assigning
         contiguous offsets after the current tail.  Returns the written
         envelope (the reference's publish callback doc, src/topic.js:32-38).
+
+        ``dedup=True`` makes the publish idempotent by payload: rows
+        whose (event, message) already exist in the log are skipped
+        (left-anti join against the log — at scale the join keys on the
+        two short columns only, never the full envelope).  This is the
+        retry-safe producer: re-running a failed ingest cannot
+        double-append.
 
         Single-writer per topic, like the reference (Mongo ObjectId order
         across concurrent clients is only approximate anyway — see
         SURVEY.md §7 watch-list a).
         """
         start = self.latest()
+        if dedup:
+            existing = self.log().select("event", "message")
+            df = df.join(existing, ["event", "message"], "left_anti")
         if "ts" not in df.columns:
             df = df.withColumn("ts", F.current_timestamp())
         src = df.select("event", "message", "ts")

@@ -189,3 +189,20 @@ def test_max_files_per_trigger_bounds_batches(engine, spark, tmp_path):
     q.awaitTermination()
     assert sum(batch_sizes) == 3
     assert len([b for b in batch_sizes if b > 0]) >= 3
+
+
+def test_idempotent_publish_skips_existing_payloads(engine, spark):
+    """dedup=True: re-publishing an overlapping batch appends only the
+    genuinely new payloads (retry-safe producer)."""
+    topic = engine.prepare_topic("idem_pub")
+    first = spark.createDataFrame(
+        [("e", "a"), ("e", "b")], "event string, message string"
+    )
+    topic.publish_df(first)
+    retry = spark.createDataFrame(
+        [("e", "a"), ("e", "b"), ("e", "c")], "event string, message string"
+    )
+    topic.publish_df(retry, dedup=True)
+    rows = topic.replay().collect()
+    assert [r["message"] for r in rows] == ["a", "b", "c"]
+    assert [r["offset"] for r in rows] == [1, 2, 3]
