@@ -58,3 +58,40 @@ def test_resume_yields_exactly_unacked_suffix(engine_factory, n, ack_at):
     last = topic.last_ack("sub") or 0
     rows = topic.replay(since=last).orderBy("offset").collect()
     assert [r["message"] for r in rows] == [str(i) for i in range(ack_at + 1, n + 1)]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    plan=st.lists(
+        st.one_of(
+            st.tuples(st.just("pub"), st.integers(1, 4)),
+            st.tuples(st.just("compact"), st.just(0)),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_compaction_interleaved_with_publishes_preserves_history(
+    engine_factory, plan
+):
+    """Compacting at ANY point between publishes must leave replay
+    exactly equal to the full publish history, and the log appendable."""
+    topic = engine_factory().prepare_topic("prop_compact")
+    expect = []
+    i = 0
+    for op, arg in plan:
+        if op == "pub":
+            msgs = [("e", f"m{i + j}") for j in range(arg)]
+            i += arg
+            topic.publish_batch(msgs)
+            expect.extend(m for _, m in msgs)
+        else:
+            topic.compact(target_files=1)
+    got = [r["message"] for r in topic.replay().collect()]
+    assert got == expect
+    if expect:
+        assert topic.latest() == len(expect)
