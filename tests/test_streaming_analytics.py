@@ -334,3 +334,60 @@ def test_pipeline_skips_replayed_batch(engine, spark, tmp_path):
     assert json.load(open(marker))["batch_id"] == 0
     pipe(src, dst, name="p").await_termination()
     assert dst.latest() == 1  # no duplicate publish
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(engine, spark, tmp_path):
+    """Left-outer stream-stream join: a purchase with no click in its
+    interval emits with nulls once the watermark passes (bounded-state
+    eviction).  One continuous query: null flush happens in the no-data
+    batch after the watermark-advancing data batch — an availableNow
+    restart can stop before that batch runs, so this test drives
+    processAllAvailable on a single query instead."""
+    from kafkaish_spark.streaming.joins import interval_join
+
+    clicks = _seed_topic(
+        engine, "lsj_clicks", [("u1", "c1", "2024-01-01 09:50:00")]
+    )
+    purchases = _seed_topic(
+        engine,
+        "lsj_purch",
+        [
+            ("u1", "p_matched", "2024-01-01 10:00:00"),
+            ("u2", "p_lonely", "2024-01-01 10:00:00"),
+            # the global watermark is min(left, right): both sides need
+            # a horizon-advancing row before eviction can happen
+            ("u3", "p_horizon", "2024-01-01 23:00:00"),
+        ],
+    )
+    joined = interval_join(
+        purchases.stream(),
+        clicks.stream(),
+        key="event",
+        max_delay="30 minutes",
+        watermark="1 minute",
+        how="left_outer",
+    ).select("l_message", "r_message")
+
+    rows = []
+    q = (
+        joined.writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # a click far past the horizon advances the watermark; the
+        # following no-data batch evicts + emits the unmatched left row
+        clicks.publish_df(
+            spark.createDataFrame(
+                [("u9", "c_horizon", "2024-01-01 23:00:00")],
+                "event string, message string, ts string",
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r["l_message"], r["r_message"]) for r in rows}
+    assert ("p_matched", "c1") in got
+    assert ("p_lonely", None) in got
