@@ -491,6 +491,19 @@ class Engine:
     # camelCase alias mirroring the reference API surface
     prepareTopic = prepare_topic
 
+    def sql(self, statement: str) -> DataFrame:
+        """Run SQL with every topic registered as ``topic_<name>``
+        (batch view over the log — offset/ts/event/message).  The SQL
+        face of the processing layer: the reference has no query
+        capability at all over its stored messages; here the log is
+        just a table.
+
+        Views are (re)registered per call — cheap (no data touched) and
+        always current with the directory listing."""
+        for name in self.topics():
+            self.prepare_topic(name).log().createOrReplaceTempView(f"topic_{name}")
+        return self.spark.sql(statement)
+
     def topics(self) -> list[str]:
         """All topics under this root, prepared or not (the reference
         exposes no listing; Mongo's collection list is the analog)."""

@@ -206,3 +206,21 @@ def test_idempotent_publish_skips_existing_payloads(engine, spark):
     rows = topic.replay().collect()
     assert [r["message"] for r in rows] == ["a", "b", "c"]
     assert [r["offset"] for r in rows] == [1, 2, 3]
+
+
+def test_engine_sql_over_topics(engine):
+    """Engine.sql registers each topic as topic_<name> — the log is
+    queryable as a plain table, including cross-topic joins."""
+    a = engine.prepare_topic("sql_a")
+    b = engine.prepare_topic("sql_b")
+    a.publish_batch([("x", "1"), ("y", "2")])
+    b.publish_batch([("x", "10")])
+    row = engine.sql(
+        """
+        SELECT a.event, a.message AS am, b.message AS bm
+        FROM topic_sql_a a JOIN topic_sql_b b ON a.event = b.event
+        """
+    ).collect()
+    assert [(r["event"], r["am"], r["bm"]) for r in row] == [("x", "1", "10")]
+    n = engine.sql("SELECT COUNT(*) AS n FROM topic_sql_a").first()["n"]
+    assert n == 2
