@@ -119,6 +119,12 @@ class Topic:
         self.log_dir = os.path.join(self.root, "log")
         self.sub_dir = os.path.join(self.root, "_subscribers")
         self.retention_bytes = retention_bytes
+        # auto-detect the layout of a pre-existing log: a fresh Engine
+        # over an old root must not misread a partitioned topic as flat
+        if os.path.isdir(self.log_dir) and any(
+            e.startswith("pub_date=") for e in os.listdir(self.log_dir)
+        ):
+            partitioned = True
         self.partitioned = partitioned
         self._ensure()
 

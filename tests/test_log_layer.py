@@ -224,3 +224,25 @@ def test_engine_sql_over_topics(engine):
     assert [(r["event"], r["am"], r["bm"]) for r in row] == [("x", "1", "10")]
     n = engine.sql("SELECT COUNT(*) AS n FROM topic_sql_a").first()["n"]
     assert n == 2
+
+
+def test_reopened_partitioned_topic_detected(engine, spark, tmp_path):
+    """A fresh Engine over an existing root must auto-detect a
+    partitioned topic's layout (partitioned flag is not persisted)."""
+    from pyspark.sql import functions as F
+
+    from kafkaish_spark.sources.topic_log import Engine
+
+    t1 = engine.prepare_topic("reopen_me", partitioned=True)
+    df = spark.createDataFrame(
+        [("e", "m1", "2024-01-01 10:00:00")],
+        "event string, message string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    t1.publish_df(df)
+
+    eng2 = Engine(spark, engine.root)  # new handle, default flags
+    t2 = eng2.prepare_topic("reopen_me")
+    assert t2.partitioned is True
+    assert [r["message"] for r in t2.replay().collect()] == ["m1"]
+    t2.publish_batch([("e", "m2")])  # appends stay partitioned
+    assert t2.latest() == 2
