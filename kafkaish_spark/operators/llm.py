@@ -912,3 +912,89 @@ def q_dedup_near_documents(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long").alias("dup_of"),
         F.col("dup_of").isNull().cast("long").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------- M4d (repetition)
+@query(
+    "q_text_repetition_score",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(greatest(len(w) - 2, 0)),
+                    i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(DISTINCT shingle) AS n_distinct,
+           round(1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*), 6)
+             AS repetition
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_text_repetition_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-3-gram ratio per document — the standard self-repetition
+    quality signal for training corpora (boilerplate/spam detection).
+    Multiset vs distinct shingle counts; integer arithmetic + one IEEE
+    division.  Same shingle explosion as dedup, so the repartition-
+    before-explode scale note applies."""
+    d = t(spark, sf, "documents")
+    cpus = spark.sparkContext.defaultParallelism
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    m = n - 2
+    z = F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(3)])
+    sh = F.when(
+        n >= 3,
+        F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"])),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.repartition(cpus, "doc_id").select(
+        "doc_id", F.explode(sh).alias("shingle")
+    )
+    return grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("shingle").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("shingle").cast("double") / F.count(F.lit(1)), 6
+        ).alias("repetition"),
+    )
+
+
+# ---------------------------------------------------------------- U5 (Python UDTF)
+@query(
+    "q_udtf_sentence_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) - 1 AS BIGINT)
+             AS sent_idx,
+           trim(sent) AS sentence
+    FROM (
+      SELECT doc_id, unnest(string_split(text, '.')) AS sent,
+             generate_subscripts(string_split(text, '.'), 1) AS idx
+      FROM documents)
+    WHERE trim(sent) <> ''
+    """,
+)
+def q_udtf_sentence_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (table function) — one doc row fans out to one row
+    per sentence.  UDTFs are the lazy-iterator row-expansion surface
+    (vs pandas UDF's columnar batches); fine off the hot path, and the
+    oracle twin is a plain unnest so the output is exactly checkable."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx bigint, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            idx = 0
+            for part in text.split("."):
+                part = part.strip()
+                if part:
+                    yield doc_id, idx, part
+                    idx += 1
+
+    d = t(spark, sf, "documents")
+    d.createOrReplaceTempView("docs_for_udtf")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    return spark.sql(
+        "SELECT s.* FROM docs_for_udtf d, "
+        "LATERAL sentence_split(d.doc_id, d.text) s"
+    )
