@@ -998,3 +998,54 @@ def q_udtf_sentence_split(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT s.* FROM docs_for_udtf d, "
         "LATERAL sentence_split(d.doc_id, d.text) s"
     )
+
+
+# ---------------------------------------------------------------- M5b (TF-IDF)
+@query(
+    "q_text_tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    tf AS (SELECT lang, word, COUNT(*) AS tf FROM words GROUP BY lang, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT lang, word, tf,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n)
+    SELECT lang, word, CAST(tf AS BIGINT) AS tf, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY tfidf DESC, word) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 TF-IDF terms per language: term frequency within the
+    language partition weighted by inverse document frequency across
+    the corpus.  Two aggregates over one explode + a broadcast of the
+    tiny df table; ln on identical doubles is bit-equal across engines
+    and the 1e-6 rounding absorbs any libm tail."""
+    d = t(spark, sf, "documents")
+    cpus = spark.sparkContext.defaultParallelism
+    words = d.repartition(cpus, "doc_id").select(
+        "doc_id", "lang", F.explode(_words()).alias("word")
+    )
+    tf = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "lang",
+        "word",
+        F.col("tf").cast("long").alias("tf"),
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "word", "tf", "tfidf")
+    )
