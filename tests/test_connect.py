@@ -65,3 +65,59 @@ def test_infer_payload_schema(engine):
     publish_json_docs(topic, [{"k": 1, "s": "x"}, {"k": 2, "s": "y"}], event="e")
     schema = infer_payload_schema(topic)
     assert "k:bigint" in schema and "s:string" in schema
+
+
+def test_full_engine_pipeline_end_to_end(engine, spark, tmp_path):
+    """The whole engine in one flow: CSV ingest -> raw topic ->
+    transformed topic (streaming pipe) -> durable subscriber with ack ->
+    partitioned export -> SQL over the topics."""
+    from pyspark.sql import functions as PF
+
+    from kafkaish_spark.sources.connect import export, ingest
+    from kafkaish_spark.streaming.pipeline import pipe
+    from kafkaish_spark.streaming.subscribe import subscribe
+
+    # 1. ingest a CSV into the raw topic
+    src = tmp_path / "incoming"
+    spark.createDataFrame(
+        [("click", 5, "alice"), ("click", 7, "bob"), ("view", 1, "carol")],
+        "kind string, amount long, who string",
+    ).coalesce(1).write.option("header", "true").csv(str(src))
+    raw = engine.prepare_topic("e2e_raw")
+    ingest(raw, str(src), "csv", event_col="kind")
+    assert raw.latest() == 3
+
+    # 2. stream raw -> enriched with a transform (uppercase payload)
+    enriched = engine.prepare_topic("e2e_enriched")
+    pipe(raw, enriched, lambda df: df.select(
+        "event", PF.upper("message").alias("message"), "ts"
+    ), name="enrich").await_termination()
+    assert enriched.latest() == 3
+
+    # 3. durable subscriber drains the enriched topic and acks
+    seen = []
+    sub = subscribe(
+        enriched,
+        callback=lambda e, m, o: seen.append((e, o)),
+        name="auditor",
+        replay=True,
+    )
+    sub.await_termination()
+    assert [o for _, o in seen] == [1, 2, 3]
+    assert enriched.last_ack("auditor") == 3
+    assert enriched.subscriber_lag().first()["lag"] == 0
+
+    # 4. export clicks only, partitioned by event
+    out = tmp_path / "warehouse"
+    n = export(enriched, str(out), "parquet", event="click", partition_by_event=True)
+    assert n == 2
+
+    # 5. SQL across the topics
+    row = engine.sql(
+        """
+        SELECT r.event, COUNT(*) AS n,
+               SUM(CAST(get_json_object(r.message, '$.amount') AS LONG)) AS raw_amt
+        FROM topic_e2e_raw r WHERE r.event = 'click' GROUP BY r.event
+        """
+    ).first()
+    assert (row["event"], row["n"], row["raw_amt"]) == ("click", 2, 12)
