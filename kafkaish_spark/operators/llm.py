@@ -1049,3 +1049,38 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("lang", "word", "tf", "tfidf")
     )
+
+
+# ---------------------------------------------------------------- M5c (hashing vectorizer)
+_HASH_DIM = 16
+
+
+@query(
+    "q_text_hashing_vectorizer",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5(word), 1, 8)) AS BIGINT)
+                % {_HASH_DIM} AS BIGINT) AS bucket,
+           COUNT(*) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def q_text_hashing_vectorizer(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick bag-of-words (the feature-vectorizer that needs no
+    vocabulary): word -> md5-derived bucket -> per-doc counts, long
+    format.  md5 makes the bucketing identical across engines (unlike
+    xxhash/murmur), so the whole vectorizer is oracle-checkable; at
+    scale the same plan with xxhash64 is cheaper and the downstream
+    model never cares which hash it was."""
+    d = t(spark, sf, "documents")
+    cpus = spark.sparkContext.defaultParallelism
+    words = d.repartition(cpus, "doc_id").select(
+        "doc_id", F.explode(_words()).alias("word")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long") % _HASH_DIM
+    )
+    return words.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
