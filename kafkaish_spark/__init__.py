@@ -13,7 +13,22 @@ subscribe / replay-then-live / ack / retention, see
 """
 
 from kafkaish_spark.session import get_spark
+from kafkaish_spark.sources.connect import export, ingest, messages_as
 from kafkaish_spark.sources.topic_log import Engine, Topic
+from kafkaish_spark.streaming.joins import interval_join
+from kafkaish_spark.streaming.pipeline import pipe
+from kafkaish_spark.streaming.subscribe import Subscription, subscribe
 
-__all__ = ["get_spark", "Engine", "Topic"]
+__all__ = [
+    "get_spark",
+    "Engine",
+    "Topic",
+    "subscribe",
+    "Subscription",
+    "pipe",
+    "interval_join",
+    "ingest",
+    "export",
+    "messages_as",
+]
 __version__ = "0.1.0"

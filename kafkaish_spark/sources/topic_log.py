@@ -497,6 +497,29 @@ class Engine:
     # camelCase alias mirroring the reference API surface
     prepareTopic = prepare_topic
 
+    def union_topics(self, names: Iterable[str] | None = None) -> DataFrame:
+        """All (or the named) topics as one frame with a ``topic``
+        column — the read side of the shard-into-N-topics pattern for
+        multi-writer throughput (SURVEY.md scale notes): each shard
+        keeps its own strictly-increasing offsets, the union relaxes to
+        per-shard order exactly as a multi-partition Kafka topic does."""
+        names = list(names) if names is not None else self.topics()
+        if not names:
+            schema = StructType(
+                [StructField("topic", StringType(), False)] + list(ENVELOPE.fields)
+            )
+            return self.spark.createDataFrame([], schema)
+        frames = [
+            self.prepare_topic(n).log().select(
+                F.lit(n).alias("topic"), "offset", "ts", "event", "message"
+            )
+            for n in names
+        ]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def sql(self, statement: str) -> DataFrame:
         """Run SQL with every topic registered as ``topic_<name>``
         (batch view over the log — offset/ts/event/message).  The SQL

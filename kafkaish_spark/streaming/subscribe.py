@@ -58,6 +58,12 @@ class Subscription:
     def is_active(self) -> bool:
         return self.query.isActive
 
+    def progress(self) -> dict | None:
+        """Latest micro-batch metrics (rows/sec, batch duration, offsets)
+        straight from the streaming query — the observability the
+        reference's fire-and-forget callbacks never had."""
+        return self.query.lastProgress
+
 
 def _start_offset_for(topic: Topic, name: str | None, replay: bool) -> int:
     """Where this subscription starts, mirroring the reference's three

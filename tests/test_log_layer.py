@@ -246,3 +246,24 @@ def test_reopened_partitioned_topic_detected(engine, spark, tmp_path):
     assert [r["message"] for r in t2.replay().collect()] == ["m1"]
     t2.publish_batch([("e", "m2")])  # appends stay partitioned
     assert t2.latest() == 2
+
+
+def test_union_topics_shard_pattern(engine):
+    """union_topics: N sharded topics read as one frame with per-shard
+    order preserved (the multi-writer relaxation, SURVEY scale notes)."""
+    for i in range(3):
+        engine.prepare_topic(f"shard_{i}").publish_batch(
+            [("e", f"s{i}m{j}") for j in range(2)]
+        )
+    allf = engine.union_topics([f"shard_{i}" for i in range(3)])
+    assert allf.count() == 6
+    got = {
+        (r["topic"], r["offset"], r["message"])
+        for r in allf.collect()
+    }
+    assert ("shard_1", 2, "s1m1") in got
+    # public API surface imports
+    import kafkaish_spark as K
+
+    for name in K.__all__:
+        assert getattr(K, name) is not None
