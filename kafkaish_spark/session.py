@@ -33,6 +33,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # INT96 (the legacy default) writes NO footer min/max stats, which
+        # kills row-group skipping on ts predicates and the footer-driven
+        # retention jobs; micros is the modern interoperable encoding
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.streaming.schemaInference", "false")
     )

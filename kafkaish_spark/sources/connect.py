@@ -80,7 +80,9 @@ def export(
     if partition_by_event:
         writer = writer.partitionBy("event")
     writer.format(fmt).save(path)
-    return df.count()
+    # count what was WRITTEN, not a second replay of the source (which
+    # would re-scan + re-sort and could disagree if a publish raced in)
+    return topic.spark.read.format(fmt).load(path).count()
 
 
 def messages_as(topic_df: DataFrame, schema: str | Any) -> DataFrame:

@@ -119,12 +119,18 @@ class Topic:
         self.log_dir = os.path.join(self.root, "log")
         self.sub_dir = os.path.join(self.root, "_subscribers")
         self.retention_bytes = retention_bytes
-        # auto-detect the layout of a pre-existing log: a fresh Engine
-        # over an old root must not misread a partitioned topic as flat
-        if os.path.isdir(self.log_dir) and any(
-            e.startswith("pub_date=") for e in os.listdir(self.log_dir)
-        ):
-            partitioned = True
+        # Auto-detect the layout of a pre-existing log in BOTH
+        # directions: a fresh Engine must not misread a partitioned
+        # topic as flat, and requesting partitioned=True over an
+        # existing FLAT log must not make log() synthesize an empty
+        # frame (latest()==0 would then reassign duplicate offsets and
+        # the next append would corrupt the directory layout).
+        if os.path.isdir(self.log_dir):
+            entries = os.listdir(self.log_dir)
+            if any(e.startswith("pub_date=") for e in entries):
+                partitioned = True
+            elif any(e.startswith("part-") and e.endswith(".parquet") for e in entries):
+                partitioned = False
         self.partitioned = partitioned
         self._ensure()
 
@@ -201,21 +207,36 @@ class Topic:
             # coalesce (no shuffle) so a small publish is one segment
             # file — retention and replay granularity stay sane
             src = src.coalesce(target_files)
-        out = _assign_contiguous_ids(src, start)
-        out = out.select(
-            F.col("offset"),
-            F.col("ts").cast("timestamp").alias("ts"),
-            F.col("event").cast("string").alias("event"),
-            F.col("message").cast("string").alias("message"),
-        )
-        writer = out.write.mode("append")
-        if self.partitioned:
-            out2 = out.withColumn("pub_date", F.to_date("ts"))
-            writer = out2.write.mode("append").partitionBy("pub_date")
-        writer.parquet(self.log_dir)
+        # Pin the input across the two jobs _assign_contiguous_ids runs
+        # (counts + write): with AQE, a recomputed upstream shuffle can
+        # land on different partition ids between jobs, which would
+        # silently drop or mis-offset rows through the _pid join.
+        src = src.persist()
+        try:
+            out = _assign_contiguous_ids(src, start)
+            out = out.select(
+                F.col("offset"),
+                F.col("ts").cast("timestamp").alias("ts"),
+                F.col("event").cast("string").alias("event"),
+                F.col("message").cast("string").alias("message"),
+            )
+            writer = out.write.mode("append")
+            if self.partitioned:
+                out2 = out.withColumn("pub_date", F.to_date("ts"))
+                writer = out2.write.mode("append").partitionBy("pub_date")
+            writer.parquet(self.log_dir)
+        finally:
+            src.unpersist()
         if self.retention_bytes is not None:
             self.enforce_retention(self.retention_bytes)
-        return out
+        # Return what was actually WRITTEN (re-read from the log) — the
+        # plan above is lazy, so handing it back would re-execute later
+        # with a fresh current_timestamp(), and under dedup=True the
+        # anti-join would re-run against a log now containing these very
+        # rows and evaluate empty.
+        return self.log().filter(F.col("offset") > F.lit(int(start))).select(
+            "offset", "ts", "event", "message"
+        )
 
     # -- read path -----------------------------------------------------
 
@@ -318,75 +339,105 @@ class Topic:
 
     # -- retention -----------------------------------------------------
 
+    def _segment_stats(self) -> list[dict]:
+        """Per data file: path, size, commit-uuid group, and offset/ts
+        min-max straight from the parquet FOOTER statistics — no Spark
+        job, no timezone round trip (ts stats are UTC micros), no URI
+        re-encoding.  On a cluster the same footers are one ranged read
+        each via the FileSystem API."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for dirpath, _dirnames, filenames in os.walk(self.log_dir):
+            for fn in filenames:
+                if not (fn.startswith("part-") and fn.endswith(".parquet")):
+                    continue
+                path = os.path.join(dirpath, fn)
+                # part-00000-<commit-uuid>[-...].snappy.parquet
+                uuid = fn.split("-", 2)[-1].split(".")[0]
+                meta = pq.ParquetFile(path).metadata
+                cols = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+                min_off = max_off = None
+                max_ts_us = None
+                for rg in range(meta.num_row_groups):
+                    s_off = meta.row_group(rg).column(cols["offset"]).statistics
+                    if s_off is not None:
+                        min_off = s_off.min if min_off is None else min(min_off, s_off.min)
+                        max_off = s_off.max if max_off is None else max(max_off, s_off.max)
+                    s_ts = meta.row_group(rg).column(cols["ts"]).statistics
+                    if s_ts is not None and s_ts.max is not None:
+                        ts = s_ts.max
+                        us = (
+                            int(ts.timestamp() * 1_000_000)
+                            if hasattr(ts, "timestamp")
+                            else int(ts)
+                        )
+                        max_ts_us = us if max_ts_us is None else max(max_ts_us, us)
+                out.append(
+                    {
+                        "path": path,
+                        "size": os.path.getsize(path),
+                        "uuid": uuid,
+                        "min_off": min_off,
+                        "max_off": max_off,
+                        "max_ts_us": max_ts_us,
+                    }
+                )
+        return out
+
     def enforce_retention(self, cap_bytes: int) -> int:
         """Size-bounded FIFO eviction (ref: 5 MiB capped collection,
         src/topic.js:8-9).  Storage-level maintenance, not a query
         concern.  Eviction unit is a whole publish batch (all part
-        files sharing one commit UUID) — the analog of Kafka dropping
-        whole segments — so surviving offsets are always a contiguous
-        suffix of the log; deleting individual files could punch holes
-        mid-batch.  Returns #files deleted.  On a cluster this is the
-        same logic over the Hadoop FileSystem listing."""
-        groups: dict[str, list[tuple[float, str, int]]] = {}
-        for dirpath, _dirnames, filenames in os.walk(self.log_dir):
-            for fn in filenames:
-                if fn.startswith("part-") and fn.endswith(".parquet"):
-                    p = os.path.join(dirpath, fn)
-                    st = os.stat(p)
-                    # part-00000-<commit-uuid>[-...].snappy.parquet
-                    uuid = fn.split("-", 2)[-1]
-                    uuid = uuid.split(".")[0]
-                    groups.setdefault(uuid, []).append((st.st_mtime, p, st.st_size))
-        ordered = sorted(groups.values(), key=lambda fs: min(m for m, _, _ in fs))
-        total = sum(sz for fs in ordered for _, _, sz in fs)
+        files sharing one commit UUID), ordered by MIN OFFSET from the
+        parquet footers (not file mtime, which ties within filesystem
+        granularity) — so surviving offsets are always a contiguous
+        suffix of the log.  Returns #files deleted."""
+        groups: dict[str, list[dict]] = {}
+        for seg in self._segment_stats():
+            groups.setdefault(seg["uuid"], []).append(seg)
+        ordered = sorted(
+            groups.values(),
+            key=lambda segs: min(
+                s["min_off"] for s in segs if s["min_off"] is not None
+            )
+            if any(s["min_off"] is not None for s in segs)
+            else -1,
+        )
+        total = sum(s["size"] for segs in ordered for s in segs)
         deleted = 0
-        for i, fs in enumerate(ordered):
+        for i, segs in enumerate(ordered):
             if total <= cap_bytes or i == len(ordered) - 1:
                 break
-            for _mtime, path, sz in fs:
-                os.remove(path)
-                total -= sz
+            for s in segs:
+                os.remove(s["path"])
+                total -= s["size"]
                 deleted += 1
         return deleted
 
     def enforce_retention_age(self, max_age_seconds: float) -> int:
         """Time-based retention (Kafka's ``retention.ms`` analog; the
         reference has only the size cap).  Evicts the longest PREFIX of
-        the offset-ordered log whose batches are entirely older than
-        the horizon, stopping at the first young-enough batch — so
-        surviving offsets are always a contiguous suffix even when a
-        caller backfills old ``ts`` values after new ones (deleting by
-        age alone would punch offset holes mid-log).  Eviction unit is
-        the file; the tail file always survives as the offset anchor.
+        the offset-ordered log whose files are entirely older than the
+        horizon (footer ts stats, UTC micros — immune to the driver's
+        OS timezone), stopping at the first young-enough or
+        stats-less file — so surviving offsets stay a contiguous
+        suffix even when old ``ts`` values are backfilled after new
+        ones.  The tail file always survives as the offset anchor.
         Returns #files deleted."""
-        import datetime
-
-        horizon = datetime.datetime.now(
-            datetime.timezone.utc
-        ) - datetime.timedelta(seconds=max_age_seconds)
-        per_file = (
-            self.log()
-            .withColumn("_f", F.input_file_name())
-            .groupBy("_f")
-            .agg(
-                F.max("ts").alias("newest"),
-                F.max("offset").alias("max_off"),
-                F.min("offset").alias("min_off"),
-            )
-            .collect()
-        )
-        tail = max((int(r["max_off"]) for r in per_file), default=0)
+        horizon_us = int((time.time() - max_age_seconds) * 1_000_000)
+        segs = [s for s in self._segment_stats() if s["min_off"] is not None]
+        tail = max((s["max_off"] for s in segs), default=0)
         deleted = 0
-        for r in sorted(per_file, key=lambda r: int(r["min_off"])):
-            newest = r["newest"]
-            if newest.tzinfo is None:
-                newest = newest.replace(tzinfo=datetime.timezone.utc)
-            if newest >= horizon or int(r["max_off"]) >= tail:
-                break  # prefix semantics: first surviving batch ends eviction
-            path = r["_f"].removeprefix("file://")
-            if os.path.exists(path):
-                os.remove(path)
-                deleted += 1
+        for s in sorted(segs, key=lambda s: s["min_off"]):
+            if (
+                s["max_ts_us"] is None  # no stats: keep, stop the prefix
+                or s["max_ts_us"] >= horizon_us
+                or s["max_off"] >= tail
+            ):
+                break  # prefix semantics: first surviving file ends eviction
+            os.remove(s["path"])
+            deleted += 1
         return deleted
 
     def compact(self, target_files: int = 1) -> int:
@@ -528,9 +579,14 @@ class Engine:
         just a table.
 
         Views are (re)registered per call — cheap (no data touched) and
-        always current with the directory listing."""
+        always current with the directory listing.  Non-identifier
+        characters in topic names map to ``_`` in the view name, so one
+        oddly-named topic can't wedge every sql() call."""
+        import re
+
         for name in self.topics():
-            self.prepare_topic(name).log().createOrReplaceTempView(f"topic_{name}")
+            view = "topic_" + re.sub(r"[^A-Za-z0-9_]", "_", name)
+            self.prepare_topic(name).log().createOrReplaceTempView(view)
         return self.spark.sql(statement)
 
     def topics(self) -> list[str]:

@@ -33,7 +33,7 @@ def pipe(
     sink: Topic,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     *,
-    name: str = "pipe",
+    name: str | None = None,
     event: str | None = None,
     available_now: bool = True,
 ) -> Subscription:
@@ -45,11 +45,20 @@ def pipe(
     — same contract as ``Topic.publish_df``.  The checkpoint lives
     under the SINK topic keyed by ``name``, so each pipeline resumes
     independently."""
+    if name is None:
+        # default includes the source so pipe(A, C) and pipe(B, C)
+        # never collide on one checkpoint/marker under the sink
+        name = f"pipe_from_{source.name}"
     stream = source.stream(event=event)
     if transform is not None:
         stream = transform(stream)
 
-    marker = os.path.join(sink.root, "_pipelines", name, "last_batch.json")
+    checkpoint = os.path.join(sink.root, "_pipelines", name, "checkpoint")
+    # The marker lives INSIDE the checkpoint dir: resetting the
+    # checkpoint (which restarts batch ids at 0) removes the marker
+    # with it — a surviving marker would silently skip batches 0..N.
+    marker = os.path.join(checkpoint, "kafkaish_last_batch.json")
+    os.makedirs(checkpoint, exist_ok=True)
 
     def deliver(batch_df: DataFrame, batch_id: int) -> None:
         if os.path.exists(marker):
@@ -70,7 +79,6 @@ def pipe(
             json.dump({"batch_id": batch_id}, fh)
         os.replace(tmp, marker)
 
-    checkpoint = os.path.join(sink.root, "_pipelines", name, "checkpoint")
     writer = (
         stream.writeStream.foreachBatch(deliver)
         .option("checkpointLocation", checkpoint)

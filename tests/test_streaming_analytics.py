@@ -312,9 +312,9 @@ def test_topic_to_topic_pipeline(engine, spark, tmp_path):
 
 
 def test_pipeline_skips_replayed_batch(engine, spark, tmp_path):
-    """Effectively-once: a micro-batch replayed with an already-recorded
-    batch id must not re-publish (foreachBatch idempotency marker)."""
-    import json
+    """Effectively-once: a micro-batch replayed after a crash between
+    publish and checkpoint commit (commit file lost, marker intact)
+    must not re-publish."""
     import os
 
     from kafkaish_spark.streaming.pipeline import pipe
@@ -324,16 +324,22 @@ def test_pipeline_skips_replayed_batch(engine, spark, tmp_path):
     pipe(src, dst, name="p").await_termination()
     assert dst.latest() == 1
 
-    # simulate a source-checkpoint rollback: wipe the checkpoint so the
-    # same data replays as batch 0 again — the marker must block it
+    # simulate the crash window: batch 0 was published and the marker
+    # written, but the streaming commit was lost -> the restarted query
+    # re-runs batch 0; the marker must block the duplicate publish
     ckpt = os.path.join(dst.root, "_pipelines", "p", "checkpoint")
+    os.remove(os.path.join(ckpt, "commits", "0"))
+    os.remove(os.path.join(ckpt, "commits", ".0.crc"))  # hadoop local-fs checksum
+    pipe(src, dst, name="p").await_termination()
+    assert dst.latest() == 1  # no duplicate
+
+    # a full checkpoint reset removes the marker WITH it: everything
+    # reprocesses (at-least-once duplicates, never silent loss)
     import shutil
 
     shutil.rmtree(ckpt)
-    marker = os.path.join(dst.root, "_pipelines", "p", "last_batch.json")
-    assert json.load(open(marker))["batch_id"] == 0
     pipe(src, dst, name="p").await_termination()
-    assert dst.latest() == 1  # no duplicate publish
+    assert dst.latest() == 2
 
 
 def test_stream_stream_left_outer_join_emits_unmatched(engine, spark, tmp_path):
