@@ -619,8 +619,13 @@ def q_text_tf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition heap
+    # + driver merge of k rows) — a global row_number window would drag
+    # the ENTIRE vocabulary into one partition at corpus scale.  The
+    # rank window then runs over 20 rows, which is bounded at any SF.
+    top = tf.orderBy(F.col("cnt").desc(), F.col("word")).limit(20)
     w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
-    return tf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 20)
+    return top.withColumn("rn", F.row_number().over(w))
 
 
 @query(
@@ -840,16 +845,15 @@ def q_sim_pandas_udf_cosine(spark: SparkSession, sf: str) -> DataFrame:
         e.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     )
     cos = make(list(qvec))
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        e.filter(F.col("vec_id") != 0)
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cos(F.col("embedding")), 6).alias("cos_sim"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+    scored = e.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cos(F.col("embedding")), 6).alias("cos_sim"),
     )
+    # orderBy+limit = TakeOrderedAndProject: each partition keeps a
+    # 10-row heap, driver merges — no single-partition global window
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id")).limit(10)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return top.withColumn("rn", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------- M4c (lang distribution)
