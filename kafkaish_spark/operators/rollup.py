@@ -1,0 +1,153 @@
+"""Continuous hourly rollup — hypertable-style materialized aggregate.
+
+At 100 TB the events table is append-only and every dashboard query
+re-aggregates the same immutable history.  A continuous aggregate
+materializes CLOSED time buckets once into a small parquet table and
+serves reads as ``materialized-closed UNION aggregate(open tail)`` —
+the TimescaleDB continuous-aggregate / Kafka-Streams-KTable pattern,
+expressed as plain incremental Spark batch jobs.  The reference has no
+aggregation at all (its only query shapes are offset scans,
+src/topic.js:144-148); this is a north-star [NS] operator.
+
+Scale properties:
+- the materialize job scans only buckets past the stored high-water
+  mark (a parquet ``min/max``-prunable predicate on ``ts``), so steady
+  state cost is one hour of data, not the full table;
+- the rollup table is ~|buckets| x |event_type| rows — always
+  broadcast-small relative to raw events;
+- the serving query aggregates only the open tail (< 1 hour of raw
+  rows) and unions it with the pre-aggregated rest: no shuffle over
+  history at read time.
+
+Late data: rows arriving for an already-closed bucket are NOT folded in
+automatically (same contract as a Timescale refresh window); call
+``materialize_hourly(rebuild=True)`` to recompute.  The open bucket is
+never materialized, so in-order appends are always correct.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkaish_spark.functions.exact import dsum, dsum_sql
+from kafkaish_spark.functions.timeutil import epoch_ms
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+HOUR_MS = 3_600_000
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROLLUP_SCHEMA = (
+    "window_start_ms BIGINT, event_type STRING, n_events BIGINT, value_sum DOUBLE"
+)
+
+
+def _bucket_ms(col):
+    # ms fits a double exactly (< 2^53), so floor(x / h) * h is exact
+    return (F.floor(epoch_ms(col) / F.lit(HOUR_MS)) * HOUR_MS).cast("long")
+
+
+def rollup_dir(sf: str) -> str:
+    """Stable per-scale-factor location under the repo warehouse."""
+    name = os.path.basename(os.path.normpath(sf)) or "default"
+    return os.path.join(_REPO_ROOT, "spark-warehouse", "_rollups", name, "events_hourly")
+
+
+def _agg(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy(
+            _bucket_ms(F.col("ts")).alias("window_start_ms"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "value_sum"))
+    )
+
+
+def materialize_hourly(
+    spark: SparkSession,
+    sf: str,
+    out_dir: str | None = None,
+    rebuild: bool = False,
+    events: DataFrame | None = None,
+) -> int:
+    """Materialize all CLOSED hourly buckets not yet in the rollup.
+
+    Incremental: only events with ``hwm < bucket < open-bucket`` are
+    scanned and aggregated (a ts range predicate the parquet reader
+    prunes on), then appended.  Returns the number of bucket/type rows
+    written.  Idempotent: a second call with no new data writes 0.
+    """
+    out_dir = out_dir or rollup_dir(sf)
+    ev = events if events is not None else t(spark, sf, "events")
+    mx = ev.agg(F.max(epoch_ms(F.col("ts"))).alias("m")).first()["m"]
+    if mx is None:
+        return 0
+    open_bucket = (mx // HOUR_MS) * HOUR_MS  # newest bucket stays open
+
+    hwm = None
+    if os.path.isdir(out_dir) and not rebuild:
+        existing = spark.read.schema(ROLLUP_SCHEMA).parquet(out_dir)
+        hwm = existing.agg(F.max("window_start_ms").alias("m")).first()["m"]
+        if hwm is not None and hwm >= open_bucket:
+            return 0  # rollup already current (or data shrank: see rebuild)
+
+    fresh = ev.filter(_bucket_ms(F.col("ts")) < open_bucket)
+    if hwm is not None:
+        fresh = fresh.filter(_bucket_ms(F.col("ts")) > hwm)
+    rows = _agg(fresh).coalesce(1)  # rollup rows are tiny; one file per refresh
+    mode = "overwrite" if rebuild else "append"
+    rows.write.mode(mode).parquet(out_dir)
+    return spark.read.schema(ROLLUP_SCHEMA).parquet(out_dir).count() if rebuild else (
+        rows.count()
+    )
+
+
+def serve_hourly(
+    spark: SparkSession,
+    sf: str,
+    out_dir: str | None = None,
+    events: DataFrame | None = None,
+) -> DataFrame:
+    """Rollup read path: materialized closed buckets ∪ aggregated open
+    tail.  Only the tail (< 1 h of raw rows) touches the events table."""
+    out_dir = out_dir or rollup_dir(sf)
+    ev = events if events is not None else t(spark, sf, "events")
+    if not os.path.isdir(out_dir):  # nothing materialized yet
+        return _agg(ev)
+    closed = spark.read.schema(ROLLUP_SCHEMA).parquet(out_dir)
+    hwm_row = closed.agg(F.max("window_start_ms").alias("m")).first()
+    hwm = hwm_row["m"] if hwm_row is not None else None
+    tail = ev if hwm is None else ev.filter(_bucket_ms(F.col("ts")) > hwm)
+    return closed.unionByName(_agg(tail))
+
+
+@query(
+    "q_rollup_hourly_events",
+    oracle=f"""
+    SELECT CAST((epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS BIGINT) AS window_start_ms,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_rollup_hourly_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Continuous-aggregate read: materialize closed hourly buckets
+    (incremental, no-op when current), then serve materialized ∪ open
+    tail.  Oracle is the full recompute — the two must agree exactly,
+    which holds because hourly buckets partition the rows, so each
+    (bucket, type) group is summed in exactly one pass on one side."""
+    materialize_hourly(spark, sf)
+    out = serve_hourly(spark, sf)
+    # self-heal: a rollup left over from OLDER testdata would disagree
+    # with raw; one cheap count() catches it and forces a rebuild
+    ev = t(spark, sf, "events")
+    total = out.agg(F.sum("n_events").alias("n")).first()["n"] or 0
+    if total != ev.count():
+        materialize_hourly(spark, sf, rebuild=True)
+        out = serve_hourly(spark, sf)
+    return out
