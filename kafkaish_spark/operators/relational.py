@@ -318,8 +318,14 @@ def q_star_revenue_by_region(spark: SparkSession, sf: str) -> DataFrame:
 def q_agg_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1 shape: the canonical hash-aggregate with partial
     (map-side) aggregation — the shuffle moves only num_groups rows per
-    partition, not the fact table."""
-    l = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    partition, not the fact table.  spread() widens the decimal-heavy
+    partial agg when the scan exposes fewer row groups than cores (the
+    testdata case); it is a no-op on a properly chunked table."""
+    from kafkaish_spark.functions.parallelism import spread
+
+    l = spread(
+        t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return l.groupBy("l_returnflag", "l_linestatus").agg(
