@@ -1,0 +1,199 @@
+"""Corpus-preparation operators a training-data pipeline needs beyond
+dedup/similarity (SURVEY.md §2.4 extension): benchmark decontamination,
+stratified corpus rebalancing, and sequence packing.
+
+The reference (steveliles/kafkaish) has no analog — these are north-star
+additions over the ``documents`` table, all oracle-checked.
+
+Oracle-exactness techniques: md5-derived buckets (same algorithm both
+engines), integer token counts, integer division for bin assignment,
+one IEEE division + round(6) for ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+_BENCH_SOURCE = "src0"  # stand-in eval/benchmark slice of the corpus
+_DECON_K = 5  # decontamination n-gram length
+_PACK_BUDGET = 2048  # tokens per packed training sequence
+_PACK_SHARDS = 8  # independent packing streams per language
+
+
+def _kgrams(k: int):
+    """Distinct word k-grams as an array column over ``text`` — built by
+    zipping k shifted slices of the split array (each lambda element is
+    touched once; per-position element_at would re-evaluate the inlined
+    split per element, O(L^2) per doc)."""
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    m = n - (k - 1)
+    z = F.arrays_zip(*[F.slice(w, i + 1, m) for i in range(k)])
+    return F.when(
+        n >= k,
+        F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _kgrams_sql(k: int) -> str:
+    parts = " || ' ' || ".join(f"w[i+{j + 1}]" for j in range(k))
+    return (
+        f"list_transform(range(greatest(len(w) - {k - 1}, 0)), i -> {parts})"
+    )
+
+
+# ------------------------------------------------- benchmark decontamination
+@query(
+    "q_decontaminate_ngram",
+    oracle=f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, lang, source, gram FROM (
+        SELECT doc_id, lang, source, unnest({_kgrams_sql(_DECON_K)}) AS gram
+        FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS w
+              FROM documents))),
+    bench AS (SELECT DISTINCT gram FROM g WHERE source = '{_BENCH_SOURCE}')
+    SELECT g.doc_id, g.lang, COUNT(*) AS n_shared
+    FROM g JOIN bench ON g.gram = bench.gram
+    WHERE g.source <> '{_BENCH_SOURCE}'
+    GROUP BY g.doc_id, g.lang
+    """,
+)
+def q_decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any distinct
+    5-gram with the held-out benchmark slice (source='src0'), with the
+    count of shared grams.  The scale shape is the point: the benchmark
+    gram set is tiny relative to a 100 TB corpus, so it is BROADCAST —
+    the corpus-side gram stream is filtered map-side with zero shuffle
+    of corpus text, and only (doc_id, lang) pairs reach the final
+    aggregate."""
+    d = t(spark, sf, "documents")
+    cpus = spark.sparkContext.defaultParallelism
+    grams = (
+        d.repartition(cpus, "doc_id")
+        .select("doc_id", "lang", "source", F.explode(_kgrams(_DECON_K)).alias("gram"))
+        .distinct()
+    )
+    bench = (
+        grams.filter(F.col("source") == _BENCH_SOURCE).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("source") != _BENCH_SOURCE)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+# ------------------------------------------------- stratified rebalancing
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS total_docs,
+           CAST(SUM(CASE WHEN b < r THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+           CAST(SUM(CASE WHEN b < r THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM (SELECT lang, n_chars,
+                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100 AS b,
+                 CASE WHEN lang = 'en' THEN 25
+                      WHEN lang = 'fr' THEN 50
+                      ELSE 100 END AS r
+          FROM documents)
+    GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified deterministic sampling for corpus rebalancing:
+    downsample over-represented languages (en to 25%, fr to 50%) by an
+    md5-derived bucket of doc_id.  Hash-based sampling is the only kind
+    that survives distribution — no global shuffle, no RNG state, every
+    executor decides keep/drop locally from the row alone, and reruns
+    are reproducible.  Output is the per-language audit report (kept vs
+    total docs and chars)."""
+    d = t(spark, sf, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 25)
+        .when(F.col("lang") == "fr", 50)
+        .otherwise(100)
+    )
+    kept = bucket < rate
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_docs"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+
+
+# ------------------------------------------------- sequence packing
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS tokens
+      FROM documents),
+    cum AS (
+      SELECT lang, shard, doc_id, tokens,
+             COALESCE(SUM(tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM toks)
+    SELECT lang, shard, CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(tokens) AS DOUBLE) / {_PACK_BUDGET}, 6) AS fill
+    FROM cum
+    GROUP BY lang, shard, CAST(cum_before // {_PACK_BUDGET} AS BIGINT)
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: assign docs to fixed token-budget training
+    bins (2048 tokens) by running-total order.  Packing is inherently
+    sequential, so the scale design shards each language into
+    {_PACK_SHARDS} independent packing streams keyed by doc_id — each
+    stream is one window partition packed in parallel, instead of one
+    cumsum bottleneck per language (at 1000 executors you raise the
+    shard count, not the algorithm).  Bin assignment is integer
+    division of an integer cumsum — exact on both engines."""
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "lang",
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("tokens").over(w), F.lit(0))
+    )
+    return (
+        cum.groupBy(
+            "lang",
+            "shard",
+            F.expr(f"CAST(cum_before DIV {_PACK_BUDGET} AS BIGINT)").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("tokens").cast("double") / _PACK_BUDGET, 6
+            ).alias("fill"),
+        )
+    )

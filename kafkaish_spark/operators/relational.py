@@ -1098,3 +1098,124 @@ def q_map_props_entries(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("val").cast("long").alias("value_sum"),
         F.min("val").cast("long").alias("value_min"),
     )
+
+
+# ---------------------------------------------------------------- R5b (cross join)
+@query(
+    "q_join_cross_region_nation",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def q_join_cross_region_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit cartesian product (the grid-generation shape: every
+    region paired with every nation).  Spark plans
+    BroadcastNestedLoopJoin — fine ONLY because one side is tiny and
+    broadcast; a cross join of two fact tables would be 10^22 rows at
+    100 TB, so the engine reserves this operator for dimension grids."""
+    r = t(spark, sf, "region").select("r_name")
+    n = t(spark, sf, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+# ---------------------------------------------------------------- R30b (NOT IN)
+@query(
+    "q_subquery_not_in_1995",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o_orderdate < TIMESTAMP '1996-01-01')
+    """,
+)
+def q_subquery_not_in_1995(spark: SparkSession, sf: str) -> DataFrame:
+    """NOT IN subquery through the SQL surface — the null-aware anti
+    join.  Catalyst plans NullAwareAntiJoin (broadcast), which is the
+    only correct translation under SQL three-valued logic: one NULL in
+    the subquery result empties the whole output, so the planner must
+    check the null set besides the anti-match.  Distinct from
+    q_join_anti_customers_no_orders, which is a plain (null-blind)
+    left_anti."""
+    t(spark, sf, "customer").createOrReplaceTempView("customer_v")
+    t(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer_v
+        WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders_v
+               WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                 AND o_orderdate < TIMESTAMP '1996-01-01')
+        """
+    )
+
+
+# ---------------------------------------------------------------- R17c (distribution ranks)
+@query(
+    "q_window_percent_rank_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist() OVER w, 9) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_percent_rank_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank + cume_dist per priority class — the distribution
+    ranks used for percentile-threshold filtering (e.g. keep the top 1%
+    by quality score).  Unique o_orderkey tiebreak removes ties, so both
+    are (int-1)/(n-1)-style single IEEE divisions, rounded(9) for hash
+    safety.  One shuffle on the partition key."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------- R15c (grouping sets)
+@query(
+    "q_agg_grouping_sets_geo",
+    oracle=f"""
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name, n_name) AS BIGINT) AS gid,
+           COUNT(*) AS n_customers,
+           {dsum_sql('c_acctbal')} AS acctbal_sum
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+)
+def q_agg_grouping_sets_geo(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the irregular case rollup/cube can't
+    express — here rollup-shaped minus the nation-only set) through the
+    SQL surface.  Spark expands the sets map-side with partial
+    aggregation; the two dimension joins broadcast (nation=25,
+    region=5 rows at every SF)."""
+    t(spark, sf, "customer").createOrReplaceTempView("gs_customer_v")
+    t(spark, sf, "nation").createOrReplaceTempView("gs_nation_v")
+    t(spark, sf, "region").createOrReplaceTempView("gs_region_v")
+    return spark.sql(
+        f"""
+        SELECT r_name, n_name,
+               CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18, 6))) AS DOUBLE)
+                 AS acctbal_sum
+        FROM gs_customer_v
+        JOIN gs_nation_v ON c_nationkey = n_nationkey
+        JOIN gs_region_v ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
