@@ -197,3 +197,84 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("fill"),
         )
     )
+
+
+# ------------------------------------------------- dedup cluster closure
+@query(
+    "q_dedup_cc_clusters",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(greatest(len(w) - 2, 0)),
+                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN counts na ON na.doc_id = doc_a
+      JOIN counts nb ON nb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2),
+    edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(u, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u)
+    SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
+    """,
+)
+def q_dedup_cc_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive dedup clustering: connected components over the
+    near-dup pair graph (3-gram Jaccard >= 0.2), labeling every
+    clustered doc with the minimum doc_id of its component.  This is
+    what turns pairwise near-dup hits into a canonical keep-set when
+    duplicates chain (A~B~C but A!~C) — one-hop pointers under-merge.
+
+    Spark side is iterative min-label propagation: each round joins the
+    label frame to the (tiny relative to the corpus) edge list, takes
+    the min over neighbors, and localCheckpoints to truncate lineage.
+    Rounds needed = graph diameter (near-dup components are shallow —
+    converges in 2-3 rounds here); each round is a pair of distributed
+    hash joins, no driver-side graph state.  The DuckDB oracle is the
+    reachability-closure recursive CTE over the same edges."""
+    from kafkaish_spark.operators.llm import q_dedup_ngram_jaccard
+
+    pairs = q_dedup_ngram_jaccard(spark, sf).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS u", "doc_b AS v").union(
+        pairs.selectExpr("doc_b", "doc_a")
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    while True:
+        neigh = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    "label", F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -98,3 +98,24 @@ def test_pack_sequences_conservation_and_fill(spark, sf_dir):
         for r in rows[:-1]:
             cum += r["n_tokens"]
             assert cum >= (r["bin"] + 1) * _PACK_BUDGET
+
+
+def test_cc_clusters_are_transitive_fixpoint(spark, sf_dir):
+    """Every near-dup edge must land inside one cluster, and each
+    cluster's id must equal its minimum member doc_id (the canonical
+    keep doc)."""
+    from kafkaish_spark.operators.llm import q_dedup_ngram_jaccard
+    from kafkaish_spark.operators.pipeline_ops import q_dedup_cc_clusters
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in q_dedup_cc_clusters(spark, sf_dir).collect()
+    }
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).collect()
+    for r in pairs:
+        assert labels[r["doc_a"]] == labels[r["doc_b"]]
+    by_cluster = {}
+    for doc, c in labels.items():
+        by_cluster.setdefault(c, []).append(doc)
+    for c, members in by_cluster.items():
+        assert c == min(members)
