@@ -488,6 +488,91 @@ class Topic:
             if f.startswith("part-") and f.endswith(".parquet")
         )
 
+    def offset_for_time(self, ts) -> int | None:
+        """Earliest offset whose ``ts`` >= the given time (Kafka's
+        ``offsetsForTimes`` analog; the reference can only seek by id).
+        ``ts`` is a naive-UTC ``datetime`` or epoch seconds.
+
+        Segment pruning happens on parquet FOOTER stats before any
+        Spark work: a file whose max(ts) < target cannot contain a
+        match, so only the boundary segments are scanned — on a 100 TB
+        log that is a handful of footer reads plus one small scan, not
+        a log scan.  Returns None when no message is that recent."""
+        if isinstance(ts, (int, float)):
+            target_us = int(ts * 1_000_000)
+        else:
+            # naive datetimes round-trip exactly with collect()ed ts
+            # values (both sit in the driver's zone); aware ones are
+            # absolute instants either way
+            target_us = int(ts.timestamp() * 1_000_000)
+        cand = [
+            s["path"]
+            for s in self._segment_stats()
+            if s["max_ts_us"] is None or s["max_ts_us"] >= target_us
+        ]
+        if not cand:
+            return None
+        row = (
+            self.spark.read.schema(ENVELOPE)
+            .parquet(*cand)
+            .filter(F.col("ts") >= F.timestamp_micros(F.lit(target_us)))
+            .agg(F.min("offset").alias("o"))
+            .first()
+        )
+        return int(row["o"]) if row["o"] is not None else None
+
+    def compact_keyed(self, key: str = "event", target_files: int = 1) -> int:
+        """Kafka-style LOG COMPACTION: rewrite the log keeping only the
+        LATEST record per key (default key = the event name; pass any
+        SQL expression, e.g. ``get_json_object(message, '$.id')``).
+        Distinct from ``compact()``, which merges segments without
+        dropping rows.  Offsets of surviving records are preserved, so
+        subscriber positions stay meaningful (same contract as Kafka:
+        compaction never reorders, only removes superseded records).
+
+        Run quiesced, like ``compact()`` (same two-rename swap).  The
+        scale shape is one shuffle keyed on the compaction key with
+        ``max_by(struct, offset)`` map-side partials — never a window
+        sort over the whole log.  Returns rows removed."""
+        cur = self.log().cache()
+        n_before = cur.count()
+        data_cols = [c for c in cur.columns]
+        latest = (
+            cur.groupBy(F.expr(key).alias("_k"))
+            .agg(
+                F.max_by(F.struct(*data_cols), F.col("offset")).alias("_row")
+            )
+            .select("_row.*")
+        )
+        tmp = self.log_dir + ".compact.tmp"
+        writer = latest.coalesce(target_files).write.mode("overwrite")
+        if self.partitioned:
+            writer = (
+                latest.coalesce(target_files)
+                .write.mode("overwrite")
+                .partitionBy("pub_date")
+            )
+        writer.parquet(tmp)
+        n_keys = cur.select(F.expr(key)).distinct().count()
+        max_before = cur.agg(F.coalesce(F.max("offset"), F.lit(0))).first()[0]
+        cur.unpersist()
+        old = self.log_dir + ".compact.old"
+        os.replace(self.log_dir, old)
+        os.replace(tmp, self.log_dir)
+        after = self.log()
+        n_after = after.count()
+        max_after = after.agg(F.coalesce(F.max("offset"), F.lit(0))).first()[0]
+        if n_after != n_keys or max_after != max_before:
+            os.replace(self.log_dir, tmp)
+            os.replace(old, self.log_dir)
+            shutil.rmtree(tmp)
+            raise RuntimeError(
+                f"keyed compaction invariant broken ({n_after} rows vs "
+                f"{n_keys} keys, tail {max_after} vs {max_before}); log restored"
+            )
+        shutil.rmtree(old)
+        return n_before - n_after
+
     # -- streaming handles --------------------------------------------
 
     def stream(

@@ -267,3 +267,71 @@ def test_union_topics_shard_pattern(engine):
 
     for name in K.__all__:
         assert getattr(K, name) is not None
+
+
+def test_offset_for_time_seeks_boundary(engine):
+    """Kafka offsetsForTimes analog: earliest offset at/after a time,
+    resolved via footer-stats pruning."""
+    import time as _time
+
+    topic = engine.prepare_topic("t_seek")
+    topic.publish_batch([("a", {"n": 1}), ("a", {"n": 2})])
+    cut = _time.time()
+    _time.sleep(0.05)
+    topic.publish_batch([("a", {"n": 3}), ("a", {"n": 4})])
+
+    # everything is at/after the epoch
+    assert topic.offset_for_time(0) == 1
+    # only the second batch is after the cut
+    assert topic.offset_for_time(cut) == 3
+    # nothing is in the future
+    assert topic.offset_for_time(_time.time() + 3600) is None
+    # datetime round trip: the ts of offset 3 seeks to itself
+    ts3 = {r["offset"]: r["ts"] for r in topic.log().collect()}[3]
+    assert topic.offset_for_time(ts3) == 3
+
+
+def test_compact_keyed_keeps_latest_per_key(engine):
+    """Kafka log compaction: latest record per key survives, offsets
+    and tail preserved, superseded records dropped."""
+    topic = engine.prepare_topic("t_kcompact")
+    topic.publish_batch(
+        [
+            ("k1", {"v": 1}),
+            ("k2", {"v": 1}),
+            ("k1", {"v": 2}),
+            ("k3", {"v": 1}),
+            ("k1", {"v": 3}),
+            ("k2", {"v": 2}),
+        ]
+    )
+    removed = topic.compact_keyed()
+    assert removed == 3
+    rows = {r["event"]: r for r in topic.replay().collect()}
+    assert set(rows) == {"k1", "k2", "k3"}
+    assert json.loads(rows["k1"]["message"]) == {"v": 3}
+    assert json.loads(rows["k2"]["message"]) == {"v": 2}
+    assert rows["k1"]["offset"] == 5
+    assert rows["k2"]["offset"] == 6
+    assert topic.latest() == 6
+    # idempotent: nothing left to remove
+    assert topic.compact_keyed() == 0
+
+
+def test_compact_keyed_json_key(engine):
+    """Compaction key can be any SQL expression over the envelope."""
+    topic = engine.prepare_topic("t_kcompact_json")
+    topic.publish_batch(
+        [
+            ("upd", {"id": 1, "v": "a"}),
+            ("upd", {"id": 2, "v": "b"}),
+            ("upd", {"id": 1, "v": "c"}),
+        ]
+    )
+    removed = topic.compact_keyed(key="get_json_object(message, '$.id')")
+    assert removed == 1
+    vals = {
+        json.loads(r["message"])["id"]: json.loads(r["message"])["v"]
+        for r in topic.log().collect()
+    }
+    assert vals == {1: "c", 2: "b"}
