@@ -48,3 +48,25 @@ def interval_join(
         )
     )
     return l.join(r, cond, how)
+
+
+def enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    key,
+    *,
+    how: str = "left",
+    hint: str = "broadcast",
+) -> DataFrame:
+    """Stream-static enrichment: join a (streaming) topic frame against
+    a static dimension table — the lookup-table pattern every event
+    pipeline needs (order events x customer dim, doc stream x source
+    metadata).
+
+    The static side is re-read per micro-batch by Structured Streaming
+    (so slowly-changing dimensions pick up updates without restarting
+    the query) and hinted ``broadcast`` by default: at 1000 executors
+    the dimension ships once per batch and the stream side never
+    shuffles — a stateless join, unlike stream-stream, so no watermark
+    is needed."""
+    return stream.join(dim.hint(hint), key, how)

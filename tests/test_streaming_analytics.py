@@ -422,3 +422,29 @@ def test_running_totals_transform_with_state(engine, spark, tmp_path):
     topic.publish_batch([("b", "4")])
     rows2 = _collect_stream(spark, running_totals_tws(topic.stream()), tmp_path)
     assert {r["key"]: r["total"] for r in rows2}["b"] == 2
+
+
+def test_stream_static_enrichment(engine, spark, tmp_path):
+    """Stream-static join: each micro-batch row picks up its dimension
+    attributes; unmatched keys survive with nulls (left join); the plan
+    broadcasts the static side."""
+    from kafkaish_spark.streaming.joins import enrich
+
+    topic = _seed_topic(
+        engine,
+        "t_enrich",
+        [
+            ("purchase", '{"cust": 1}', "2024-01-01 10:00:00"),
+            ("purchase", '{"cust": 2}', "2024-01-01 10:01:00"),
+            ("purchase", '{"cust": 99}', "2024-01-01 10:02:00"),
+        ],
+    )
+    dim = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "MACHINERY")], "cust long, segment string"
+    )
+    stream = topic.stream().withColumn(
+        "cust", F.get_json_object("message", "$.cust").cast("long")
+    )
+    out = enrich(stream, dim, "cust")
+    rows = {r["cust"]: r["segment"] for r in _collect_stream(spark, out, tmp_path, "append")}
+    assert rows == {1: "BUILDING", 2: "MACHINERY", 99: None}
