@@ -278,3 +278,68 @@ def q_dedup_cc_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# ------------------------------------------------- embedding centroids
+@query(
+    "q_embed_centroids",
+    oracle="""
+    SELECT label, pos, COUNT(*) AS n_vectors,
+           round(CAST(SUM(CAST(round(CAST(val AS DOUBLE) * 1e7) AS BIGINT))
+                      AS DOUBLE) / (COUNT(*) * 1e7), 9) AS centroid
+    FROM (SELECT label,
+                 unnest(embedding) AS val,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid vector (the k-means M-step / class prototype
+    every embedding pipeline computes), as (label, dimension) rows.
+    Cross-row float sums are order-dependent, so each element is
+    quantized to a 1e-7 integer grid first — the sum is then exact
+    integer arithmetic in any partition order, and the final divide is
+    one IEEE op (same trick as functions.exact, tuned for unit-norm
+    embedding ranges).  Shuffle carries labels x 64 dims partial sums,
+    not vectors."""
+    e = t(spark, sf, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("val").cast("double") * 1e7).cast("long").alias("q"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(1e7)), 9
+        ).alias("centroid"),
+    )
+
+
+# ------------------------------------------------- length histogram
+@query(
+    "q_text_length_histogram",
+    oracle="""
+    SELECT lang, CAST(least(n_chars // 100, 9) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY lang, CAST(least(n_chars // 100, 9) AS BIGINT)
+    """,
+)
+def q_text_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Doc-length histogram per language (100-char buckets, top-capped)
+    — the length-distribution audit that precedes any truncation /
+    packing decision.  Pure integer binning: one partial-aggregated
+    shuffle of (lang, bucket) rows."""
+    d = t(spark, sf, "documents")
+    bucket = F.least(F.expr("n_chars DIV 100"), F.lit(9)).cast("long")
+    return d.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
