@@ -90,6 +90,7 @@ def subscribe(
     replay: bool = False,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    on_error: str = "raise",
 ) -> Subscription:
     """Subscribe to a topic (ref: Topic.subscribe routing,
     src/topic.js:41-47).
@@ -103,7 +104,23 @@ def subscribe(
     available_now=True processes the current backlog then stops —
     deterministic tests without wall-clock sleeps.  Pass False for a
     continuous tail.
+
+    on_error: "raise" (default) fails the query on a callback error —
+    the micro-batch is uncommitted and redelivered on resume
+    (at-least-once, the reference's behavior is worse: a throwing
+    listener kills the shared tail for everyone, src/topic.js:73-74).
+    "dlq" instead routes the failing message to the ``<topic>__dlq``
+    topic (original envelope + error string) and keeps delivering —
+    the poison-message pattern: one bad payload must not stall the
+    subscriber or be silently dropped.
     """
+    if on_error not in ("raise", "dlq"):
+        raise ValueError(f"on_error must be 'raise' or 'dlq', got {on_error!r}")
+    dlq_topic = (
+        Topic(topic.spark, os.path.dirname(topic.root), f"{topic.name}__dlq")
+        if on_error == "dlq"
+        else None
+    )
     if name is None:
         checkpoint = tempfile.mkdtemp(prefix=f"kafkaish_ephemeral_{topic.name}_")
     else:
@@ -116,8 +133,32 @@ def subscribe(
 
     def deliver(batch_df: DataFrame, _batch_id: int) -> None:
         rows = batch_df.orderBy("offset").collect()
+        poisoned = []
         for r in rows:
-            callback(r["event"], r["message"], int(r["offset"]))
+            if dlq_topic is None:
+                callback(r["event"], r["message"], int(r["offset"]))
+                continue
+            try:
+                callback(r["event"], r["message"], int(r["offset"]))
+            except Exception as exc:  # poison message -> DLQ, keep going
+                poisoned.append(
+                    (
+                        r["event"],
+                        json.dumps(
+                            {
+                                "src_topic": topic.name,
+                                "src_offset": int(r["offset"]),
+                                "message": r["message"],
+                                "error": f"{type(exc).__name__}: {exc}",
+                            },
+                            sort_keys=True,
+                        ),
+                    )
+                )
+        if poisoned:
+            # persisted BEFORE ack: a poison message is never lost,
+            # it is parked (same guarantee class as delivery)
+            dlq_topic.publish_batch(poisoned)
         if name is not None and rows:
             topic.ack(name, int(rows[-1]["offset"]))
 

@@ -135,3 +135,68 @@ def test_two_subscribers_independent_offsets(engine):
     assert [n for _, n, _ in b] == [1, 2, 3]
     assert topic.last_ack("alpha") == 3
     assert topic.last_ack("beta") == 3
+
+
+def test_poison_message_routes_to_dlq(engine):
+    """on_error='dlq': a throwing callback parks the message in
+    <topic>__dlq with the error, delivery continues, and the batch
+    still acks (poison is persisted, not lost, not redelivered)."""
+    import json as _json
+
+    from kafkaish_spark.streaming.subscribe import subscribe
+
+    topic = engine.prepare_topic("t_dlq")
+    topic.publish_batch([("ev", {"n": i}) for i in range(1, 6)])
+
+    seen = []
+
+    def cb(event, message, offset):
+        if _json.loads(message)["n"] == 3:
+            raise ValueError("cannot handle three")
+        seen.append(offset)
+
+    sub = subscribe(topic, cb, name="worker", replay=True, on_error="dlq")
+    sub.await_termination()
+    assert seen == [1, 2, 4, 5]
+    assert topic.last_ack("worker") == 5
+
+    dlq = engine.prepare_topic("t_dlq__dlq")
+    rows = dlq.log().collect()
+    assert len(rows) == 1
+    payload = _json.loads(rows[0]["message"])
+    assert payload["src_offset"] == 3
+    assert payload["src_topic"] == "t_dlq"
+    assert "cannot handle three" in payload["error"]
+
+    # resume: nothing redelivered, no duplicate DLQ rows
+    seen.clear()
+    sub2 = subscribe(topic, cb, name="worker", replay=True, on_error="dlq")
+    sub2.await_termination()
+    assert seen == []
+    assert dlq.log().count() == 1
+
+
+def test_on_error_raise_redelivers_batch(engine):
+    """Default on_error='raise': the failed micro-batch never commits,
+    so resume redelivers it — at-least-once preserved."""
+    from kafkaish_spark.streaming.subscribe import subscribe
+
+    topic = engine.prepare_topic("t_poison_raise")
+    topic.publish_batch([("ev", {"n": 1}), ("ev", {"n": 2})])
+
+    def bad(event, message, offset):
+        raise RuntimeError("boom")
+
+    sub = subscribe(topic, bad, name="w2", replay=True)
+    try:
+        sub.await_termination()
+    except Exception:
+        pass
+    assert topic.last_ack("w2") in (None, 0)
+
+    got = []
+    sub2 = subscribe(
+        topic, lambda e, m, o: got.append(o), name="w2", replay=True
+    )
+    sub2.await_termination()
+    assert got == [1, 2]
