@@ -1219,3 +1219,58 @@ def q_agg_grouping_sets_geo(spark: SparkSession, sf: str) -> DataFrame:
         GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         """
     )
+
+
+# ---------------------------------------------------------------- R3b (unpivot)
+@query(
+    "q_unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def q_unpivot_lineitem_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot / melt (wide -> long, the inverse of q_pivot): four
+    metric columns become (metric, val) rows.  Spark's Expand node
+    emits all four rows per input row in ONE scan — against the
+    UNION-ALL oracle's four scans, same rows, quarter the reads (at
+    100 TB the difference is three extra passes over the fact table).
+    Values pass through untouched, so floats match exactly."""
+    li = t(spark, sf, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+# ---------------------------------------------------------------- R25b (pseudonymize)
+@query(
+    "q_events_pseudonymize",
+    oracle="""
+    SELECT event_id, event_type,
+           md5(CAST(user_id AS VARCHAR)) AS user_pseudo
+    FROM events
+    """,
+)
+def q_events_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic column-level pseudonymization: user ids replaced
+    by their md5 token (the PII-safe transform run before events leave
+    the trust boundary).  Deterministic hashing keeps every
+    distinct-count / group-by / join downstream intact — same token for
+    the same user everywhere — with zero shuffle: a pure map, pushed
+    through whole-stage codegen."""
+    ev = t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.md5(F.col("user_id").cast("string")).alias("user_pseudo"),
+    )
