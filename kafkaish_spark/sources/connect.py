@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from kafkaish_spark.sources.topic_log import Topic
 
-_READ_FORMATS = {"csv", "json", "parquet"}
+_READ_FORMATS = {"csv", "json", "parquet", "orc", "text"}
 
 
 def ingest(

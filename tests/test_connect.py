@@ -121,3 +121,30 @@ def test_full_engine_pipeline_end_to_end(engine, spark, tmp_path):
         """
     ).first()
     assert (row["event"], row["n"], row["raw_amt"]) == ("click", 2, 12)
+
+
+def test_orc_roundtrip_and_text_ingest(engine, spark, tmp_path):
+    """ORC in and out (built-in columnar alternative), and raw text
+    ingest: one line -> one message, for plain corpus files."""
+    from kafkaish_spark.sources.connect import export, ingest, messages_as
+
+    src = tmp_path / "src_orc"
+    spark.createDataFrame(
+        [("click", 7, "carol")], "kind string, n long, who string"
+    ).coalesce(1).write.mode("overwrite").orc(str(src))
+    topic = engine.prepare_topic("orc_in")
+    assert ingest(topic, str(src), "orc", event_col="kind").count() == 1
+    typed = messages_as(topic.replay(), "n long, who string")
+    assert typed.first()["payload"]["n"] == 7
+
+    out = tmp_path / "out_orc"
+    assert export(topic, str(out), "orc") == 1
+    assert spark.read.orc(str(out)).count() == 1
+
+    lines = tmp_path / "src_text"
+    lines.mkdir()
+    (lines / "corpus.txt").write_text("first line\nsecond line\n")
+    t2 = engine.prepare_topic("text_in")
+    assert ingest(t2, str(lines), "text").count() == 2
+    msgs = {r["message"] for r in t2.replay().collect()}
+    assert msgs == {'{"value":"first line"}', '{"value":"second line"}'}
