@@ -121,3 +121,115 @@ def q_stream_session_windows(spark: SparkSession, sf: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+# ---------------------------------------------------------------- funnel
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-stage conversion funnel (view -> click -> purchase, each
+    stage strictly after the previous one's FIRST occurrence): the
+    sequential-pattern query every event-analytics engine ships.
+    Computed as a chain of user-keyed aggregates — each stage is one
+    partial-aggregated shuffle on user_id and the stage frames shrink
+    monotonically, so at 100 TB the expensive scan happens once per
+    stage over an ever-smaller user set (never a per-user sort of the
+    whole history).  Counts only in the output, so NTZ timestamps
+    never cross the engine boundary."""
+    ev = t(spark, sf, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+        )
+    )
+
+
+# ---------------------------------------------------------------- cohort retention
+@query(
+    "q_events_cohort_retention",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    a AS (
+      SELECT DISTINCT e.user_id,
+             datediff('day', s.d0, CAST(e.ts AS DATE)) // 7 AS wk
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE datediff('day', s.d0, CAST(e.ts AS DATE)) >= 0),
+    base AS (SELECT COUNT(*) AS n0 FROM s)
+    SELECT wk AS week_offset,
+           COUNT(*) AS n_active,
+           round(CAST(COUNT(*) AS DOUBLE) / (SELECT n0 FROM base), 6)
+             AS retention
+    FROM a GROUP BY wk
+    """,
+)
+def q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: of users who signed up, what share is active
+    again k weeks after their signup date — the standing health metric
+    of any event stream.  Day arithmetic is integer (DATE diff, filter
+    >= 0 BEFORE the integer division so floor-vs-truncate semantics
+    never diverge); the retention share is one IEEE division against
+    the cohort size.  Two user-keyed shuffles (first-signup agg +
+    distinct activity weeks), both partial-aggregated."""
+    ev = t(spark, sf, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    )
+    dd = F.datediff(F.col("ts").cast("date"), F.col("d0"))
+    a = (
+        ev.join(s, "user_id")
+        .filter(dd >= 0)
+        .select("user_id", dd.alias("dd"))
+        .select("user_id", F.expr("CAST(dd DIV 7 AS BIGINT)").alias("wk"))
+        .distinct()
+    )
+    n0 = s.count()
+    return a.groupBy(F.col("wk").alias("week_offset")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.round(F.count(F.lit(1)).cast("double") / F.lit(n0), 6).alias(
+            "retention"
+        ),
+    )
