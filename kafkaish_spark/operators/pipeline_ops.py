@@ -343,3 +343,124 @@ def q_text_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
     )
+
+
+# ------------------------------------------------- end-to-end prep report
+def _quality_score_sql() -> str:
+    from kafkaish_spark.operators.llm import _STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""
+      CAST(CASE WHEN len(w) BETWEEN 20 AND 2000 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.3
+                THEN 1 ELSE 0 END
+         + CASE WHEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
+                     BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS BIGINT)
+    """  # noqa: E501  (mirrors q_text_quality's oracle; stopword list unused here but kept importable)
+
+
+def _prep_oracle() -> str:
+    from kafkaish_spark.operators.llm import _SHINGLES_SQL
+
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    dups AS (
+      SELECT doc_b AS doc_id
+      FROM common
+      JOIN counts na ON na.doc_id = doc_a
+      JOIN counts nb ON nb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.5
+      GROUP BY doc_b),
+    exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    q AS (SELECT doc_id, {_quality_score_sql()} AS score
+          FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+                FROM documents)),
+    flags AS (
+      SELECT d.doc_id, d.lang,
+             CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_exact,
+             CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END AS f_near,
+             CASE WHEN q.score >= 2 THEN 1 ELSE 0 END AS f_quality,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 100 <
+                  CASE WHEN d.lang = 'en' THEN 25
+                       WHEN d.lang = 'fr' THEN 50 ELSE 100 END
+                  THEN 1 ELSE 0 END AS f_sample
+      FROM documents d
+      LEFT JOIN exact e ON d.doc_id = e.doc_id
+      LEFT JOIN dups dup ON d.doc_id = dup.doc_id
+      JOIN q ON d.doc_id = q.doc_id)
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(f_exact) AS BIGINT) AS n_after_exact,
+           CAST(SUM(f_exact * f_near) AS BIGINT) AS n_after_near,
+           CAST(SUM(f_exact * f_near * f_quality) AS BIGINT) AS n_after_quality,
+           CAST(SUM(f_exact * f_near * f_quality * f_sample) AS BIGINT)
+             AS n_after_sample
+    FROM flags GROUP BY lang
+    """
+
+
+@query("q_corpus_prep_report", oracle=_prep_oracle())
+def q_corpus_prep_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The END-TO-END corpus-prep pipeline as ONE declarative plan:
+    exact dedup -> near-dedup verdict -> quality filter -> stratified
+    sample, reported as per-language survivor counts at every stage
+    (the audit table a data team reviews before a training run).
+
+    Composes the registered operators (q_dedup_near_documents,
+    q_text_quality, q_sample_stratified's bucket rule) by joining their
+    doc-level outputs on doc_id — Catalyst fuses the whole thing into
+    one DAG, so there is no materialization between 'stages'; each
+    filter stays a flag column until the final one-shuffle rollup."""
+    d = t(spark, sf, "documents")
+    from kafkaish_spark.operators.llm import (
+        q_dedup_near_documents,
+        q_text_quality,
+    )
+
+    exact = (
+        d.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(1).alias("f_exact"))
+    )
+    near = q_dedup_near_documents(spark, sf).select(
+        "doc_id", F.col("keep").alias("f_near")
+    )
+    qual = q_text_quality(spark, sf).select(
+        "doc_id", (F.col("quality_score") >= 2).cast("int").alias("f_quality")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 25)
+        .when(F.col("lang") == "fr", 50)
+        .otherwise(100)
+    )
+    flags = (
+        d.select("doc_id", "lang", (bucket < rate).cast("int").alias("f_sample"))
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id")
+        .join(qual, "doc_id")
+        .na.fill({"f_exact": 0})
+    )
+    fe, fn, fq, fs = (
+        F.col("f_exact"),
+        F.col("f_near"),
+        F.col("f_quality"),
+        F.col("f_sample"),
+    )
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(fe).cast("long").alias("n_after_exact"),
+        F.sum(fe * fn).cast("long").alias("n_after_near"),
+        F.sum(fe * fn * fq).cast("long").alias("n_after_quality"),
+        F.sum(fe * fn * fq * fs).cast("long").alias("n_after_sample"),
+    )
