@@ -464,3 +464,50 @@ def q_corpus_prep_report(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(fe * fn * fq).cast("long").alias("n_after_quality"),
         F.sum(fe * fn * fq * fs).cast("long").alias("n_after_sample"),
     )
+
+
+# ------------------------------------------------- domain mixture weights
+@query(
+    "q_corpus_mixture_weights",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM s)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / (SELECT t FROM tot), 6) AS share,
+           round((1.0 / (SELECT COUNT(*) FROM s)) /
+                 (CAST(n_tokens AS DOUBLE) / (SELECT t FROM tot)), 6)
+             AS repeat_factor
+    FROM s
+    """,
+)
+def q_corpus_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixing table: each source's token share of the corpus and
+    the repeat factor that would equalize the mixture to uniform target
+    weights (the knob a training-data pipeline turns to up/down-sample
+    domains).  Token counts are exact integers; share and repeat factor
+    are single IEEE divisions of those integers, so both engines agree
+    bit-for-bit before round(6).  One partial-aggregated shuffle on
+    source; the totals are a broadcast of a 20-row aggregate."""
+    d = t(spark, sf, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    tot = s.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("t")
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("share"),
+        F.round((F.lit(1.0) / F.col("n_sources")) / share, 6).alias(
+            "repeat_factor"
+        ),
+    )
