@@ -511,3 +511,64 @@ def q_corpus_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
             "repeat_factor"
         ),
     )
+
+
+# ------------------------------------------------- sliding-window chunking
+_CHUNK_LEN = 50  # tokens per chunk
+_CHUNK_STRIDE = 25  # tokens between chunk starts (50% overlap)
+
+
+@query(
+    "q_text_chunk_sliding",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    starts AS (
+      SELECT doc_id, w, n,
+             unnest(range(0,
+               CASE WHEN n <= {_CHUNK_LEN} THEN 1
+                    ELSE (n - {_CHUNK_LEN} + {_CHUNK_STRIDE} - 1)
+                         // {_CHUNK_STRIDE} + 1 END)) AS i
+      FROM d)
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(w, i * {_CHUNK_STRIDE} + 1,
+                               i * {_CHUNK_STRIDE} + {_CHUNK_LEN})) AS BIGINT)
+             AS n_tokens,
+           array_to_string(list_slice(w, i * {_CHUNK_STRIDE} + 1,
+                                      i * {_CHUNK_STRIDE} + {_CHUNK_LEN}), ' ')
+             AS chunk
+    FROM starts
+    """,
+)
+def q_text_chunk_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking (50-token windows, 25-token stride): the
+    doc -> overlapping-chunk fan-out that precedes embedding in every
+    retrieval/RAG pipeline.  Chunk count is integer ceiling arithmetic
+    (exact both engines), the chunk text is a pure slice+join
+    passthrough, and both engines clamp the final partial window.  The
+    fan-out runs AFTER a repartition so chunk expansion parallelizes
+    across the cluster, not the (few) input files."""
+    d = t(spark, sf, "documents")
+    cpus = spark.sparkContext.defaultParallelism
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    n_starts = F.when(n <= _CHUNK_LEN, 1).otherwise(
+        F.expr(
+            f"CAST((size(split(text, ' ')) - {_CHUNK_LEN} + {_CHUNK_STRIDE} - 1) "
+            f"DIV {_CHUNK_STRIDE} AS INT) + 1"
+        )
+    )
+    base = d.repartition(cpus, "doc_id").select(
+        "doc_id", w.alias("w"), F.explode(F.sequence(F.lit(0), n_starts - 1)).alias("i")
+    )
+    sl = F.slice(
+        F.col("w"), F.col("i") * _CHUNK_STRIDE + 1, F.lit(_CHUNK_LEN)
+    )
+    return base.select(
+        "doc_id",
+        F.col("i").cast("long").alias("chunk_id"),
+        F.size(sl).cast("long").alias("n_tokens"),
+        F.array_join(sl, " ").alias("chunk"),
+    )
