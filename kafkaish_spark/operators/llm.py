@@ -74,6 +74,24 @@ _SHINGLES_SQL = """
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
 """
 
+# Jaccard near-dup candidate threshold — shared by q_dedup_ngram_jaccard,
+# q_dedup_cc_clusters (pipeline_ops) and their oracles; change it in ONE
+# place or the oracles desynchronize from the Spark plans.
+_JACCARD_THRESHOLD = 0.2
+
+# The shared CTE chain producing per-pair shared-shingle counts
+# (``common``: doc_a < doc_b, c) plus per-doc totals (``counts``) —
+# the oracle-side twin of the inverted shingle join.  Embed as
+# ``WITH {_PAIR_CTES_SQL}, ...``.
+_PAIR_CTES_SQL = f"""
+    sh AS ({_SHINGLES_SQL}),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+"""
+
 
 # ---------------------------------------------------------------- M1
 @query(
@@ -105,18 +123,13 @@ _SHINGLE_CACHE = None  # last cached shingle frame (bounded-leak guard)
 @query(
     "q_dedup_ngram_jaccard",
     oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id)
+    WITH {_PAIR_CTES_SQL}
     SELECT doc_a, doc_b,
            round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
     FROM common
     JOIN counts na ON na.doc_id = doc_a
     JOIN counts nb ON nb.doc_id = doc_b
-    WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2
+    WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= {_JACCARD_THRESHOLD}
     """,
     bench=True,
 )
@@ -159,7 +172,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return (
         common.join(na, F.col("doc_a") == F.col("na.doc_id"))
         .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
-        .filter(jac >= 0.2)
+        .filter(jac >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -883,12 +896,7 @@ def q_text_lang_dist(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q_dedup_near_documents",
     oracle=f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
+    WITH {_PAIR_CTES_SQL},
     dups AS (
       SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of
       FROM common

@@ -25,7 +25,8 @@ _PACK_SHARDS = 8  # independent packing streams per language
 
 
 def _kgrams(k: int):
-    """Distinct word k-grams as an array column over ``text`` — built by
+    """Word k-grams (positional, may repeat) as an array column over
+    ``text`` — built by
     zipping k shifted slices of the split array (each lambda element is
     touched once; per-position element_at would re-evaluate the inlined
     split per element, O(L^2) per doc)."""
@@ -69,19 +70,21 @@ def q_decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
     gram set is tiny relative to a 100 TB corpus, so it is BROADCAST —
     the corpus-side gram stream is filtered map-side with zero shuffle
     of corpus text, and only (doc_id, lang) pairs reach the final
-    aggregate."""
+    aggregate.  Per-doc gram dedup happens BEFORE the explode via
+    array_distinct (row-local, no shuffle); only the tiny bench side
+    pays a distinct."""
     d = t(spark, sf, "documents")
     cpus = spark.sparkContext.defaultParallelism
-    grams = (
-        d.repartition(cpus, "doc_id")
-        .select("doc_id", "lang", "source", F.explode(_kgrams(_DECON_K)).alias("gram"))
+    grams = F.explode(F.array_distinct(_kgrams(_DECON_K))).alias("gram")
+    bench = (
+        d.filter(F.col("source") == _BENCH_SOURCE)
+        .select(grams)
         .distinct()
     )
-    bench = (
-        grams.filter(F.col("source") == _BENCH_SOURCE).select("gram").distinct()
-    )
     return (
-        grams.filter(F.col("source") != _BENCH_SOURCE)
+        d.filter(F.col("source") != _BENCH_SOURCE)
+        .repartition(cpus, "doc_id")
+        .select("doc_id", "lang", grams)
         .join(F.broadcast(bench), "gram")
         .groupBy("doc_id", "lang")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -89,20 +92,52 @@ def q_decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------- stratified rebalancing
+# The sampling rule lives HERE and only here: q_corpus_prep_report's
+# audit must apply the exact same bucket/rate expressions or its
+# n_after_sample would silently disagree with the actual sampler.
+_SAMPLE_RATES = {"en": 25, "fr": 50}  # percent kept; unlisted langs 100
+
+
+def _sample_bucket():
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+def _sample_rate():
+    rate = F.when(F.col("lang") == "en", _SAMPLE_RATES["en"])
+    for lang, pct in list(_SAMPLE_RATES.items())[1:]:
+        rate = rate.when(F.col("lang") == lang, pct)
+    return rate.otherwise(100)
+
+
+def _sample_bucket_sql(doc_id: str = "doc_id") -> str:
+    return (
+        f"CAST(('0x' || substring(md5(CAST({doc_id} AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 100"
+    )
+
+
+def _sample_rate_sql(lang: str = "lang") -> str:
+    whens = " ".join(
+        f"WHEN {lang} = '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE 100 END"
+
+
 @query(
     "q_sample_stratified",
-    oracle="""
+    oracle=f"""
     SELECT lang,
            COUNT(*) AS total_docs,
            CAST(SUM(CASE WHEN b < r THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
            CAST(SUM(CASE WHEN b < r THEN n_chars ELSE 0 END) AS BIGINT)
              AS kept_chars
     FROM (SELECT lang, n_chars,
-                 CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                      AS BIGINT) % 100 AS b,
-                 CASE WHEN lang = 'en' THEN 25
-                      WHEN lang = 'fr' THEN 50
-                      ELSE 100 END AS r
+                 {_sample_bucket_sql()} AS b,
+                 {_sample_rate_sql()} AS r
           FROM documents)
     GROUP BY lang
     """,
@@ -116,17 +151,7 @@ def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     are reproducible.  Output is the per-language audit report (kept vs
     total docs and chars)."""
     d = t(spark, sf, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
-    rate = (
-        F.when(F.col("lang") == "en", 25)
-        .when(F.col("lang") == "fr", 50)
-        .otherwise(100)
-    )
-    kept = bucket < rate
+    kept = _sample_bucket() < _sample_rate()
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("total_docs"),
         F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_docs"),
@@ -200,25 +225,18 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------- dedup cluster closure
-@query(
-    "q_dedup_cc_clusters",
-    oracle="""
-    WITH RECURSIVE sh AS (
-      SELECT DISTINCT doc_id, shingle FROM (
-        SELECT doc_id,
-               unnest(list_transform(range(greatest(len(w) - 2, 0)),
-                      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
+def _cc_oracle() -> str:
+    # same shingle/pair CTEs and threshold as q_dedup_ngram_jaccard,
+    # which the Spark side delegates to — single source of truth
+    from kafkaish_spark.operators.llm import _JACCARD_THRESHOLD, _PAIR_CTES_SQL
+
+    return f"""
+    WITH RECURSIVE {_PAIR_CTES_SQL},
     pairs AS (
       SELECT doc_a, doc_b FROM common
       JOIN counts na ON na.doc_id = doc_a
       JOIN counts nb ON nb.doc_id = doc_b
-      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= 0.2),
+      WHERE CAST(c AS DOUBLE) / (na.n + nb.n - c) >= {_JACCARD_THRESHOLD}),
     edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     reach(u, label) AS (
@@ -226,8 +244,10 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
       UNION
       SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.u)
     SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
-    """,
-)
+    """
+
+
+@query("q_dedup_cc_clusters", oracle=_cc_oracle())
 def q_dedup_cc_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive dedup clustering: connected components over the
     near-dup pair graph (3-gram Jaccard >= 0.2), labeling every
@@ -347,28 +367,20 @@ def q_text_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
 
 # ------------------------------------------------- end-to-end prep report
 def _quality_score_sql() -> str:
-    from kafkaish_spark.operators.llm import _STOPWORDS
-
-    stop = ", ".join(f"'{s}'" for s in _STOPWORDS)
     return f"""
       CAST(CASE WHEN len(w) BETWEEN 20 AND 2000 THEN 1 ELSE 0 END
          + CASE WHEN CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.3
                 THEN 1 ELSE 0 END
          + CASE WHEN CAST(length(text) - (len(w) - 1) AS DOUBLE) / len(w)
                      BETWEEN 3 AND 10 THEN 1 ELSE 0 END AS BIGINT)
-    """  # noqa: E501  (mirrors q_text_quality's oracle; stopword list unused here but kept importable)
+    """  # mirrors q_text_quality's composite score (three terms, no stopword term)
 
 
 def _prep_oracle() -> str:
-    from kafkaish_spark.operators.llm import _SHINGLES_SQL
+    from kafkaish_spark.operators.llm import _PAIR_CTES_SQL
 
     return f"""
-    WITH sh AS ({_SHINGLES_SQL}),
-    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-    common AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id),
+    WITH {_PAIR_CTES_SQL},
     dups AS (
       SELECT doc_b AS doc_id
       FROM common
@@ -385,10 +397,8 @@ def _prep_oracle() -> str:
              CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_exact,
              CASE WHEN dup.doc_id IS NULL THEN 1 ELSE 0 END AS f_near,
              CASE WHEN q.score >= 2 THEN 1 ELSE 0 END AS f_quality,
-             CASE WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
-                       AS BIGINT) % 100 <
-                  CASE WHEN d.lang = 'en' THEN 25
-                       WHEN d.lang = 'fr' THEN 50 ELSE 100 END
+             CASE WHEN {_sample_bucket_sql('d.doc_id')} <
+                       {_sample_rate_sql('d.lang')}
                   THEN 1 ELSE 0 END AS f_sample
       FROM documents d
       LEFT JOIN exact e ON d.doc_id = e.doc_id
@@ -434,18 +444,12 @@ def q_corpus_prep_report(spark: SparkSession, sf: str) -> DataFrame:
     qual = q_text_quality(spark, sf).select(
         "doc_id", (F.col("quality_score") >= 2).cast("int").alias("f_quality")
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 100
-    )
-    rate = (
-        F.when(F.col("lang") == "en", 25)
-        .when(F.col("lang") == "fr", 50)
-        .otherwise(100)
-    )
     flags = (
-        d.select("doc_id", "lang", (bucket < rate).cast("int").alias("f_sample"))
+        d.select(
+            "doc_id",
+            "lang",
+            (_sample_bucket() < _sample_rate()).cast("int").alias("f_sample"),
+        )
         .join(exact, "doc_id", "left")
         .join(near, "doc_id")
         .join(qual, "doc_id")

@@ -226,10 +226,18 @@ def q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", F.expr("CAST(dd DIV 7 AS BIGINT)").alias("wk"))
         .distinct()
     )
-    n0 = s.count()
-    return a.groupBy(F.col("wk").alias("week_offset")).agg(
-        F.count(F.lit(1)).alias("n_active"),
-        F.round(F.count(F.lit(1)).cast("double") / F.lit(n0), 6).alias(
-            "retention"
-        ),
+    # cohort size joined lazily (1-row broadcast) so the builder stays a
+    # pure plan — no eager job, no stale frozen count on re-execution
+    n0 = s.agg(F.count(F.lit(1)).alias("n0"))
+    return (
+        a.groupBy(F.col("wk").alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .crossJoin(F.broadcast(n0))
+        .select(
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active").cast("double") / F.col("n0"), 6).alias(
+                "retention"
+            ),
+        )
     )

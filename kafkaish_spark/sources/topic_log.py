@@ -456,31 +456,24 @@ class Topic:
         after compaction."""
         current = self.log().cache()
         n_before = current.count()  # materialize before the swap
-        tmp = self.log_dir + ".compact.tmp"
-        writer = current.coalesce(target_files).write.mode("overwrite")
-        if self.partitioned:
-            writer = (
-                current.withColumn("pub_date", F.to_date("ts"))
-                .coalesce(target_files)
-                .write.mode("overwrite")
-                .partitionBy("pub_date")
-            )
-        writer.parquet(tmp)
-        current.unpersist()
-        old = self.log_dir + ".compact.old"
-        os.replace(self.log_dir, old)
-        os.replace(tmp, self.log_dir)
-        n_after = self.log().count()
-        if n_after != n_before:
-            # roll back before raising: the original log is untouched
-            os.replace(self.log_dir, tmp)
-            os.replace(old, self.log_dir)
-            shutil.rmtree(tmp)
-            raise RuntimeError(
-                f"compaction row-count mismatch ({n_after} != {n_before}); "
-                "log restored"
-            )
-        shutil.rmtree(old)
+        frame = (
+            current.withColumn("pub_date", F.to_date("ts"))
+            if self.partitioned
+            else current
+        )
+
+        def validate(after: DataFrame) -> str | None:
+            n_after = after.count()
+            if n_after != n_before:
+                return f"compaction row-count mismatch ({n_after} != {n_before})"
+            return None
+
+        self._swap_log_with(
+            frame,
+            target_files,
+            validate,
+            release=lambda: current.unpersist(blocking=True),
+        )
         return sum(
             1
             for _dir, _sub, files in os.walk(self.log_dir)
@@ -488,10 +481,48 @@ class Topic:
             if f.startswith("part-") and f.endswith(".parquet")
         )
 
+    def _swap_log_with(
+        self, frame: DataFrame, target_files: int, validate, release=None
+    ) -> None:
+        """Shared rewrite protocol for the compaction ops: write
+        ``frame`` to a tmp dir, two-rename swap it in as the log,
+        re-read and ``validate(after)`` (returns an error string or
+        None), rolling the renames back and raising on failure — the
+        original log is restored untouched.  Partitioned topics keep
+        their ``pub_date`` layout (``frame`` must carry the column).
+
+        ``release`` is called after the tmp write, BEFORE the swap:
+        callers that cached the pre-swap log MUST drop that cache here
+        (blocking), or ``validate``'s re-read of the log path matches
+        the cached logical plan and sees the OLD rows — validation
+        would then pass or fail vacuously against stale data."""
+        tmp = self.log_dir + ".compact.tmp"
+        writer = frame.coalesce(target_files).write.mode("overwrite")
+        if self.partitioned:
+            writer = writer.partitionBy("pub_date")
+        writer.parquet(tmp)
+        if release is not None:
+            release()
+        old = self.log_dir + ".compact.old"
+        os.replace(self.log_dir, old)
+        os.replace(tmp, self.log_dir)
+        err = validate(self.log())
+        if err:
+            os.replace(self.log_dir, tmp)
+            os.replace(old, self.log_dir)
+            shutil.rmtree(tmp)
+            raise RuntimeError(f"{err}; log restored")
+        shutil.rmtree(old)
+
     def offset_for_time(self, ts) -> int | None:
         """Earliest offset whose ``ts`` >= the given time (Kafka's
         ``offsetsForTimes`` analog; the reference can only seek by id).
-        ``ts`` is a naive-UTC ``datetime`` or epoch seconds.
+        ``ts`` is epoch seconds (int/float, TZ-safe), a tz-aware
+        ``datetime`` (absolute instant), or a naive ``datetime``
+        interpreted in the DRIVER's local zone — i.e. exactly what
+        ``log().collect()`` hands back, so collected ``ts`` values seek
+        to themselves on any machine.  For a portable absolute time,
+        pass epoch seconds or an aware datetime.
 
         Segment pruning happens on parquet FOOTER stats before any
         Spark work: a file whose max(ts) < target cannot contain a
@@ -544,34 +575,26 @@ class Topic:
             )
             .select("_row.*")
         )
-        tmp = self.log_dir + ".compact.tmp"
-        writer = latest.coalesce(target_files).write.mode("overwrite")
-        if self.partitioned:
-            writer = (
-                latest.coalesce(target_files)
-                .write.mode("overwrite")
-                .partitionBy("pub_date")
-            )
-        writer.parquet(tmp)
         n_keys = cur.select(F.expr(key)).distinct().count()
         max_before = cur.agg(F.coalesce(F.max("offset"), F.lit(0))).first()[0]
-        cur.unpersist()
-        old = self.log_dir + ".compact.old"
-        os.replace(self.log_dir, old)
-        os.replace(tmp, self.log_dir)
-        after = self.log()
-        n_after = after.count()
-        max_after = after.agg(F.coalesce(F.max("offset"), F.lit(0))).first()[0]
-        if n_after != n_keys or max_after != max_before:
-            os.replace(self.log_dir, tmp)
-            os.replace(old, self.log_dir)
-            shutil.rmtree(tmp)
-            raise RuntimeError(
-                f"keyed compaction invariant broken ({n_after} rows vs "
-                f"{n_keys} keys, tail {max_after} vs {max_before}); log restored"
-            )
-        shutil.rmtree(old)
-        return n_before - n_after
+
+        def validate(after: DataFrame) -> str | None:
+            n_after = after.count()
+            max_after = after.agg(F.coalesce(F.max("offset"), F.lit(0))).first()[0]
+            if n_after != n_keys or max_after != max_before:
+                return (
+                    f"keyed compaction invariant broken ({n_after} rows vs "
+                    f"{n_keys} keys, tail {max_after} vs {max_before})"
+                )
+            return None
+
+        self._swap_log_with(
+            latest,
+            target_files,
+            validate,
+            release=lambda: cur.unpersist(blocking=True),
+        )
+        return n_before - n_keys
 
     # -- streaming handles --------------------------------------------
 

@@ -116,11 +116,7 @@ def subscribe(
     """
     if on_error not in ("raise", "dlq"):
         raise ValueError(f"on_error must be 'raise' or 'dlq', got {on_error!r}")
-    dlq_topic = (
-        Topic(topic.spark, os.path.dirname(topic.root), f"{topic.name}__dlq")
-        if on_error == "dlq"
-        else None
-    )
+    use_dlq = on_error == "dlq"
     if name is None:
         checkpoint = tempfile.mkdtemp(prefix=f"kafkaish_ephemeral_{topic.name}_")
     else:
@@ -135,7 +131,7 @@ def subscribe(
         rows = batch_df.orderBy("offset").collect()
         poisoned = []
         for r in rows:
-            if dlq_topic is None:
+            if not use_dlq:
                 callback(r["event"], r["message"], int(r["offset"]))
                 continue
             try:
@@ -156,9 +152,14 @@ def subscribe(
                     )
                 )
         if poisoned:
-            # persisted BEFORE ack: a poison message is never lost,
-            # it is parked (same guarantee class as delivery)
-            dlq_topic.publish_batch(poisoned)
+            # persisted BEFORE ack: a poison message is never lost, it
+            # is parked (same guarantee class as delivery).  The DLQ
+            # topic is created lazily on the FIRST poison message, so a
+            # clean subscriber never materializes a phantom __dlq dir
+            # (which would pollute topic listings / shard wildcards).
+            Topic(
+                topic.spark, os.path.dirname(topic.root), f"{topic.name}__dlq"
+            ).publish_batch(poisoned)
         if name is not None and rows:
             topic.ack(name, int(rows[-1]["offset"]))
 

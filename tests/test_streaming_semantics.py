@@ -155,6 +155,15 @@ def test_poison_message_routes_to_dlq(engine):
             raise ValueError("cannot handle three")
         seen.append(offset)
 
+    # clean run first: no poison yet -> NO phantom __dlq dir created
+    ok = subscribe(
+        topic, lambda e, m, o: None, name="probe", replay=True, on_error="dlq"
+    )
+    ok.await_termination()
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(_os.path.dirname(topic.root), "t_dlq__dlq"))
+
     sub = subscribe(topic, cb, name="worker", replay=True, on_error="dlq")
     sub.await_termination()
     assert seen == [1, 2, 4, 5]
