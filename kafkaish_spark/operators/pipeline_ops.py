@@ -62,6 +62,7 @@ def _kgrams_sql(k: int) -> str:
     WHERE g.source <> '{_BENCH_SOURCE}'
     GROUP BY g.doc_id, g.lang
     """,
+    bench=True,
 )
 def q_decontaminate_ngram(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any distinct
@@ -415,7 +416,7 @@ def _prep_oracle() -> str:
     """
 
 
-@query("q_corpus_prep_report", oracle=_prep_oracle())
+@query("q_corpus_prep_report", oracle=_prep_oracle(), bench=True)
 def q_corpus_prep_report(spark: SparkSession, sf: str) -> DataFrame:
     """The END-TO-END corpus-prep pipeline as ONE declarative plan:
     exact dedup -> near-dedup verdict -> quality filter -> stratified
