@@ -1274,3 +1274,98 @@ def q_events_pseudonymize(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         F.md5(F.col("user_id").cast("string")).alias("user_pseudo"),
     )
+
+
+# ---------------------------------------------------------------- R12c (dispersion)
+@query(
+    "q_agg_stats_dispersion",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*) * 100.0) AS mean_price,
+           (CAST(SUM(CAST(round(o_totalprice * 100) AS HUGEINT)
+                       * CAST(round(o_totalprice * 100) AS HUGEINT)) AS DOUBLE)
+              - CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                * CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                / COUNT(*))
+             / (COUNT(*) - 1) / 10000.0 AS var_samp
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_stats_dispersion(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample variance / mean per group WITHOUT the builtin stddev:
+    floating-point VAR_SAMP is accumulation-order-dependent (different
+    partitionings give different last ulps, so Spark vs DuckDB — or the
+    same cluster twice — hash-mismatch).  Formulated instead from
+    SCALE-0 integer moments (money as cents): SUM(c) and SUM(c*c) are
+    exact integers, and an integer-to-double cast is correctly rounded
+    in BOTH engines — unlike casting a wide DECIMAL sum to double,
+    which DuckDB computes as float(int128)/float(10^scale), two
+    roundings that differ from Spark's correctly-rounded BigDecimal
+    path in the last ulps (measured).  The remaining arithmetic is a
+    fixed IEEE sequence; shuffle shape is the same mergeable
+    partial-sum aggregate as any sum."""
+    o = t(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(20,0)")
+    s1 = F.sum(cents).cast("double")
+    s2 = F.sum(cents * cents).cast("double")
+    n = F.count(F.lit(1))
+    return o.groupBy("o_orderpriority").agg(
+        n.alias("n"),
+        (s1 / (n * F.lit(100.0))).alias("mean_price"),
+        ((s2 - s1 * s1 / n) / (n - 1) / F.lit(10000.0)).alias("var_samp"),
+    )
+
+
+# ---------------------------------------------------------------- R12d (correlation)
+@query(
+    "q_agg_corr_quantity_price",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           round(
+             (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                / COUNT(*))
+             / sqrt(
+                 (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
+                           * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                    / COUNT(*))
+                 * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                    - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                      * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                      / COUNT(*))),
+             6) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_corr_quantity_price(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation per group from exact-decimal moment sums
+    (sum x, sum y, sum xy, sum x2, sum y2 — all exact integers on the
+    decimal grid), combined in a fixed sequence of IEEE ops.  The
+    builtin corr() has the same order-dependence problem as stddev;
+    this shape is also how a 1000-executor job SHOULD compute
+    correlation: five mergeable partial sums, one shuffle, no second
+    pass."""
+    li = t(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    n = F.count(F.lit(1))
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    syy = F.sum(y * y).cast("double")
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.round(cov / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
+    )
