@@ -577,3 +577,58 @@ def q_text_chunk_sliding(spark: SparkSession, sf: str) -> DataFrame:
         F.size(sl).cast("long").alias("n_tokens"),
         F.array_join(sl, " ").alias("chunk"),
     )
+
+
+# ------------------------------------------------- vector normalization
+@query(
+    "q_embed_normalize",
+    oracle="""
+    SELECT vec_id,
+           norm,
+           nvec[1] AS e1,
+           nvec[2] AS e2,
+           list_reduce(list_transform(nvec, x -> x * x), (a, b) -> a + b)
+             AS unit_norm_sq
+    FROM (
+      SELECT vec_id, norm,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x / norm)
+               AS nvec
+      FROM (
+        SELECT vec_id,
+               sqrt(list_reduce(
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                 (a, b) -> a + b)) AS norm
+             , embedding
+        FROM embeddings))
+    """,
+)
+def q_embed_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """L2 vector normalization — the preprocessing step before any
+    cosine/IP index build.  All JVM-side array math (zip/fold in
+    DOUBLE, left-to-right — bit-identical to DuckDB's list_reduce), no
+    Python in the row path, embarrassingly parallel (no shuffle at
+    all).  Outputs the pre-norm, two normalized elements, and the
+    post-norm sum of squares as the checkable invariant (~1.0 up to
+    the same deterministic float error on both engines)."""
+    from kafkaish_spark.functions.vectors import norm
+
+    e = t(spark, sf, "embeddings")
+    nv = F.transform(
+        F.col("embedding"),
+        lambda x: x.cast("double") / F.col("norm"),
+    )
+    return (
+        e.select("vec_id", norm(F.col("embedding")).alias("norm"), "embedding")
+        .select("vec_id", "norm", nv.alias("nvec"))
+        .select(
+            "vec_id",
+            "norm",
+            F.element_at("nvec", 1).alias("e1"),
+            F.element_at("nvec", 2).alias("e2"),
+            F.aggregate(
+                F.transform("nvec", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("unit_norm_sq"),
+        )
+    )
