@@ -241,3 +241,60 @@ def q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- anomaly
+@query(
+    "q_events_rate_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type, COUNT(*) AS k,
+             CAST(SUM(n) AS DOUBLE) AS s1,
+             CAST(SUM(n * n) AS DOUBLE) AS s2
+      FROM hourly GROUP BY 1)
+    SELECT h.event_type, h.hour_start, h.n,
+           round((h.n - s.s1 / s.k)
+                 / sqrt(NULLIF((s.s2 - s.s1 * s.s1 / s.k) / (s.k - 1), 0)),
+                 6) AS z
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    """,
+)
+def q_events_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly event-rate anomaly score: each (event_type, hour) bucket's
+    z-score against that type's own hourly distribution — the
+    monitoring query a streaming pipeline materializes next to its
+    rollup.  Counts are integers, so the per-type moments (sum n, sum
+    n^2) are exact in any partition order and the z is a fixed IEEE
+    sequence (the same order-independent-statistics pattern as
+    q_agg_stats_dispersion).  Two small shuffles: hourly rollup, then
+    per-type moments broadcast back onto it."""
+    ev = t(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    k = F.count(F.lit(1))
+    stats = hourly.groupBy("event_type").agg(
+        k.alias("k"),
+        F.sum("n").cast("double").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")) / (
+        F.col("k") - 1
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "hour_start",
+            "n",
+            F.round(
+                (F.col("n") - F.col("s1") / F.col("k"))
+                / F.sqrt(F.nullif(var, F.lit(0.0))),
+                6,
+            ).alias("z"),
+        )
+    )
