@@ -632,3 +632,93 @@ def q_embed_normalize(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("unit_norm_sq"),
         )
     )
+
+
+# ------------------------------------------------- split-then-pack
+_SPLIT_BUDGET = 64  # tokens per training sequence in the split variant
+
+
+@query(
+    "q_pack_split_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS tokens
+      FROM documents),
+    chunks AS (
+      SELECT lang, shard, doc_id,
+             unnest(range(0, (tokens + {_SPLIT_BUDGET} - 1) // {_SPLIT_BUDGET}))
+               AS chunk_idx,
+             tokens
+      FROM toks),
+    sized AS (
+      SELECT lang, shard, doc_id, chunk_idx,
+             least({_SPLIT_BUDGET},
+                   tokens - chunk_idx * {_SPLIT_BUDGET}) AS chunk_tokens
+      FROM chunks),
+    cum AS (
+      SELECT lang, shard, doc_id, chunk_idx, chunk_tokens,
+             COALESCE(SUM(chunk_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM sized)
+    SELECT lang, shard,
+           CAST(cum_before // {_SPLIT_BUDGET} AS BIGINT) AS bin,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(chunk_tokens) AS BIGINT) AS n_tokens
+    FROM cum
+    GROUP BY lang, shard, CAST(cum_before // {_SPLIT_BUDGET} AS BIGINT)
+    """,
+)
+def q_pack_split_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-then-pack: documents longer than the 64-token training
+    budget are first cut into budget-sized chunks (ceil(n/B) pieces,
+    last one partial), then the chunk stream packs into bins exactly
+    like q_pack_sequences — the GPT-style concat-and-split layout where
+    no sequence ever exceeds the budget.  The chunk fan-out is a
+    row-local explode over an integer range; everything downstream is
+    the same sharded window cumsum, so the parallelism story is
+    unchanged."""
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "lang",
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("tokens"),
+    )
+    n_chunks = F.expr(
+        f"CAST((tokens + {_SPLIT_BUDGET} - 1) DIV {_SPLIT_BUDGET} AS INT)"
+    )
+    sized = toks.select(
+        "lang",
+        "shard",
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "tokens",
+    ).select(
+        "lang",
+        "shard",
+        "doc_id",
+        "chunk_idx",
+        F.least(
+            F.lit(_SPLIT_BUDGET),
+            F.col("tokens") - F.col("chunk_idx") * _SPLIT_BUDGET,
+        ).alias("chunk_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = sized.withColumn(
+        "cum_before", F.coalesce(F.sum("chunk_tokens").over(w), F.lit(0))
+    )
+    return cum.groupBy(
+        "lang",
+        "shard",
+        F.expr(f"CAST(cum_before DIV {_SPLIT_BUDGET} AS BIGINT)").alias("bin"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").cast("long").alias("n_tokens"),
+    )

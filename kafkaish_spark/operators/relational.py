@@ -1369,3 +1369,45 @@ def q_agg_corr_quantity_price(spark: SparkSession, sf: str) -> DataFrame:
         n.alias("n"),
         F.round(cov / F.sqrt(vx * vy), 6).alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------- R10b (forward as-of)
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT v.event_id AS view_id,
+           MIN(CAST(epoch_ms(p.ts) AS BIGINT) * 1000000 + p.event_id)
+             AS next_purchase_key
+    FROM v JOIN p ON v.user_id = p.user_id AND p.ts > v.ts
+    GROUP BY v.event_id
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """Forward as-of join: for each 'view', the NEXT 'purchase' by the
+    same user (the complement of q_join_asof_event_order's backward
+    direction).  The winner is encoded as an order-preserving composite
+    key (epoch_ms * 1e6 + event_id) so MIN() picks earliest-ts with
+    event_id tiebreak in ONE mergeable aggregate — no window sort over
+    the joined stream, and the integer key hashes exactly.  The join
+    shuffles on user_id only; both sides are pre-filtered to their
+    event type at the scan."""
+    ev = t(spark, sf, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    key = epoch_ms(F.col("p_ts")).cast("long") * F.lit(1000000) + F.col("p_id")
+    return (
+        v.join(p, "user_id")
+        .filter(F.col("p_ts") > F.col("v_ts"))
+        .groupBy("view_id")
+        .agg(F.min(key).alias("next_purchase_key"))
+    )
