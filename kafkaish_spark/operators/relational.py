@@ -1411,3 +1411,51 @@ def q_join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("view_id")
         .agg(F.min(key).alias("next_purchase_key"))
     )
+
+
+# ---------------------------------------------------------------- R12e (bitwise aggs)
+@query(
+    "q_agg_bitwise_events",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_and(user_id) AS BIGINT) AS uid_and,
+           CAST(bit_or(user_id) AS BIGINT) AS uid_or,
+           CAST(bit_xor(user_id) AS BIGINT) AS uid_xor
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bitwise_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Bitwise aggregates (AND/OR/XOR over a key set) — the compact
+    set-signature trick (e.g. xor-fold for membership diffing).  All
+    three are associative+commutative integer ops: order-independent by
+    construction, partial-aggregated map-side like any sum."""
+    ev = t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.bit_and("user_id").cast("long").alias("uid_and"),
+        F.bit_or("user_id").cast("long").alias("uid_or"),
+        F.bit_xor("user_id").cast("long").alias("uid_xor"),
+    )
+
+
+# ---------------------------------------------------------------- R12f (boolean aggs)
+@query(
+    "q_agg_boolean_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           bool_and(o_totalprice > 1000) AS all_over_1k
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_boolean_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean aggregate surface: count_if / bool_or (ANY) / bool_and
+    (EVERY) — the predicates-over-groups shorthand.  Booleans and
+    conditional counts are exact on both engines; same mergeable
+    aggregate shape as always."""
+    o = t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).cast("long").alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+    )
