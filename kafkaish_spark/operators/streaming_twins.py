@@ -248,7 +248,9 @@ def q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     "q_events_rate_anomaly",
     oracle="""
     WITH hourly AS (
-      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+      SELECT event_type,
+             CAST((epoch_ms(ts) // 3600000) * 3600000 AS BIGINT)
+               AS hour_start_ms,
              COUNT(*) AS n
       FROM events GROUP BY 1, 2),
     stats AS (
@@ -256,7 +258,7 @@ def q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
              CAST(SUM(n) AS DOUBLE) AS s1,
              CAST(SUM(n * n) AS DOUBLE) AS s2
       FROM hourly GROUP BY 1)
-    SELECT h.event_type, h.hour_start, h.n,
+    SELECT h.event_type, h.hour_start_ms, h.n,
            round((h.n - s.s1 / s.k)
                  / sqrt(NULLIF((s.s2 - s.s1 * s.s1 / s.k) / (s.k - 1), 0)),
                  6) AS z
@@ -273,8 +275,12 @@ def q_events_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     q_agg_stats_dispersion).  Two small shuffles: hourly rollup, then
     per-type moments broadcast back onto it."""
     ev = t(spark, sf, "events")
+    hour_ms = (
+        (epoch_ms(F.col("ts")).cast("long") / F.lit(3_600_000)).cast("long")
+        * 3_600_000
+    )
     hourly = ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+        "event_type", hour_ms.alias("hour_start_ms")
     ).agg(F.count(F.lit(1)).alias("n"))
     k = F.count(F.lit(1))
     stats = hourly.groupBy("event_type").agg(
@@ -289,7 +295,7 @@ def q_events_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
         hourly.join(F.broadcast(stats), "event_type")
         .select(
             "event_type",
-            "hour_start",
+            "hour_start_ms",
             "n",
             F.round(
                 (F.col("n") - F.col("s1") / F.col("k"))
