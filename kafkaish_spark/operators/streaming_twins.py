@@ -304,3 +304,131 @@ def q_events_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------- gap fill
+@query(
+    "q_events_hourly_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST((MIN(epoch_ms(ts)) // 3600000) * 3600000 AS BIGINT) AS lo,
+             CAST((MAX(epoch_ms(ts)) // 3600000) * 3600000 AS BIGINT) AS hi
+      FROM events),
+    spine AS (
+      SELECT unnest(range(lo, hi + 3600000, 3600000)) AS hour_start_ms
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, s.hour_start_ms FROM types t CROSS JOIN spine s),
+    actual AS (
+      SELECT event_type,
+             CAST((epoch_ms(ts) // 3600000) * 3600000 AS BIGINT)
+               AS hour_start_ms,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT g.event_type, CAST(g.hour_start_ms AS BIGINT) AS hour_start_ms,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN actual a
+      ON g.event_type = a.event_type AND g.hour_start_ms = a.hour_start_ms
+    """,
+)
+def q_events_hourly_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap filling over a generated date spine: every (event_type,
+    hour) cell between the stream's bounds exists in the output, zeros
+    where nothing happened — what every dashboard / anomaly detector
+    needs before it can trust 'no rows' to mean 'zero events'.  The
+    spine is sequence() over integer hour buckets crossed with the
+    distinct types (both tiny — broadcast), left-joined onto the
+    aggregated counts: the fact table is scanned once and shuffled only
+    as (type, hour) partial counts."""
+    ev = t(spark, sf, "events")
+    hour_ms = (
+        (epoch_ms(F.col("ts")).cast("long") / F.lit(3_600_000)).cast("long")
+        * 3_600_000
+    )
+    actual = ev.groupBy(
+        "event_type", hour_ms.alias("hour_start_ms")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.min(hour_ms).alias("lo"), F.max(hour_ms).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(3_600_000))
+        ).alias("hour_start_ms")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    return (
+        grid.join(actual, ["event_type", "hour_start_ms"], "left")
+        .select(
+            "event_type",
+            F.col("hour_start_ms").cast("long").alias("hour_start_ms"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- LOCF
+@query(
+    "q_events_hourly_locf",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST((MIN(epoch_ms(ts)) // 3600000) * 3600000 AS BIGINT) AS lo,
+             CAST((MAX(epoch_ms(ts)) // 3600000) * 3600000 AS BIGINT) AS hi
+      FROM events),
+    spine AS (
+      SELECT unnest(range(lo, hi + 3600000, 3600000)) AS hour_start_ms
+      FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT t.event_type, s.hour_start_ms FROM types t CROSS JOIN spine s),
+    actual AS (
+      SELECT event_type,
+             CAST((epoch_ms(ts) // 3600000) * 3600000 AS BIGINT)
+               AS hour_start_ms,
+             {dsum_sql('value')} / COUNT(*) AS v
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, CAST(g.hour_start_ms AS BIGINT) AS hour_start_ms,
+           last_value(a.v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY g.hour_start_ms
+             ROWS UNBOUNDED PRECEDING) AS v_filled
+    FROM grid g LEFT JOIN actual a USING (event_type, hour_start_ms)
+    """,
+)
+def q_events_hourly_locf(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-observation-carried-forward over the gap-filled hourly
+    series: missing hours inherit the previous hour's mean value — the
+    standard interpolation before feeding a sensor/metric stream into a
+    model.  The carried value is the exact-decimal hourly mean, and
+    LOCF itself is last(ignorenulls) over an unbounded-preceding frame
+    — one window per type partition, no extra scan of the fact table
+    beyond the gap-fill plan."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf, "events")
+    hour_ms = (
+        (epoch_ms(F.col("ts")).cast("long") / F.lit(3_600_000)).cast("long")
+        * 3_600_000
+    )
+    actual = ev.groupBy(
+        "event_type", hour_ms.alias("hour_start_ms")
+    ).agg((dsum("value") / F.count(F.lit(1))).alias("v"))
+    bounds = ev.agg(F.min(hour_ms).alias("lo"), F.max(hour_ms).alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(3_600_000))
+        ).alias("hour_start_ms")
+    )
+    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour_start_ms")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(actual, ["event_type", "hour_start_ms"], "left")
+        .select(
+            "event_type",
+            F.col("hour_start_ms").cast("long").alias("hour_start_ms"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+    )
