@@ -1459,3 +1459,88 @@ def q_agg_boolean_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
     )
+
+
+# ---------------------------------------------------------------- R5c (co-occurrence)
+@query(
+    "q_basket_part_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs appearing in the
+    same order (pairwise frequent-itemset support counts).  The
+    self-join explodes quadratically PER BASKET, not per table — order
+    baskets are small (~4 lines), so the join output stays ~k^2/2 x
+    orders and shuffles only on l_orderkey.  Global top-20 with a full
+    unique tiebreak goes through TakeOrderedAndProject (per-partition
+    top-k, merge on driver — no global sort).  At 100 TB you'd add a
+    support-threshold semi-join (drop parts appearing once) before the
+    self-join; the shape is unchanged."""
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- R30c (CTE surface)
+@query(
+    "q_cte_supplier_above_nation_avg",
+    oracle="""
+    WITH nat_avg AS (
+      SELECT s_nationkey,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS nat_mean
+      FROM supplier GROUP BY s_nationkey)
+    SELECT s.s_suppkey, s.s_name, n.n_name,
+           s.s_acctbal - a.nat_mean AS above_by
+    FROM supplier s
+    JOIN nat_avg a ON s.s_nationkey = a.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_acctbal > a.nat_mean
+    """,
+)
+def q_cte_supplier_above_nation_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """CTE surface through spark.sql: suppliers beating their own
+    nation's mean balance — the grouped-average-then-rejoin shape
+    (decorrelated by hand into a CTE, which is also how Catalyst would
+    plan the correlated form).  The per-nation aggregate is 25 rows —
+    broadcast back onto supplier; one shuffle for the aggregate, none
+    for the probe."""
+    t(spark, sf, "supplier").createOrReplaceTempView("cte_supplier_v")
+    t(spark, sf, "nation").createOrReplaceTempView("cte_nation_v")
+    return spark.sql(
+        """
+        WITH nat_avg AS (
+          SELECT s_nationkey,
+                 CAST(SUM(CAST(s_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS nat_mean
+          FROM cte_supplier_v GROUP BY s_nationkey)
+        SELECT s.s_suppkey, s.s_name, n.n_name,
+               s.s_acctbal - a.nat_mean AS above_by
+        FROM cte_supplier_v s
+        JOIN nat_avg a ON s.s_nationkey = a.s_nationkey
+        JOIN cte_nation_v n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_acctbal > a.nat_mean
+        """
+    )
