@@ -1544,3 +1544,59 @@ def q_cte_supplier_above_nation_avg(spark: SparkSession, sf: str) -> DataFrame:
         WHERE s.s_acctbal > a.nat_mean
         """
     )
+
+
+# ---------------------------------------------------------------- R12g (string agg)
+@query(
+    "q_agg_string_listagg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_agg_string_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    """LISTAGG / string_agg: nations per region as one ordered CSV
+    string.  collect_list order is nondeterministic under distribution,
+    so the list is array_sort()ed before joining — the ONLY way a
+    string aggregate is reproducible on a cluster (same rule as top-k
+    tiebreaks).  Tiny data here; the shape (collect + sort per small
+    group) is how you'd do it at any scale where the group fits."""
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations_csv")
+        )
+    )
+
+
+# ---------------------------------------------------------------- R25c (regex all)
+@query(
+    "q_regex_extract_all_part_nums",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract_all(p_name, '[a-z]+') AS words,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words
+    FROM part
+    """,
+)
+def q_regex_extract_all_part_nums(spark: SparkSession, sf: str) -> DataFrame:
+    """regexp_extract_all surface: ALL matches per row as an array (the
+    one-to-many regex shape; single-match regexp_extract is covered by
+    q_scalar_string_part_names).  Array outputs compare element-wise in
+    the oracle, and the char-class regex means both engines' regex
+    dialects agree.  Pure map — codegen, no shuffle."""
+    p = t(spark, sf, "part")
+    # idx=0 = whole match: Spark defaults to capture group 1, DuckDB to 0
+    words = F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)
+    return p.select(
+        "p_partkey",
+        words.alias("words"),
+        F.size(words).cast("long").alias("n_words"),
+    )
