@@ -1600,3 +1600,45 @@ def q_regex_extract_all_part_nums(spark: SparkSession, sf: str) -> DataFrame:
         words.alias("words"),
         F.size(words).cast("long").alias("n_words"),
     )
+
+
+# ---------------------------------------------------------------- R19b (RANGE frame)
+@query(
+    "q_window_trailing_30d_spend",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate) AS BIGINT)
+             AS day_no,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate)
+                           AS BIGINT)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS spend_30d
+    FROM orders
+    """,
+)
+def q_window_trailing_30d_spend(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): each order's
+    customer spend over the trailing 30 DAYS — same-day orders all see
+    the full same-day total (the semantic difference from ROWS frames,
+    and why trailing-period metrics must use RANGE).  The order key is
+    an integer day number, so the frame bound is exact; the sum is the
+    exact-decimal pattern.  One shuffle on o_custkey, per-customer
+    range scan within the partition."""
+    o = t(spark, sf, "orders")
+    day_no = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_no.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        day_no.cast("long").alias("day_no"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("spend_30d"),
+    )
