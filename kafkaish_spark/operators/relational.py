@@ -1322,27 +1322,24 @@ def q_agg_stats_dispersion(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q_agg_corr_quantity_price",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+      FROM lineitem)
     SELECT l_returnflag,
            COUNT(*) AS n,
            round(
-             (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                       * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-              - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                / COUNT(*))
+             (CAST(SUM(x * y) AS DOUBLE)
+              - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE) / COUNT(*))
              / sqrt(
-                 (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))
-                           * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                  - CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                    * CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
-                    / COUNT(*))
-                 * (CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                             * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                    - CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
-                      * CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 (CAST(SUM(x * x) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(y * y) AS DOUBLE)
+                    - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE)
                       / COUNT(*))),
              6) AS corr_qty_price
-    FROM lineitem GROUP BY l_returnflag
+    FROM c GROUP BY l_returnflag
     """,
 )
 def q_agg_corr_quantity_price(spark: SparkSession, sf: str) -> DataFrame:
@@ -1354,8 +1351,11 @@ def q_agg_corr_quantity_price(spark: SparkSession, sf: str) -> DataFrame:
     correlation: five mergeable partial sums, one shuffle, no second
     pass."""
     li = t(spark, sf, "lineitem")
-    x = F.col("l_quantity").cast("decimal(12,2)")
-    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    # scale-0 integer (cents) moments: correlation is scale-invariant,
+    # and integer->double casts are correctly rounded in both engines
+    # (wide-decimal->double is NOT; see q_agg_stats_dispersion)
+    x = F.round(F.col("l_quantity") * 100).cast("decimal(20,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(20,0)")
     n = F.count(F.lit(1))
     sx = F.sum(x).cast("double")
     sy = F.sum(y).cast("double")
@@ -1378,38 +1378,58 @@ def q_agg_corr_quantity_price(spark: SparkSession, sf: str) -> DataFrame:
     WITH v AS (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'view'),
     p AS (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'purchase')
-    SELECT v.event_id AS view_id,
-           MIN(CAST(epoch_ms(p.ts) AS BIGINT) * 1000000 + p.event_id)
-             AS next_purchase_key
-    FROM v JOIN p ON v.user_id = p.user_id AND p.ts > v.ts
-    GROUP BY v.event_id
+          WHERE event_type = 'purchase'),
+    ranked AS (
+      SELECT v.event_id AS view_id,
+             CAST(epoch_ms(p.ts) AS BIGINT) AS next_ts_ms,
+             p.event_id AS next_purchase_id,
+             row_number() OVER (PARTITION BY v.event_id
+                                ORDER BY p.ts, p.event_id) AS rn
+      FROM v JOIN p ON v.user_id = p.user_id AND p.ts > v.ts)
+    SELECT view_id, next_ts_ms, next_purchase_id FROM ranked WHERE rn = 1
     """,
 )
 def q_join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
     """Forward as-of join: for each 'view', the NEXT 'purchase' by the
     same user (the complement of q_join_asof_event_order's backward
-    direction).  The winner is encoded as an order-preserving composite
-    key (epoch_ms * 1e6 + event_id) so MIN() picks earliest-ts with
-    event_id tiebreak in ONE mergeable aggregate — no window sort over
-    the joined stream, and the integer key hashes exactly.  The join
-    shuffles on user_id only; both sides are pre-filtered to their
-    event type at the scan."""
+    direction), computed the scale-safe way: union both event kinds
+    into one per-user timeline and take min(struct(ts, id)) over the
+    strictly-following frame — ONE shuffle on user_id and linear state
+    per user, where the naive views-x-purchases pairwise join is
+    quadratic in a hot user's history (the same reason the backward
+    as-of rejects it).  Purchases sort BEFORE views at equal ts, so a
+    same-timestamp purchase is excluded — exactly the oracle's strict
+    ``p.ts > v.ts``.  The winner travels as a struct, so there is no
+    lossy composite-key encoding and no id-range assumption."""
     ev = t(spark, sf, "events")
-    v = ev.filter(F.col("event_type") == "view").select(
-        F.col("event_id").alias("view_id"),
-        F.col("user_id"),
-        F.col("ts").alias("v_ts"),
+    both = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        # purchases first at equal ts => excluded from the view's
+        # strictly-following frame (strict > semantics)
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("kind"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct(
+                epoch_ms(F.col("ts")).cast("long").alias("next_ts_ms"),
+                F.col("event_id").alias("next_purchase_id"),
+            ),
+        ).alias("pkey"),
     )
-    p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
     )
-    key = epoch_ms(F.col("p_ts")).cast("long") * F.lit(1000000) + F.col("p_id")
+    nxt = both.withColumn("nxt", F.min("pkey").over(w))
     return (
-        v.join(p, "user_id")
-        .filter(F.col("p_ts") > F.col("v_ts"))
-        .groupBy("view_id")
-        .agg(F.min(key).alias("next_purchase_key"))
+        nxt.filter((F.col("kind") == 1) & F.col("nxt").isNotNull())
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("nxt.next_ts_ms").alias("next_ts_ms"),
+            F.col("nxt.next_purchase_id").alias("next_purchase_id"),
+        )
     )
 
 
@@ -1465,9 +1485,10 @@ def q_agg_boolean_orders(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q_basket_part_pairs",
     oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
            COUNT(*) AS n_orders
-    FROM lineitem a JOIN lineitem b
+    FROM items a JOIN items b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
     ORDER BY n_orders DESC, part_a, part_b
@@ -1484,7 +1505,9 @@ def q_basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
     top-k, merge on driver — no global sort).  At 100 TB you'd add a
     support-threshold semi-join (drop parts appearing once) before the
     self-join; the shape is unchanged."""
-    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    # distinct first: an order with the same part on two lines must
+    # count ONCE per pair, or the support counts inflate
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.alias("a")
     b = li.alias("b")
     return (
@@ -1613,16 +1636,17 @@ def q_regex_extract_all_part_nums(spark: SparkSession, sf: str) -> DataFrame:
              PARTITION BY o_custkey
              ORDER BY CAST(datediff('day', TIMESTAMP '1992-01-01', o_orderdate)
                            AS BIGINT)
-             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS spend_30d
     FROM orders
     """,
 )
 def q_window_trailing_30d_spend(spark: SparkSession, sf: str) -> DataFrame:
     """RANGE-frame window (value-based, not row-based): each order's
-    customer spend over the trailing 30 DAYS — same-day orders all see
-    the full same-day total (the semantic difference from ROWS frames,
-    and why trailing-period metrics must use RANGE).  The order key is
+    customer spend over the trailing 30 distinct days (bounds 29
+    PRECEDING..CURRENT: day d-29 through d inclusive) — same-day orders
+    all see the full same-day total (the semantic difference from ROWS
+    frames, and why trailing-period metrics must use RANGE).  The order key is
     an integer day number, so the frame bound is exact; the sum is the
     exact-decimal pattern.  One shuffle on o_custkey, per-customer
     range scan within the partition."""
@@ -1631,7 +1655,7 @@ def q_window_trailing_30d_spend(spark: SparkSession, sf: str) -> DataFrame:
     w = (
         Window.partitionBy("o_custkey")
         .orderBy(day_no.cast("long"))
-        .rangeBetween(-30, 0)
+        .rangeBetween(-29, 0)
     )
     return o.select(
         "o_orderkey",

@@ -24,6 +24,33 @@ WIN_MS = 600_000  # 10 minutes
 GAP_MS = 1_800_000  # 30 minutes session gap
 
 
+def _hour_ms():
+    """Zone-free hour bucket of ``ts`` as epoch-ms BIGINT — the ONE
+    definition shared by the anomaly / gap-fill / LOCF queries (the
+    oracle twin is ``(epoch_ms(ts) // HOUR_MS) * HOUR_MS``)."""
+    return (
+        (epoch_ms(F.col("ts")).cast("long") / F.lit(HOUR_MS)).cast("long")
+        * HOUR_MS
+    )
+
+
+def _hourly_grid(actual):
+    """Dense (event_type x hour) spine derived from the ALREADY
+    AGGREGATED hourly frame — bounds and distinct types come from the
+    tiny aggregate, so the events fact table is scanned exactly once
+    per query."""
+    bounds = actual.agg(
+        F.min("hour_start_ms").alias("lo"), F.max("hour_start_ms").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(HOUR_MS))
+        ).alias("hour_start_ms")
+    )
+    types = actual.select("event_type").distinct()
+    return types.crossJoin(F.broadcast(spine))
+
+
 # ---------------------------------------------------------------- S4
 @query(
     "q_stream_tumbling_counts",
@@ -275,12 +302,8 @@ def q_events_rate_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     q_agg_stats_dispersion).  Two small shuffles: hourly rollup, then
     per-type moments broadcast back onto it."""
     ev = t(spark, sf, "events")
-    hour_ms = (
-        (epoch_ms(F.col("ts")).cast("long") / F.lit(3_600_000)).cast("long")
-        * 3_600_000
-    )
     hourly = ev.groupBy(
-        "event_type", hour_ms.alias("hour_start_ms")
+        "event_type", _hour_ms().alias("hour_start_ms")
     ).agg(F.count(F.lit(1)).alias("n"))
     k = F.count(F.lit(1))
     stats = hourly.groupBy("event_type").agg(
@@ -341,23 +364,10 @@ def q_events_hourly_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     aggregated counts: the fact table is scanned once and shuffled only
     as (type, hour) partial counts."""
     ev = t(spark, sf, "events")
-    hour_ms = (
-        (epoch_ms(F.col("ts")).cast("long") / F.lit(3_600_000)).cast("long")
-        * 3_600_000
-    )
     actual = ev.groupBy(
-        "event_type", hour_ms.alias("hour_start_ms")
+        "event_type", _hour_ms().alias("hour_start_ms")
     ).agg(F.count(F.lit(1)).alias("n"))
-    bounds = ev.agg(
-        F.min(hour_ms).alias("lo"), F.max(hour_ms).alias("hi")
-    )
-    spine = bounds.select(
-        F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.lit(3_600_000))
-        ).alias("hour_start_ms")
-    )
-    types = ev.select("event_type").distinct()
-    grid = types.crossJoin(F.broadcast(spine))
+    grid = _hourly_grid(actual)
     return (
         grid.join(actual, ["event_type", "hour_start_ms"], "left")
         .select(
@@ -405,20 +415,10 @@ def q_events_hourly_locf(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = t(spark, sf, "events")
-    hour_ms = (
-        (epoch_ms(F.col("ts")).cast("long") / F.lit(3_600_000)).cast("long")
-        * 3_600_000
-    )
     actual = ev.groupBy(
-        "event_type", hour_ms.alias("hour_start_ms")
+        "event_type", _hour_ms().alias("hour_start_ms")
     ).agg((dsum("value") / F.count(F.lit(1))).alias("v"))
-    bounds = ev.agg(F.min(hour_ms).alias("lo"), F.max(hour_ms).alias("hi"))
-    spine = bounds.select(
-        F.explode(
-            F.sequence(F.col("lo"), F.col("hi"), F.lit(3_600_000))
-        ).alias("hour_start_ms")
-    )
-    grid = ev.select("event_type").distinct().crossJoin(F.broadcast(spine))
+    grid = _hourly_grid(actual)
     w = (
         W.partitionBy("event_type")
         .orderBy("hour_start_ms")
