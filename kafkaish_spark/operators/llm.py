@@ -1096,3 +1096,74 @@ def q_text_hashing_vectorizer(spark: SparkSession, sf: str) -> DataFrame:
     return words.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+# ---------------------------------------------------------------- M4d (unigram LM score)
+@query(
+    "q_text_unigram_logprob",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    vocab AS (SELECT word, COUNT(*) AS cnt FROM words GROUP BY 1),
+    n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_tok FROM vocab),
+    terms AS (
+      SELECT doc_id, n_tok,
+             list({'tf': tf, 'cnt': cnt} ORDER BY word) AS terms,
+             SUM(tf) AS n_words
+      FROM tf JOIN vocab USING (word) CROSS JOIN n
+      GROUP BY doc_id, n_tok),
+    scored AS (
+      SELECT doc_id, n_words,
+             list_reduce(
+               list_transform(terms, s -> s.tf * ln(s.cnt / n_tok)),
+               (a, b) -> a + b) AS logp
+      FROM terms)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(logp / n_words, 6) AS avg_logprob
+    FROM scored
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram language-model quality score (the KenLM-perplexity
+    stand-in): each doc's mean log-probability under the corpus's own
+    unigram distribution — low scores flag gibberish / rare-token docs
+    for filtering.  Floating sums over a group are accumulation-order-
+    dependent, so the per-doc sum folds a WORD-SORTED array left-to-
+    right (Spark ``aggregate`` == DuckDB ``list_reduce``, the bit-equal
+    fold pattern from the cosine ops); the per-doc term array is
+    vocab-of-doc-sized, bounded by doc length.  The corpus token total
+    comes from summing the vocab counts (a 1-row broadcast cross join
+    — no driver collect, no second scan).  Plan: one explode feeding
+    two counts, the vocab broadcast back, one groupBy doc_id.  At
+    100 TB the vocab no longer broadcasts — the join shuffles on word
+    and the same fold still works; ordering the fold is what makes
+    nightly corpus-quality runs byte-identical across cluster sizes."""
+    d = t(spark, sf, "documents")
+    cpus = spark.sparkContext.defaultParallelism
+    words = d.repartition(cpus, "doc_id").select(
+        "doc_id", F.explode(_words()).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    glob = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    n = glob.agg(F.sum("cnt").cast("double").alias("n_tok"))
+    terms = (
+        tf.join(F.broadcast(glob), "word")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "n_tok", "tf", F.struct("word", "tf", "cnt").alias("term"))
+        .groupBy("doc_id", "n_tok")
+        .agg(
+            F.array_sort(F.collect_list("term")).alias("terms"),
+            F.sum("tf").cast("long").alias("n_words"),
+        )
+    )
+    logp = F.aggregate(
+        F.transform("terms", lambda s: s["tf"] * F.log(s["cnt"] / F.col("n_tok"))),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return terms.select(
+        "doc_id",
+        "n_words",
+        F.round(logp / F.col("n_words"), 6).alias("avg_logprob"),
+    )

@@ -1666,3 +1666,206 @@ def q_window_trailing_30d_spend(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("spend_30d"),
     )
+
+
+# ---------------------------------------------------------------- R7b (TPC-H Q13 shape)
+@query(
+    "q_tpch_q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS n_custs
+    FROM (SELECT c.c_custkey,
+                 CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+          GROUP BY c.c_custkey) per_cust
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13_order_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): a LEFT
+    OUTER join whose extra predicate lives IN the join condition (so
+    non-matching customers still appear with count 0 — pushing it to a
+    WHERE would silently drop them), then two stacked aggregations.
+    COUNT(o_orderkey) counts matches only (NULLs from the outer side
+    don't count) — the standard outer-join-count idiom.  One shuffle
+    on custkey for join+first agg (same key, Catalyst reuses the
+    partitioning); the second agg groups the tiny distribution.  The
+    reference's log API has no outer joins at all (SURVEY §2.2 R7);
+    this is the canonical analytical composite of them."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("n_custs"))
+
+
+# ---------------------------------------------------------------- R30b (TPC-H Q22 shape)
+@query(
+    "q_tpch_q22_idle_rich_customers",
+    oracle=f"""
+    WITH stats AS (
+      SELECT SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS total_cents,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           {dsum_sql('c_acctbal')} AS totacctbal
+    FROM customer, stats
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > total_cents
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22_idle_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balance and NO
+    urgent orders, grouped by nation.  Three classic pieces composed: a scalar
+    aggregate subquery (the global average), a NOT EXISTS decorrelated
+    to a left-anti join, and a final group-by.  The threshold compare
+    is done in exact integer cents cross-multiplied by the count
+    (bal*n > total) — comparing against a floating AVG would put
+    borderline rows on different sides per engine.  The 1-row stats
+    frame is a broadcast cross join (no driver collect); the anti join
+    shuffles on custkey.  At 100 TB the anti join's orders side only
+    needs DISTINCT o_custkey — Catalyst pushes the semi-dedup into the
+    shuffle via partial aggregation."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    stats = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(cents).alias("total_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    rich = (
+        c.crossJoin(F.broadcast(stats))
+        .filter(cents * F.col("n") > F.col("total_cents"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum("c_acctbal", "totacctbal"),
+    )
+
+
+# ---------------------------------------------------------------- R12b (arg-max surface)
+@query(
+    "q_agg_argmax_supplier",
+    oracle="""
+    SELECT s_nationkey,
+           max_by(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000
+                          + s_suppkey) AS richest_supplier,
+           min_by(s_name, CAST(round(s_acctbal * 100) AS BIGINT) * 1000000
+                          + s_suppkey) AS poorest_supplier,
+           CAST(max(round(s_acctbal * 100)) AS BIGINT) AS max_cents
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q_agg_argmax_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """max_by/min_by (arg-max) surface: per nation, the supplier name
+    holding the extreme balance — the one-pass alternative to the
+    window row_number + filter top-1 pattern (no sort, no second
+    shuffle; just a mergeable (key, arg) accumulator).  Raw max_by
+    ties are engine-nondeterministic, so the ordering key is exact
+    integer cents * 1e6 + suppkey — unique, so both engines agree.
+    Same trick at scale: argmax keys must be totally ordered or
+    results are run-to-run unstable."""
+    s = t(spark, sf, "supplier")
+    key = F.round(F.col("s_acctbal") * 100, 0).cast("long") * 1000000 + F.col(
+        "s_suppkey"
+    )
+    return s.groupBy("s_nationkey").agg(
+        F.max_by("s_name", key).alias("richest_supplier"),
+        F.min_by("s_name", key).alias("poorest_supplier"),
+        F.max(F.round(F.col("s_acctbal") * 100, 0)).cast("long").alias("max_cents"),
+    )
+
+
+# ---------------------------------------------------------------- R17b (SCD2 intervals)
+@query(
+    "q_scd2_priority_intervals",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderpriority,
+           CAST(o_orderdate AS DATE) AS valid_from,
+           CAST(lead(o_orderdate) OVER w AS DATE) AS valid_to,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          CAST(lead(o_orderdate) OVER w AS DATE)) AS BIGINT)
+             AS days_valid,
+           lead(o_orderdate) OVER w IS NULL AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_scd2_priority_intervals(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) interval build: turn a
+    change log (each customer's orders as priority 'observations') into
+    validity intervals [valid_from, valid_to) via lead() — the standard
+    warehouse pattern for as-of dimension lookups.  The window orders
+    by (date, orderkey) so same-day rows have a total order and both
+    engines agree.  One shuffle on o_custkey; the three lead-derived
+    columns share a single window spec so Spark computes ONE Window
+    node.  At 100 TB this is the cheap half of SCD2 — the expensive
+    half (merging into an existing dimension) is the same window over
+    the union of old+new."""
+    o = t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        nxt.cast("date").alias("valid_to"),
+        F.datediff(nxt.cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_valid"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------- R25b (PII masking)
+@query(
+    "q_pii_mask_customers",
+    oracle="""
+    SELECT c_custkey,
+           lpad(right(c_name, 3), CAST(length(c_name) AS INTEGER), '*')
+             AS name_masked,
+           md5(c_name) AS name_token,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS acct_band
+    FROM customer
+    """,
+)
+def q_pii_mask_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """PII-safe view: mask all but the last 3 chars of the identifying
+    column (lpad-with-'*' to the original length — the redaction
+    pattern), keep a deterministic md5 token so joins/distincts still
+    work downstream (same recipe as q_events_pseudonymize), and band
+    the numeric attribute so analytics survive without raw balances.
+    Pure per-row projection: no shuffle, fully pushed into one codegen
+    stage; at 100 TB this runs at scan speed as the standard
+    'export-safe' projection before data leaves the trust boundary."""
+    c = t(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("lpad(right(c_name, 3), CAST(length(c_name) AS INT), '*')").alias(
+            "name_masked"
+        ),
+        F.md5("c_name").alias("name_token"),
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("acct_band"),
+    )
