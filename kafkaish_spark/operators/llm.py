@@ -1167,3 +1167,64 @@ def q_text_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
         "n_words",
         F.round(logp / F.col("n_words"), 6).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------- M4e (token entropy)
+@query(
+    "q_text_token_entropy",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    terms AS (
+      SELECT doc_id,
+             list({'tf': tf} ORDER BY word) AS terms,
+             SUM(tf) AS n_words
+      FROM tf GROUP BY doc_id)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round(ln(CAST(n_words AS DOUBLE))
+                 - list_reduce(
+                     list_transform(terms, s -> s.tf * ln(CAST(s.tf AS DOUBLE))),
+                     (a, b) -> a + b) / CAST(n_words AS DOUBLE), 6) AS entropy
+    FROM terms
+    """,
+)
+def q_text_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-doc token (Shannon) entropy — the repetitive-text /
+    keyword-stuffing detector: H = ln(n) - (1/n) * sum tf*ln(tf),
+    near ln(n_words) for all-distinct tokens, near 0 for one token
+    repeated.  Complements q_text_unigram_logprob (corpus-relative)
+    with a purely within-doc signal, and q_text_repetition_score
+    (3-gram structure) with a unigram one.  Same bit-equal recipe:
+    the only cross-row float sum folds a word-sorted array
+    left-to-right, everything before it is integer counts.  One
+    explode, one (doc, word) count, one per-doc pack — no global
+    state at all, so this scales embarrassingly (no broadcast,
+    no second scan)."""
+    d = t(spark, sf, "documents")
+    cpus = spark.sparkContext.defaultParallelism
+    words = d.repartition(cpus, "doc_id").select(
+        "doc_id", F.explode(_words()).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    terms = (
+        tf.select("doc_id", "tf", F.struct("word", "tf").alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list("term")).alias("terms"),
+            F.sum("tf").cast("long").alias("n_words"),
+        )
+    )
+    s = F.aggregate(
+        F.transform("terms", lambda e: e["tf"] * F.log(e["tf"].cast("double"))),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return terms.select(
+        "doc_id",
+        "n_words",
+        F.round(
+            F.log(F.col("n_words").cast("double")) - s / F.col("n_words").cast("double"),
+            6,
+        ).alias("entropy"),
+    )

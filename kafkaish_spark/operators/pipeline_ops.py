@@ -722,3 +722,97 @@ def q_pack_split_sequences(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("chunk_tokens").cast("long").alias("n_tokens"),
     )
+
+
+# ------------------------------------------------- k-means assignment step
+_KMEANS_K = 8
+
+
+@query(
+    "q_embed_kmeans_assign",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < {_KMEANS_K}),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             round(list_reduce(
+               list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.ce),
+                              s -> (s[1] - s[2]) * (s[1] - s[2])),
+               (x, y) -> x + y), 6) AS dist
+      FROM embeddings e CROSS JOIN cents c)
+    SELECT vec_id, cid AS cluster, dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, cid) AS rn
+          FROM dists)
+    WHERE rn = 1
+    """,
+)
+def q_embed_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """k-means E-step (cluster assignment): every vector assigned to
+    its nearest of k=8 fixed seed centroids (the first k vectors —
+    deterministic seeding) by squared L2, computed as a left-to-right
+    fold over the zipped difference (Spark ``zip_with``+``aggregate``
+    == DuckDB ``list_zip``+``list_reduce``, bit-equal), rounded before
+    the argmin so the rank tiebreak (then centroid id) is stable on
+    both engines.  The centroid table broadcasts — at ANY scale, since
+    k is small by construction — so assignment is shuffle-free except
+    the per-vector argmin, which Spark's group-limit optimization
+    keeps as a partial top-1.  The M-step twin is q_embed_centroids;
+    iterating E/M is a driver loop over two cached frames."""
+    e = t(spark, sf, "embeddings")
+    cents = e.filter(F.col("vec_id") < _KMEANS_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    )
+    pairs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+    ).crossJoin(F.broadcast(cents))
+    diff2 = F.zip_with("ve", "ce", lambda x, y: (x - y) * (x - y))
+    dist = F.round(F.aggregate(diff2, F.lit(0.0), lambda a, b: a + b), 6)
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        pairs.select("vec_id", F.col("cid").alias("cluster"), dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w.orderBy("dist", "cluster")))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster", "dist")
+    )
+
+
+# ------------------------------------------------- per-domain cap sampling
+_DOMAIN_CAP = 15
+
+
+@query(
+    "q_sample_domain_cap",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                             doc_id) AS rn
+          FROM documents)
+    WHERE rn <= {_DOMAIN_CAP}
+    """,
+)
+def q_sample_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap (keep at most N=15 docs per source) —
+    the complement of q_sample_stratified's per-language RATE: caps
+    protect the mixture from a single crawled domain flooding the
+    corpus, a standard balancing step before training.  Selection
+    order inside each domain is a deterministic md5 shuffle of doc_id
+    (reproducible across runs and engines, no RNG), with doc_id as
+    the total tiebreak.  One shuffle on source; Spark's group-limit
+    optimization computes the per-partition top-N without sorting
+    whole partitions.  At 100 TB, skewed domains are exactly why the
+    cap exists — the window never materializes more than N winners
+    per domain per partition."""
+    d = t(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+    )

@@ -1869,3 +1869,174 @@ def q_pii_mask_customers(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("premium")
         .alias("acct_band"),
     )
+
+
+# ---------------------------------------------------------------- R18b (nth_value)
+@query(
+    "q_window_nth_value_orders",
+    oracle="""
+    SELECT o_custkey,
+           CAST(nth_value(o_orderdate, 1) OVER w AS DATE) AS first_order,
+           CAST(nth_value(o_orderdate, 2) OVER w AS DATE) AS second_order,
+           CAST(nth_value(o_orderdate, 3) OVER w AS DATE) AS third_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) = 1
+    """,
+)
+def q_window_nth_value_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """nth_value window surface: each customer's 1st/2nd/3rd order
+    dates in one pass (NULL where the customer has fewer orders) —
+    the onboarding-funnel shape (signup -> second purchase latency).
+    The frame must be UNBOUNDED..UNBOUNDED: with the default frame
+    ending at CURRENT ROW, nth_value(.., 3) is NULL until the 3rd row
+    even when it exists.  All four window functions share one spec =
+    one sort within the o_custkey shuffle; the rn=1 filter collapses
+    to one row per customer."""
+    o = t(spark, sf, "orders")
+    ordering = [F.col("o_orderdate"), F.col("o_orderkey")]
+    full = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    seq = Window.partitionBy("o_custkey").orderBy(*ordering)
+    return (
+        o.select(
+            "o_custkey",
+            F.nth_value("o_orderdate", 1).over(full).cast("date").alias("first_order"),
+            F.nth_value("o_orderdate", 2).over(full).cast("date").alias("second_order"),
+            F.nth_value("o_orderdate", 3).over(full).cast("date").alias("third_order"),
+            F.row_number().over(seq).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------- R12c (k-anonymity audit)
+@query(
+    "q_privacy_k_anonymity",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS acct_band,
+           COUNT(*) AS group_size,
+           COUNT(*) < 5 AS below_k
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_privacy_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (nation, segment, balance band): any equivalence class smaller
+    than k means those rows are re-identifiable and must be
+    generalized or suppressed before release — the standard privacy
+    gate run right after q_pii_mask_customers' redaction.  One
+    partial-aggregated shuffle on the QI tuple; at 100 TB the audit
+    is the same single groupBy, and the follow-up suppression is a
+    broadcast semi-join of the below-k classes back onto the data."""
+    c = t(spark, sf, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+    )
+    return c.groupBy("c_nationkey", "c_mktsegment", band.alias("acct_band")).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) < 5).alias("below_k"),
+    )
+
+
+# ---------------------------------------------------------------- R7c (full outer)
+@query(
+    "q_join_full_outer_rich",
+    oracle="""
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(c.n_rich_customers, 0) AS n_rich_customers,
+           COALESCE(s.n_rich_suppliers, 0) AS n_rich_suppliers
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_rich_customers
+          FROM customer WHERE c_acctbal > 9900 GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS n_rich_suppliers
+          FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) s
+      ON c.nk = s.nk
+    """,
+)
+def q_join_full_outer_rich(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL OUTER join (the R7 variant the inventory still owed):
+    per-nation counts of high-balance customers vs suppliers, where
+    either side can be missing — COALESCE merges the two key columns
+    and zero-fills the absent counts, the canonical reconciliation /
+    side-by-side-report shape.  Both inputs pre-aggregate BEFORE the
+    join (25 rows each), so the outer join is trivially cheap — at
+    100 TB pre-aggregation-then-outer-join beats outer-join-then-
+    aggregate by the full shuffle width; full outer also disables
+    broadcast (both sides must shuffle) which is why the reduction
+    must happen first."""
+    c = (
+        t(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    s = (
+        t(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    joined = c.join(s, "nk", "full_outer")
+    return joined.select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_rich_customers", F.lit(0)).alias("n_rich_customers"),
+        F.coalesce("n_rich_suppliers", F.lit(0)).alias("n_rich_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------- R19b (share of total)
+@query(
+    "q_agg_share_of_total",
+    oracle="""
+    WITH per_nation AS (
+      SELECT c_nationkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey)
+    SELECT c_nationkey,
+           CAST(cents AS BIGINT) AS revenue_cents,
+           round(CAST(cents AS DOUBLE)
+                 / CAST(SUM(cents) OVER () AS DOUBLE), 6) AS share
+    FROM per_nation
+    """,
+)
+def q_agg_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Ratio-to-report (share of total): each nation's slice of global
+    order revenue.  The oracle uses the empty-frame window SUM() OVER
+    (); the Spark plan deliberately does NOT — an unpartitioned window
+    funnels every row through ONE task, the classic scale trap — and
+    instead cross-joins the 25-row aggregate with its own 1-row total
+    (broadcast, no single-task choke point).  Moments stay in integer
+    cents (BIGINT) so both engines' grand totals are bit-identical
+    before ONE int->double cast each — per the wide-decimal-cast
+    divergence rule; at 100 TB the cents sum needs DECIMAL(38,0), and
+    the int128->double cast needs the same care."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per_nation = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    total = per_nation.agg(F.sum("cents").alias("total_cents"))
+    return per_nation.crossJoin(F.broadcast(total)).select(
+        "c_nationkey",
+        F.col("cents").cast("long").alias("revenue_cents"),
+        F.round(
+            F.col("cents").cast("double") / F.col("total_cents").cast("double"), 6
+        ).alias("share"),
+    )

@@ -119,3 +119,43 @@ def test_cc_clusters_are_transitive_fixpoint(spark, sf_dir):
         by_cluster.setdefault(c, []).append(doc)
     for c, members in by_cluster.items():
         assert c == min(members)
+
+
+def test_kmeans_assignment_is_nearest_centroid(spark, sf_dir):
+    """Every vector's assigned cluster must have the true minimal
+    squared-L2 distance among the seed centroids (ties broken by
+    lowest centroid id), recomputed independently in Python."""
+    from kafkaish_spark.operators.pipeline_ops import _KMEANS_K, q_embed_kmeans_assign
+    from kafkaish_spark.sources.tables import load_table
+
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    cents = {cid: vecs[cid] for cid in range(_KMEANS_K)}
+    out = q_embed_kmeans_assign(spark, sf_dir).collect()
+    assert len(out) == len(vecs)
+    for r in out:
+        v = vecs[r["vec_id"]]
+        dists = {
+            cid: round(sum((a - b) * (a - b) for a, b in zip(v, c)), 6)
+            for cid, c in cents.items()
+        }
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))
+        assert r["cluster"] == best[0], (r, best)
+
+
+def test_domain_cap_bounds_and_determinism(spark, sf_dir):
+    """No source may exceed the cap; two runs pick identical doc sets
+    (the md5 shuffle is an RNG-free deterministic order)."""
+    from kafkaish_spark.operators.pipeline_ops import _DOMAIN_CAP, q_sample_domain_cap
+
+    a = q_sample_domain_cap(spark, sf_dir)
+    per_source = defaultdict(int)
+    kept_a = set()
+    for r in a.collect():
+        per_source[r["source"]] += 1
+        kept_a.add(r["doc_id"])
+    assert per_source and max(per_source.values()) <= _DOMAIN_CAP
+    kept_b = {r["doc_id"] for r in q_sample_domain_cap(spark, sf_dir).collect()}
+    assert kept_a == kept_b
