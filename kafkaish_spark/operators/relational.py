@@ -2040,3 +2040,182 @@ def q_agg_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
             F.col("cents").cast("double") / F.col("total_cents").cast("double"), 6
         ).alias("share"),
     )
+
+
+# ---------------------------------------------------------------- R30c (TPC-H Q17 shape)
+@query(
+    "q_tpch_q17_small_quantity",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey)
+    SELECT p_brand,
+           COUNT(*) AS n_small_lines,
+           {dsum_sql('l_extendedprice')} AS small_revenue
+    FROM lineitem
+    JOIN per_part USING (l_partkey)
+    JOIN part ON p_partkey = l_partkey
+    WHERE CAST(round(l_quantity) AS BIGINT) * 5 * cnt < sum_qty
+    GROUP BY p_brand
+    """,
+)
+def q_tpch_q17_small_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is below 20% of their part's average quantity — the
+    correlated-aggregate-subquery pattern, decorrelated into a
+    group-by + self-join on the correlation key.  The 0.2*avg
+    threshold is compared as qty*5*cnt < sum (exact integer cross-
+    multiplication; quantities are integer-valued) so no float
+    division decides membership.  Both heavy frames shuffle once on
+    l_partkey — Catalyst lines the self-join up with the aggregation's
+    partitioning — then the part dimension broadcasts for the brand
+    rollup.  At 100 TB the per-part aggregate is ~|parts| rows (small
+    vs lineitem), exactly why decorrelation wins over re-scanning per
+    row."""
+    li = t(spark, sf, "lineitem")
+    p = t(spark, sf, "part")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(qty).alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(qty * 5 * F.col("cnt") < F.col("sum_qty"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_lines"),
+            dsum("l_extendedprice", "small_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- R28b (HOF predicates)
+@query(
+    "q_array_predicates_embeddings",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]),
+                                x -> x > 0.1)) AS BIGINT) AS n_large,
+           len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0.3)) > 0
+             AS any_very_large,
+           len(list_filter(CAST(embedding AS DOUBLE[]),
+                           x -> NOT (x BETWEEN -1.0 AND 1.0))) = 0
+             AS all_bounded
+    FROM embeddings
+    """,
+)
+def q_array_predicates_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-order array predicate surface — filter / exists / forall
+    over the embedding vector without exploding it: dimension counts
+    above a threshold, any-outlier and all-in-range flags (the vector
+    sanity screen run before indexing).  Spark evaluates the lambdas
+    JVM-side inside codegen (no Python); per-row array work, no
+    shuffle at all.  The oracle expresses exists/forall through
+    list_filter lengths, which is semantics-identical on non-null
+    elements; comparisons happen on exactly-cast doubles so the flags
+    agree bit-for-bit."""
+    e = t(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(v, lambda x: x > 0.1)).cast("long").alias("n_large"),
+        F.exists(v, lambda x: x > 0.3).alias("any_very_large"),
+        F.forall(v, lambda x: (x >= -1.0) & (x <= 1.0)).alias("all_bounded"),
+    )
+
+
+# ---------------------------------------------------------------- R13b (rolling WAU)
+@query(
+    "q_events_rolling_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM du),
+    expanded AS (
+      SELECT CAST(wd AS DATE) AS window_day, user_id
+      FROM du, LATERAL unnest(generate_series(CAST(d AS TIMESTAMP),
+                                              CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                                              INTERVAL 1 DAY)) AS u(wd)),
+    wau AS (
+      SELECT window_day, COUNT(DISTINCT user_id) AS wau_7d
+      FROM expanded, bounds
+      WHERE window_day BETWEEN lo AND hi
+      GROUP BY window_day),
+    dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d)
+    SELECT window_day, wau_7d, COALESCE(dau, 0) AS dau
+    FROM wau LEFT JOIN dau ON dau.d = wau.window_day
+    """,
+)
+def q_events_rolling_wau(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) next to the point DAU
+    — THE retention dashboard metric, and the canonical 'sliding
+    COUNT DISTINCT' that window frames cannot express (distinct does
+    not merge across frame slides).  The scalable formulation:
+    collapse events to distinct (day, user) pairs FIRST (bounded by
+    users x days, orders of magnitude below raw events), then explode
+    each pair into the <=7 window-days it contributes to and count
+    distinct per window day.  Work is O(active-pairs x 7), shuffled
+    on the day key; no per-user state, no full sort.  At 100 TB the
+    pre-distinct is the whole trick — exploding raw events would 7x
+    the event stream instead of the tiny pair set."""
+    ev = t(spark, sf, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    bounds = du.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    expanded = du.select(
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "window_day"
+        ),
+        "user_id",
+    )
+    wau = (
+        expanded.crossJoin(F.broadcast(bounds))
+        .filter(F.col("window_day").between(F.col("lo"), F.col("hi")))
+        .groupBy("window_day")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
+    dau = du.groupBy(F.col("d")).agg(F.count(F.lit(1)).alias("dau"))
+    return wau.join(dau, wau.window_day == dau.d, "left").select(
+        "window_day", "wau_7d", F.coalesce("dau", F.lit(0)).alias("dau")
+    )
+
+
+# ---------------------------------------------------------------- R16b (p95 outliers)
+@query(
+    "q_outliers_above_p95",
+    oracle="""
+    WITH th AS (
+      SELECT c_nationkey, quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey)
+    SELECT o_orderkey, c_nationkey, o_totalprice, p95
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN th USING (c_nationkey)
+    WHERE o_totalprice > p95
+    """,
+)
+def q_outliers_above_p95(spark: SparkSession, sf: str) -> DataFrame:
+    """Group-relative outlier tagging: orders above their nation's
+    95th-percentile total — the two-pass percentile-threshold pattern
+    (aggregate per group, broadcast the tiny threshold table back
+    onto the fact).  Spark's exact `percentile` equals DuckDB's
+    quantile_cont bit-for-bit (proven by q_agg_percentiles_quantity),
+    so even the raw interpolated threshold column matches.  One
+    shuffle on custkey for the join, one on nationkey for the
+    percentile (which needs the group's sorted values — the one agg
+    that can't partial-merge; at 100 TB swap in approx_percentile's
+    mergeable sketch and keep the identical plan shape)."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    oc = o.join(c, o.o_custkey == c.c_custkey)
+    th = oc.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.percentile("o_totalprice", 0.95).alias("p95")
+    )
+    return (
+        oc.join(F.broadcast(th), F.col("c_nationkey") == F.col("nk"))
+        .filter(F.col("o_totalprice") > F.col("p95"))
+        .select("o_orderkey", "c_nationkey", "o_totalprice", "p95")
+    )

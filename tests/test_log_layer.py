@@ -335,3 +335,61 @@ def test_compact_keyed_json_key(engine):
         for r in topic.log().collect()
     }
     assert vals == {1: "c", 2: "b"}
+
+
+# -- consumer groups (Kafka partition-assignment analog) ---------------
+
+
+def _publish_round(engine, shards, start, n=2):
+    for s in shards:
+        engine.prepare_topic(s).publish_batch(
+            [("e", {"shard": s, "n": start + i}) for i in range(n)]
+        )
+
+
+def test_consumer_group_assignment_disjoint_complete(engine):
+    from kafkaish_spark.sources.consumer_group import ConsumerGroup
+
+    shards = [f"cgA_{i}" for i in range(5)]
+    cg = ConsumerGroup(engine, "g1", shards, 2)
+    asg = cg.assignment()
+    flat = [s for lst in asg.values() for s in lst]
+    assert sorted(flat) == sorted(shards)
+    assert len(flat) == len(set(flat))
+    assert cg.assignment() == asg  # deterministic
+
+
+def test_consumer_group_poll_commit_and_rebalance(engine):
+    from kafkaish_spark.sources.consumer_group import ConsumerGroup
+
+    shards = [f"cgB_{i}" for i in range(4)]
+    for s in shards:
+        engine.prepare_topic(s)
+    _publish_round(engine, shards, start=0, n=2)
+
+    cg = ConsumerGroup(engine, "g2", shards, 2)
+    seen = []
+    for m in (0, 1):
+        df, bounds = cg.poll(m)
+        rows = df.collect()
+        seen.extend((r["topic"], r["offset"]) for r in rows)
+        cg.commit(m, bounds)
+    # both members together see every message exactly once
+    assert sorted(seen) == sorted((s, o) for s in shards for o in (1, 2))
+
+    # nothing new -> empty polls
+    for m in (0, 1):
+        df, _ = cg.poll(m)
+        assert df.count() == 0
+
+    # publish more, rebalance to 3 members: only the NEW messages
+    # arrive (offsets survive reassignment), still exactly once
+    _publish_round(engine, shards, start=10, n=1)
+    cg3 = cg.rebalance(3)
+    seen2 = []
+    for m in range(3):
+        df, bounds = cg3.poll(m)
+        seen2.extend((r["topic"], r["offset"]) for r in df.collect())
+        cg3.commit(m, bounds)
+    assert sorted(seen2) == sorted((s, 3) for s in shards)
+    assert cg3.lag().filter("lag != 0").count() == 0

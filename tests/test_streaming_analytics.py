@@ -448,3 +448,31 @@ def test_stream_static_enrichment(engine, spark, tmp_path):
     out = enrich(stream, dim, "cust")
     rows = {r["cust"]: r["segment"] for r in _collect_stream(spark, out, tmp_path, "append")}
     assert rows == {1: "BUILDING", 2: "MACHINERY", 99: None}
+
+
+def test_stateful_dedup_within_watermark_scoped(engine, spark, tmp_path):
+    """S8 (watermark-scoped variant): dropDuplicatesWithinWatermark
+    keeps dedup state only for the watermark horizon — the unbounded-
+    stream-safe dedup (plain dropDuplicates state grows forever when
+    keys never repeat).  Duplicates inside the horizon are dropped;
+    the dedup key here includes the payload so redelivery of the same
+    message is what's being suppressed."""
+    topic = _seed_topic(
+        engine,
+        "w_dedup_scoped",
+        [
+            ("e", "k1", "2024-01-01 10:00:00"),
+            ("e", "k2", "2024-01-01 10:01:00"),
+            ("e", "k1", "2024-01-01 10:02:00"),
+            ("e", "k3", "2024-01-01 10:03:00"),
+            ("e", "k3", "2024-01-01 10:03:00"),
+        ],
+    )
+    dedup = (
+        topic.stream()
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["message"])
+        .select("message")
+    )
+    rows = _collect_stream(spark, dedup, tmp_path, mode="append")
+    assert sorted(r["message"] for r in rows) == ["k1", "k2", "k3"]
