@@ -1,0 +1,487 @@
+"""Second round of composite operators: sessionization, more TPC-H
+shapes (Q3/Q10/Q18), median/deterministic-mode, least-squares
+regression from mergeable moments, text normalization, int8 embedding
+quantization, and sentence-level dedup.
+
+Same conventions as ``relational.py``: every computed column aliased
+identically on both sides, doubles aggregated via the exact-decimal /
+integer-moment patterns so the driver's value hash matches bit-for-bit,
+top-k always tie-broken on a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkaish_spark.functions.exact import dsum, dsum_sql
+from kafkaish_spark.functions.timeutil import epoch_ms
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+
+# ---------------------------------------------------------------- sessionization
+@query(
+    "q_events_sessionize",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    tagged AS (
+      SELECT user_id, ts, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(epoch_ms(MIN(ts)) AS BIGINT) AS start_ms,
+           CAST(epoch_ms(MAX(ts)) AS BIGINT) AS end_ms,
+           COUNT(*) AS n_events
+    FROM tagged GROUP BY user_id, session_no
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based batch sessionization (30-min inactivity gap): the
+    classic lag-flag-cumsum pattern.  ONE shuffle on user_id serves
+    both window passes and the final group-by (same partitioning is
+    reused across stages — Exchange appears once in the plan).  At
+    100 TB this is the standard linear-state sessionizer; per-user
+    state is a sorted run, no cross-user data movement.  Timestamps
+    compared as epoch millis so the 30-min gap is exact integer math
+    in both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf, "events").select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                epoch_ms("ts")
+                - epoch_ms(F.lag("ts").over(w))
+                > 1_800_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    tagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_no"),
+    )
+    return tagged.groupBy("user_id", "session_no").agg(
+        epoch_ms(F.min("ts")).alias("start_ms"),
+        epoch_ms(F.max("ts")).alias("end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q3
+@query(
+    "q_tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): unshipped revenue of
+    BUILDING-segment orders.  customer and the filtered orders both
+    broadcast against the lineitem fact at any realistic dimension/fact
+    ratio; the only shuffle is the final group-by on l_orderkey, and
+    the top-10 is TakeOrderedAndProject (no global sort).  Both date
+    filters push down to the parquet scans.  Tie-break on l_orderkey
+    keeps the limit deterministic."""
+    c = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-03-15")
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    joined = li.join(
+        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.l_orderkey == o.o_orderkey,
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            epoch_ms("o_orderdate").alias("orderdate_ms"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q10
+@query(
+    "q_tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item losses): top 20 customers by
+    revenue on returned lineitems in a half-year window.  The
+    returnflag + date predicates push down; orders-in-window and
+    customer⋈nation both broadcast, so the lineitem fact is scanned
+    once with zero pre-join shuffle; the group-by on c_custkey is the
+    single Exchange."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    joined = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(cn), o.o_custkey == cn.c_custkey
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q18
+@query(
+    "q_tpch_q18_large_orders",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(epoch_ms(o_orderdate) AS BIGINT) AS orderdate_ms,
+           o_totalprice,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): orders whose total
+    quantity exceeds 300, with their customer.  The IN-subquery is
+    expressed as aggregate-then-semi-join; Spark decorrelates it to a
+    broadcast semi join because the >300 survivor set is tiny (high
+    selectivity), so the second lineitem pass never shuffles.  At
+    100 TB the survivor set is still ~orders/10^4 — broadcast holds."""
+    li = t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    oo = o.join(
+        F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    joined = li.join(F.broadcast(oo), li.l_orderkey == oo.o_orderkey).join(
+        F.broadcast(c), oo.o_custkey == c.c_custkey
+    )
+    return joined.groupBy(
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(dsum("l_quantity", "sum_qty")).select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        epoch_ms("o_orderdate").alias("orderdate_ms"),
+        "o_totalprice",
+        "sum_qty",
+    )
+
+
+# ---------------------------------------------------------------- median + deterministic mode
+@query(
+    "q_agg_median_mode",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_quantity) AS median_qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag),
+    counts AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_quantity),
+    best AS (
+      SELECT l_returnflag, l_quantity AS mode_qty,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY cnt DESC, l_quantity) AS rn
+      FROM counts)
+    SELECT m.l_returnflag, m.median_qty, b.mode_qty, m.n
+    FROM med m JOIN best b ON m.l_returnflag = b.l_returnflag
+    WHERE b.rn = 1
+    """,
+)
+def q_agg_median_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Median (exact interpolated percentile) and a DETERMINISTIC mode
+    per group.  The builtin mode() ties arbitrarily in both engines —
+    unusable for reproducible pipelines — so mode is computed as
+    count-then-rank with a value tie-break: two mergeable aggregations,
+    both partial-aggregated map-side.  l_quantity is integer-valued so
+    the median interpolation is exact in IEEE terms on both engines."""
+    li = t(spark, sf, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), "l_quantity"
+    )
+    best = (
+        counts.select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return med.join(best, "l_returnflag").select(
+        "l_returnflag", "median_qty", "mode_qty", "n"
+    )
+
+
+# ---------------------------------------------------------------- least-squares regression
+@query(
+    "q_agg_regression_price_qty",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM c GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+           round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx)
+                 / n / 100, 6) AS intercept
+    FROM m
+    """,
+)
+def q_agg_regression_price_qty(spark: SparkSession, sf: str) -> DataFrame:
+    """regr_slope / regr_intercept of extendedprice on quantity per
+    group, from four exact integer-cent moment sums combined in a fixed
+    IEEE sequence (the builtin regr_* are accumulation-order-dependent,
+    like corr/stddev).  Slope is scale-invariant under the common cent
+    factor; the intercept divides it back out.  Four mergeable partials
+    + one shuffle — the shape a 1000-executor regression should have."""
+    li = t(spark, sf, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("decimal(20,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(20,0)")
+    n = F.count(F.lit(1))
+    m = li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n") / 100, 6
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------- text normalization
+@query(
+    "q_text_clean",
+    oracle="""
+    WITH cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')),
+               ' +', ' ', 'g')) AS clean_text
+      FROM documents)
+    SELECT doc_id, clean_text,
+           CAST(length(clean_text)
+                - length(replace(clean_text, ' ', '')) + 1 AS BIGINT)
+             AS n_tokens
+    FROM cleaned
+    """,
+)
+def q_text_clean(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus text normalization: strip non-alphanumerics, lowercase,
+    collapse whitespace — the standard pre-tokenization cleanup pass.
+    Pure JVM-side regexp chain (whole-stage codegen, no Python), fully
+    parallel per row: no shuffle at any scale.  Token count via
+    space-counting avoids a split+size array allocation per row."""
+    d = t(spark, sf, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", " ")),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+    ).select(
+        "doc_id",
+        "clean_text",
+        (
+            F.length("clean_text")
+            - F.length(F.replace(F.col("clean_text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------- int8 quantization
+@query(
+    "q_embed_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings)
+    SELECT e.vec_id, s.scale,
+           list_transform(e.embedding,
+             x -> CASE WHEN s.scale = 0 THEN 0
+                       ELSE CAST(floor(CAST(x AS DOUBLE) / s.scale * 127
+                                       + 0.5) AS INTEGER) END) AS qvec
+    FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+    """,
+)
+def q_embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (max-abs scaling) — the
+    standard 4x storage/bandwidth shrink before ANN indexing at scale.
+    All array lambdas are JVM higher-order functions: no UDF, no
+    shuffle, embarrassingly parallel.  floor(x+0.5) rounding (not
+    round()) because HALF_UP vs HALF_EVEN differs across engines; the
+    max-abs scale itself is exact (max of exactly-widened floats)."""
+    e = t(spark, sf, "embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    withs = e.select("vec_id", "embedding", scale.alias("scale"))
+    return withs.select(
+        "vec_id",
+        "scale",
+        F.transform(
+            "embedding",
+            lambda x: F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+                F.floor(xd(x) / F.col("scale") * 127 + 0.5).cast("int")
+            ),
+        ).alias("qvec"),
+    )
+
+
+# ---------------------------------------------------------------- sentence-level dedup
+@query(
+    "q_dedup_sentence_level",
+    oracle="""
+    WITH sents AS (
+      SELECT doc_id, trim(sent) AS sentence
+      FROM (SELECT doc_id, unnest(string_split(text, '.')) AS sent
+            FROM documents)
+      WHERE trim(sent) <> ''),
+    firsts AS (
+      SELECT sentence, MIN(doc_id) AS first_doc FROM sents
+      GROUP BY sentence)
+    SELECT s.doc_id,
+           COUNT(*) AS n_sents,
+           SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+             AS n_dup_sents,
+           round(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS dup_frac,
+           CASE WHEN SUM(CASE WHEN f.first_doc < s.doc_id THEN 1.0 ELSE 0 END)
+                     / COUNT(*) > 0.5
+                THEN 'drop' ELSE 'keep' END AS verdict
+    FROM sents s JOIN firsts f ON s.sentence = f.sentence
+    GROUP BY s.doc_id
+    """,
+)
+def q_dedup_sentence_level(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence-level (sub-document) dedup, CCNet/Gopher style: a doc
+    whose sentences mostly already appeared in earlier docs is dropped
+    even when no full-text hash matches.  Two shuffles (sentence-hash
+    group-by, then doc_id re-group); at 100 TB the sentence table is
+    grouped by a hash of the sentence — here the sentence string itself
+    keeps the oracle exact, with the md5 variant noted for scale (16
+    bytes shuffled per sentence instead of the text)."""
+    d = t(spark, sf, "documents")
+    sents = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), "\\.")).alias("sent")
+        )
+        .select("doc_id", F.trim(F.col("sent")).alias("sentence"))
+        .filter(F.col("sentence") != "")
+    )
+    firsts = sents.groupBy("sentence").agg(F.min("doc_id").alias("first_doc"))
+    dup = F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    per_doc = (
+        sents.join(firsts, "sentence")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum(dup).alias("n_dup_sents"),
+        )
+    )
+    frac = F.col("n_dup_sents") / F.col("n_sents")
+    return per_doc.select(
+        "doc_id",
+        "n_sents",
+        "n_dup_sents",
+        F.round(frac, 6).alias("dup_frac"),
+        F.when(frac > 0.5, "drop").otherwise("keep").alias("verdict"),
+    )

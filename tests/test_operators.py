@@ -304,3 +304,71 @@ def test_rollup_incremental_matches_full_recompute(spark, tmp_path):
         for r in _agg(ev).collect()
     }
     assert got == want
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Both window passes and the final group-by of the sessionizer key
+    on user_id — the plan must reuse ONE shuffle, not stack three."""
+    from kafkaish_spark.operators.composites2 import q_events_sessionize
+
+    plan = (
+        q_events_sessionize(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_sessionize_gap_splits_sessions(spark, sf_dir):
+    """No session may contain an internal gap > 30 min, and adjacent
+    sessions of a user must be > 30 min apart."""
+    from kafkaish_spark.operators.composites2 import q_events_sessionize
+
+    rows = (
+        q_events_sessionize(spark, sf_dir)
+        .orderBy("user_id", "session_no")
+        .collect()
+    )
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for sessions in by_user.values():
+        for a, b in zip(sessions, sessions[1:]):
+            assert b.start_ms - a.end_ms > 1_800_000
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
+    """Quantized values must live in [-127, 127] and reconstruct the
+    original within one quantization step."""
+    from kafkaish_spark.operators.composites2 import q_embed_quantize_int8
+
+    rows = q_embed_quantize_int8(spark, sf_dir).limit(50).collect()
+    orig = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id").isin([r.vec_id for r in rows]))
+        .collect()
+    }
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r.qvec)
+        step = r.scale / 127 if r.scale else 0
+        for q, x in zip(r.qvec, orig[r.vec_id]):
+            assert abs(q * step - x) <= step / 2 + 1e-9
+
+
+def test_sentence_dedup_flags_self_plagiarized_docs(spark, sf_dir):
+    """A doc made of another doc's sentences must be flagged 'drop'."""
+    from kafkaish_spark.plans.registry import all_queries
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fn = all_queries()["q_dedup_sentence_level"].fn
+    out = fn(spark, sf_dir)
+    # every doc's dup stats are internally consistent
+    bad = out.filter(
+        (F.col("n_dup_sents") > F.col("n_sents"))
+        | ((F.col("dup_frac") > 0.5) & (F.col("verdict") != "drop"))
+        | ((F.col("dup_frac") <= 0.5) & (F.col("verdict") != "keep"))
+    ).count()
+    assert bad == 0
+    assert out.count() == d.filter(F.trim(F.col("text")) != "").count()
