@@ -485,3 +485,257 @@ def q_dedup_sentence_level(spark: SparkSession, sf: str) -> DataFrame:
         F.round(frac, 6).alias("dup_frac"),
         F.when(frac > 0.5, "drop").otherwise("keep").alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------- skew/kurtosis
+@query(
+    "q_agg_skew_kurtosis",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS HUGEINT) AS x
+      FROM lineitem),
+    m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS s1,
+             CAST(SUM(x * x) AS DOUBLE) AS s2,
+             CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+             CAST(SUM(x * x * x * x) AS DOUBLE) AS s4
+      FROM c GROUP BY l_returnflag),
+    mm AS (
+      SELECT l_returnflag, n, s1 / n AS mean,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+                    + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM m)
+    SELECT l_returnflag, n,
+           round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+    FROM mm
+    """,
+)
+def q_agg_skew_kurtosis(spark: SparkSession, sf: str) -> DataFrame:
+    """Skewness and excess kurtosis per group from four exact
+    integer-cent power sums (builtin skewness()/kurtosis() accumulate
+    doubles in partition order — not reproducible).  Both are
+    scale-invariant, so the cent factor cancels.  Four mergeable
+    partials, one shuffle; the fixed IEEE combine sequence is written
+    identically in both engines so the hash matches bit-for-bit."""
+    li = t(spark, sf, "lineitem")
+    x = F.round(F.col("l_quantity") * 100).cast("decimal(20,0)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+        F.sum(x * x * x * x).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = (
+        F.col("s3") / n
+        - F.lit(3) * mean * (F.col("s2") / n)
+        + F.lit(2) * mean * mean * mean
+    )
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4) * mean * (F.col("s3") / n)
+        + F.lit(6) * mean * mean * (F.col("s2") / n)
+        - F.lit(3) * mean * mean * mean * mean
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------- referential audit
+@query(
+    "q_audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS constraint_name,
+           (SELECT COUNT(*) FROM lineitem) AS n_rows,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+    """,
+)
+def q_audit_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality audit: orphan counts for every foreign-key edge of
+    the star schema — the pre-flight check any 100 TB ingest runs
+    before joins silently drop rows.  Each edge is an anti join whose
+    build side is a dimension key set (broadcast); the fact side is
+    scanned once per edge with only the key column read (pruned
+    ReadSchema).  Output is four one-row aggregates unioned — constant
+    size regardless of input scale."""
+
+    def edge(name, fact, fk, dim, pk):
+        f = t(spark, sf, fact)
+        d = t(spark, sf, dim).select(pk)
+        orphans = f.join(
+            F.broadcast(d), f[fk] == d[pk], "left_anti"
+        ).count()
+        total = f.count()
+        return spark.createDataFrame(
+            [(name, total, orphans)],
+            "constraint_name string, n_rows bigint, n_orphans bigint",
+        )
+
+    dfs = [
+        edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+# ---------------------------------------------------------------- z-order layout key
+def _interleave_bits_sql(a: str, b: str, nbits: int = 8) -> str:
+    """SQL expression interleaving the low nbits of a (odd positions)
+    and b (even positions) — generated from one loop so the Spark and
+    DuckDB forms are structurally identical."""
+    terms = []
+    for i in range(nbits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+@query(
+    "q_layout_zorder",
+    oracle=f"""
+    WITH k AS (
+      SELECT o_orderkey,
+             o_custkey & 255 AS cust_b,
+             CAST(epoch_ms(o_orderdate) / 86400000 AS BIGINT) & 255 AS date_b
+      FROM orders)
+    SELECT o_orderkey, cust_b, date_b,
+           CAST({_interleave_bits_sql('cust_b', 'date_b')} AS BIGINT) AS zval
+    FROM k
+    """,
+)
+def q_layout_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) layout key over (customer, day) — the
+    multi-dimensional clustering key used to lay out 100 TB so BOTH
+    per-customer and per-date-range scans skip most files (sort by
+    zval before writing; parquet min/max on each dimension then prunes
+    in both directions, where a plain sort helps only its leading
+    column).  Pure integer bit math, embarrassingly parallel, and the
+    same generated expression runs on both engines."""
+    o = t(spark, sf, "orders")
+    k = o.select(
+        "o_orderkey",
+        (F.col("o_custkey").bitwiseAND(255)).alias("cust_b"),
+        (epoch_ms("o_orderdate") / F.lit(86400000))
+        .cast("bigint")
+        .bitwiseAND(255)
+        .alias("date_b"),
+    )
+    return k.select(
+        "o_orderkey",
+        "cust_b",
+        "date_b",
+        F.expr(_interleave_bits_sql("cust_b", "date_b"))
+        .cast("bigint")
+        .alias("zval"),
+    )
+
+
+# ---------------------------------------------------------------- weighted sampling
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS BIGINT) AS DOUBLE) / n_chars AS skey
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY skey, doc_id) AS rn
+      FROM keyed)
+    SELECT doc_id, lang, n_chars, rn FROM ranked WHERE rn <= 50
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-weighted reproducible sampling: 50 docs per language,
+    selection probability ~ n_chars (exponential-jump sampling with a
+    deterministic md5-derived uniform instead of a PRNG — same sample
+    on every run, every partitioning, both engines).  One shuffle on
+    lang; rank + cutoff is a per-group top-k, so map-side partial
+    TakeOrdered keeps the shuffle tiny even when a language has
+    billions of docs."""
+    d = t(spark, sf, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (h.cast("bigint").cast("double") / F.col("n_chars")).alias("skey"),
+    )
+    w = Window.partitionBy("lang").orderBy("skey", "doc_id")
+    return (
+        keyed.select(
+            "doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 50)
+    )
+
+
+# ---------------------------------------------------------------- HLL sketch surface
+@query("q_sketch_hll_cardinality", oracle=None)
+def q_sketch_hll_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Datasketches HLL surface: per-event-type user cardinality from
+    mergeable binary sketches, plus the all-types union WITHOUT
+    rescanning — hll_union_agg over the per-group sketches.  This is
+    THE 100 TB distinct-counting pattern: sketches merge associatively
+    so partial aggregation happens map-side and re-aggregation (daily
+    -> monthly, per-type -> global) needs no second scan.  Rows-only:
+    sketch estimates are engine-specific; accuracy vs exact distinct is
+    pytest-asserted."""
+    ev = t(spark, sf, "events").select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg(F.col("user_id"), F.lit(12)).alias("sk")
+    )
+    union_all = per_type.agg(
+        F.hll_union_agg("sk").alias("sk")
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+    )
+    return (
+        per_type.select(
+            "event_type",
+            F.hll_sketch_estimate("sk").cast("bigint").alias("approx_users"),
+        )
+        .unionByName(union_all)
+    )

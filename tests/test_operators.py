@@ -372,3 +372,52 @@ def test_sentence_dedup_flags_self_plagiarized_docs(spark, sf_dir):
     ).count()
     assert bad == 0
     assert out.count() == d.filter(F.trim(F.col("text")) != "").count()
+
+
+def test_hll_sketch_within_5pct_of_exact(spark, sf_dir):
+    """HLL estimates (lgK=12) must land within 5% of exact distincts,
+    including the merged __all__ union row."""
+    from kafkaish_spark.operators.composites2 import q_sketch_hll_cardinality
+    from kafkaish_spark.sources.tables import load_table
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in q_sketch_hll_cardinality(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= 0.05 * n, (k, approx[k], n)
+
+
+def test_zorder_key_preserves_both_dimensions(spark, sf_dir):
+    """Sorting by zval must co-locate rows that are close in EITHER
+    dimension: deinterleaving the zval recovers both bucket values."""
+    from kafkaish_spark.operators.composites2 import q_layout_zorder
+
+    for r in q_layout_zorder(spark, sf_dir).limit(200).collect():
+        cust = sum(((r.zval >> (2 * i + 1)) & 1) << i for i in range(8))
+        date = sum(((r.zval >> (2 * i)) & 1) << i for i in range(8))
+        assert cust == r.cust_b and date == r.date_b
+
+
+def test_weighted_sample_favors_long_docs(spark, sf_dir):
+    """The length-weighted sample's mean doc length must exceed the
+    corpus mean (that's what the weights are for)."""
+    from kafkaish_spark.operators.composites2 import q_sample_weighted
+    from kafkaish_spark.sources.tables import load_table
+
+    sample_mean = (
+        q_sample_weighted(spark, sf_dir).agg(F.avg("n_chars")).collect()[0][0]
+    )
+    corpus_mean = (
+        load_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean
