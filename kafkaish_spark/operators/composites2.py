@@ -739,3 +739,126 @@ def q_sketch_hll_cardinality(spark: SparkSession, sf: str) -> DataFrame:
         )
         .unionByName(union_all)
     )
+
+
+# ---------------------------------------------------------------- LATERAL top-k
+@query(
+    "q_lateral_topk_suppliers",
+    oracle="""
+    SELECT n_name, s_name, s_acctbal
+    FROM nation n,
+    LATERAL (SELECT s_name, s_acctbal FROM supplier s
+             WHERE s.s_nationkey = n.n_nationkey
+             ORDER BY s_acctbal DESC, s_name LIMIT 3) top3
+    """,
+)
+def q_lateral_topk_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL:2016 lateral derived table,
+    Spark 4 surface): per-nation top-3 suppliers by balance.  Catalyst
+    rewrites the correlated limit into the same window-rank plan the
+    DataFrame top-k-per-group uses — the declarative form costs
+    nothing, and the nation side never materializes a cross product."""
+    t(spark, sf, "supplier").createOrReplaceTempView("lat_supplier_v")
+    t(spark, sf, "nation").createOrReplaceTempView("lat_nation_v")
+    return spark.sql(
+        """
+        SELECT n_name, s_name, s_acctbal
+        FROM lat_nation_v n,
+        LATERAL (SELECT s_name, s_acctbal FROM lat_supplier_v s
+                 WHERE s.s_nationkey = n.n_nationkey
+                 ORDER BY s_acctbal DESC, s_name LIMIT 3) top3
+        """
+    )
+
+
+# ---------------------------------------------------------------- recursive CTE
+@query(
+    "q_recursive_month_spine",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT 0
+      UNION ALL
+      SELECT m + 1 FROM months WHERE m + 1 < 36),
+    spine AS (
+      SELECT 1996 + m // 12 AS yr, 1 + m % 12 AS mon FROM months),
+    actual AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mon,
+             COUNT(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1, 2)
+    SELECT CAST(s.yr AS BIGINT) AS yr, CAST(s.mon AS BIGINT) AS mon,
+           COALESCE(a.n_orders, 0) AS n_orders
+    FROM spine s LEFT JOIN actual a ON s.yr = a.yr AND s.mon = a.mon
+    """,
+)
+def q_recursive_month_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 surface): a 36-month spine generated by
+    recursion, left-joined to monthly order counts so silent months
+    appear as zeros.  The recursive branch is driver-tiny (36 rows) and
+    broadcasts; the aggregate side shuffles once — recursion never
+    touches the fact table, which is the only sane use of recursive
+    CTEs at 100 TB (spines/hierarchies, not data traversal)."""
+    t(spark, sf, "orders").createOrReplaceTempView("rec_orders_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT 0
+          UNION ALL
+          SELECT m + 1 FROM months WHERE m + 1 < 36),
+        spine AS (
+          SELECT 1996 + CAST(m / 12 AS INT) AS yr, 1 + m % 12 AS mon
+          FROM months),
+        actual AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(month(o_orderdate) AS BIGINT) AS mon,
+                 COUNT(*) AS n_orders
+          FROM rec_orders_v
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1999-01-01'
+          GROUP BY 1, 2)
+        SELECT CAST(s.yr AS BIGINT) AS yr, CAST(s.mon AS BIGINT) AS mon,
+               COALESCE(a.n_orders, 0) AS n_orders
+        FROM spine s LEFT JOIN actual a ON s.yr = a.yr AND s.mon = a.mon
+        """
+    )
+
+
+# ---------------------------------------------------------------- Arrow Python UDF
+@query(
+    "q_udf_arrow_vowel_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+                AS BIGINT) AS n_vowels,
+           CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                AS BIGINT) AS n_letters
+    FROM documents
+    """,
+)
+def q_udf_arrow_vowel_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (useArrow=True): per-doc vowel
+    and letter counts.  Same logic is trivially JVM-expressible (the
+    oracle is the regexp form) — registered to keep the U1 surface
+    honest about its COST model: Arrow serialization makes the
+    batch-transfer ~10x cheaper than pickled row-at-a-time UDFs, but it
+    is still a Python round-trip, so anything regexp-expressible
+    belongs JVM-side; this surface is for logic that genuinely needs
+    Python."""
+    from pyspark.sql.functions import udf
+
+    @udf("n_vowels bigint, n_letters bigint", useArrow=True)
+    def counts(text: str):
+        low = text.lower()
+        vowels = sum(low.count(v) for v in "aeiou")
+        letters = sum(c.isalpha() for c in low if ord(c) < 128)
+        return (vowels, letters)
+
+    d = t(spark, sf, "documents")
+    return d.select("doc_id", counts("text").alias("c")).select(
+        "doc_id",
+        F.col("c.n_vowels").alias("n_vowels"),
+        F.col("c.n_letters").alias("n_letters"),
+    )
