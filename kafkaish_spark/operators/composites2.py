@@ -862,3 +862,77 @@ def q_udf_arrow_vowel_ratio(spark: SparkSession, sf: str) -> DataFrame:
         F.col("c.n_vowels").alias("n_vowels"),
         F.col("c.n_letters").alias("n_letters"),
     )
+
+
+# ---------------------------------------------------------------- null-safe join
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio,
+             COUNT(*) AS n_open
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1),
+    b AS (
+      SELECT NULLIF(o_orderpriority, '1-URGENT') AS prio,
+             COUNT(*) AS n_closed
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+    SELECT a.prio, a.n_open, b.n_closed
+    FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the correct
+    semantics when NULL is a real category (here: the redacted
+    '1-URGENT' bucket).  Catalyst plans <=> as an ordinary hash join
+    key (EqualNullSafe), so there is no performance cliff vs = — but
+    beware at 100 TB: a heavy NULL bucket is the classic skew key, the
+    case AQE skew-join or salting handles."""
+    o = t(spark, sf, "orders")
+    prio = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio")
+    a = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select(prio)
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    b = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(prio)
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    return a.join(b, a["prio"].eqNullSafe(b["prio"])).select(
+        a["prio"], "n_open", "n_closed"
+    )
+
+
+# ---------------------------------------------------------------- try_* functions
+@query(
+    "q_scalar_try_functions",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_name AS INTEGER) AS name_as_int,
+           CASE WHEN p_size - p_size = 0 THEN NULL
+                ELSE p_retailprice / (p_size - p_size) END AS div_by_zero,
+           CASE WHEN p_size = 0 THEN NULL
+                ELSE p_retailprice / p_size END AS price_per_size
+    FROM part
+    """,
+)
+def q_scalar_try_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Error-safe scalar surface: try_cast / try_divide return NULL
+    instead of failing the 10-hour job on row 9 billion — the ANSI-mode
+    companion every large pipeline needs (one malformed row must
+    poison a row, not a stage).  Per-row, codegen'd, no shuffle."""
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").try_cast("int").alias("name_as_int"),
+        F.try_divide(
+            F.col("p_retailprice"), F.col("p_size") - F.col("p_size")
+        ).alias("div_by_zero"),
+        F.try_divide(F.col("p_retailprice"), F.col("p_size")).alias(
+            "price_per_size"
+        ),
+    )

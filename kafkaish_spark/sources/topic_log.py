@@ -679,6 +679,20 @@ class Engine:
             out = out.unionByName(f)
         return out
 
+    def topics_matching(self, pattern: str) -> list[str]:
+        """Topic names matching a regex — the Kafka ``subscribe(Pattern)``
+        analog.  Listing is a directory scan (no data touched), so a
+        pattern consumer picks up newly created matching topics on its
+        next call."""
+        import re
+
+        rx = re.compile(pattern)
+        return [n for n in self.topics() if rx.fullmatch(n)]
+
+    def union_matching(self, pattern: str) -> DataFrame:
+        """union_topics over the regex match set."""
+        return self.union_topics(self.topics_matching(pattern))
+
     def sql(self, statement: str) -> DataFrame:
         """Run SQL with every topic registered as ``topic_<name>``
         (batch view over the log — offset/ts/event/message).  The SQL

@@ -209,3 +209,53 @@ def test_on_error_raise_redelivers_batch(engine):
     )
     sub2.await_termination()
     assert got == [1, 2]
+
+
+def test_pattern_subscription_unions_matching_topics(spark, engine):
+    """Kafka subscribe(Pattern) analog: regex topic selection + union
+    read with per-topic offsets."""
+    for name in ("orders_eu", "orders_us", "audit"):
+        tp = engine.prepare_topic(name)
+        tp.publish_batch([("e", {"t": name, "i": i}) for i in range(3)])
+    assert engine.topics_matching(r"orders_.*") == ["orders_eu", "orders_us"]
+    df = engine.union_matching(r"orders_.*")
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {r.topic for r in rows} == {"orders_eu", "orders_us"}
+    # per-shard offsets each start at 1 (per-shard order, Kafka-partition analog)
+    per = {}
+    for r in rows:
+        per.setdefault(r.topic, []).append(r.offset)
+    assert all(sorted(v) == [1, 2, 3] for v in per.values())
+
+
+def test_delivery_monitor_records_throughput(spark, engine, tmp_path):
+    """DeliveryMonitor must see the subscription's batches and rows."""
+    import time
+
+    from kafkaish_spark.streaming.monitor import DeliveryMonitor
+    from kafkaish_spark.streaming.subscribe import subscribe
+
+    topic = engine.prepare_topic("mon_t")
+    topic.publish_batch([("e", {"i": i}) for i in range(10)])
+    mon = DeliveryMonitor.attach(spark)
+    try:
+        got = []
+        sub = subscribe(
+            topic, lambda e, m, o: got.append(o), name="mon_sub", replay=True
+        )
+        sub.await_termination(120)
+        assert len(got) == 10
+        # listener bus is async: give it a moment to drain
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            ms = mon.metrics()
+            if any(m["rows"] >= 10 and m["batches"] >= 1 for m in ms.values()):
+                break
+            time.sleep(0.5)
+        ms = mon.metrics()
+        assert any(m["rows"] >= 10 and m["batches"] >= 1 for m in ms.values()), ms
+        mdf = mon.metrics_df(spark)
+        assert mdf.filter(mdf.rows >= 10).count() >= 1
+    finally:
+        mon.detach(spark)
