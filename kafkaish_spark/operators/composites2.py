@@ -936,3 +936,101 @@ def q_scalar_try_functions(spark: SparkSession, sf: str) -> DataFrame:
             "price_per_size"
         ),
     )
+
+
+# ---------------------------------------------------------------- bitmap exact distinct
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregates (Spark 3.5+):
+    user ids roll into fixed-size bitmap buckets, buckets OR-merge.
+    Unlike HLL this is exact, and unlike COUNT(DISTINCT) the shuffle
+    carries one bitmap per (group, bucket) instead of every distinct
+    value — at 100 TB with dense integer keys this is the cheapest
+    exact-distinct there is (it's how warehouse engines implement
+    exact COUNT DISTINCT over int keys).  Result proven equal to the
+    plain COUNT(DISTINCT) oracle."""
+    ev = t(spark, sf, "events")
+    ev.createOrReplaceTempView("bm_events_v")
+    return spark.sql(
+        """
+        SELECT event_type, SUM(bitmap_count(b)) AS n_users
+        FROM (
+          SELECT event_type,
+                 bitmap_bucket_number(user_id) AS bk,
+                 bitmap_construct_agg(bitmap_bit_position(user_id)) AS b
+          FROM bm_events_v
+          GROUP BY event_type, bitmap_bucket_number(user_id))
+        GROUP BY event_type
+        """
+    )
+
+
+# ---------------------------------------------------------------- VARIANT JSON
+@query(
+    "q_json_variant_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 90
+    """,
+)
+def q_json_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """VARIANT (Spark 4's semi-structured type): parse once into a
+    binary-encoded variant, then typed-path extraction — unlike
+    get_json_object (string re-parse per access) the variant parses
+    ONCE and every later access is a binary seek, the right model when
+    a payload is touched by many expressions.  This is the engine's
+    schema-on-read path for the reference's arbitrary-BSON messages
+    (src/topic.js:26-29)."""
+    ev = t(spark, sf, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        ev.select(
+            "event_id",
+            F.variant_get(v, "$.k", "bigint").alias("k"),
+        )
+        .filter(F.col("k") > 90)
+    )
+
+
+# ---------------------------------------------------------------- collation
+@query(
+    "q_collation_group_lcase",
+    oracle="""
+    WITH mixed AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN upper(lang) ELSE lang END AS lang_mixed
+      FROM documents)
+    SELECT lower(lang_mixed) AS lang_norm, COUNT(*) AS n_docs
+    FROM mixed GROUP BY lower(lang_mixed)
+    """,
+)
+def q_collation_group_lcase(spark: SparkSession, sf: str) -> DataFrame:
+    """Collated grouping (Spark 4 collation support): GROUP BY a
+    UTF8_LCASE column folds case differences in the ENGINE's comparator
+    instead of a lower() rewrite — the declarative form survives joins,
+    distincts, and ORDER BY on the same column without sprinkling
+    normalizers.  (The output normalizes to lower() for the oracle,
+    whose grouping semantics are the rewrite form.)"""
+    d = t(spark, sf, "documents")
+    mixed = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.upper("lang"))
+        .otherwise(F.col("lang"))
+        .alias("lang_mixed"),
+    )
+    collated = mixed.select(
+        F.expr("lang_mixed COLLATE UTF8_LCASE").alias("lang_c")
+    )
+    return (
+        collated.groupBy("lang_c")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lower(F.col("lang_c")).cast("string").alias("lang_norm"), "n_docs")
+    )
