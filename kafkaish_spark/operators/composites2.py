@@ -23,6 +23,7 @@ from kafkaish_spark.sources.tables import load_table as t
 # ---------------------------------------------------------------- sessionization
 @query(
     "q_events_sessionize",
+    bench=True,
     oracle="""
     WITH ordered AS (
       SELECT user_id, ts, event_id,
@@ -941,6 +942,7 @@ def q_scalar_try_functions(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------- bitmap exact distinct
 @query(
     "q_agg_bitmap_distinct",
+    bench=True,
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS n_users
     FROM events GROUP BY event_type
@@ -1033,4 +1035,79 @@ def q_collation_group_lcase(spark: SparkSession, sf: str) -> DataFrame:
         collated.groupBy("lang_c")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .select(F.lower(F.col("lang_c")).cast("string").alias("lang_norm"), "n_docs")
+    )
+
+
+# ---------------------------------------------------------------- existence-flag join
+@query(
+    "q_join_existence_flag",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CASE WHEN EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderstatus = 'O')
+                THEN 1 ELSE 0 END AS has_open_order
+    FROM customer c
+    """,
+)
+def q_join_existence_flag(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS as a projected flag (not a filter): Catalyst plans the
+    correlated EXISTS-in-SELECT as an ExistenceJoin — one pass, no
+    row duplication when a customer has many open orders (a left join
+    + distinct would shuffle the duplicated fact).  The probe side is
+    the orders key set under a pushed status filter."""
+    c = t(spark, sf, "customer")
+    t(spark, sf, "orders").createOrReplaceTempView("exist_orders_v")
+    c.createOrReplaceTempView("exist_customer_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               CASE WHEN EXISTS (SELECT 1 FROM exist_orders_v o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderstatus = 'O')
+                    THEN 1 ELSE 0 END AS has_open_order
+        FROM exist_customer_v c
+        """
+    )
+
+
+# ---------------------------------------------------------------- BPE merge candidates
+@query(
+    "q_text_bigram_merge_candidates",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS idx
+      FROM documents)
+    SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS n_pairs
+    FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+    GROUP BY a.tok, b.tok
+    ORDER BY n_pairs DESC, t1, t2
+    LIMIT 20
+    """,
+)
+def q_text_bigram_merge_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """The first step of BPE/WordPiece vocabulary training: adjacent
+    token-pair frequencies, top merge candidates.  The Spark side
+    builds pairs with an indexed array lambda (slice + element_at)
+    INSIDE each row — linear, no self-join — where the oracle's
+    relational form needs a positional self-join; at 100 TB that
+    difference is the whole game (the join would shuffle the exploded
+    token table twice).  One shuffle for the pair count, top-20 via
+    TakeOrderedAndProject."""
+    d = t(spark, sf, "documents")
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
+                " (x, i) -> struct(x AS t1, element_at(split(text, ' '), i + 2) AS t2))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.t1", "p.t2")
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "t1", "t2")
+        .limit(20)
     )

@@ -440,6 +440,43 @@ class Topic:
             deleted += 1
         return deleted
 
+    def truncate_before(self, offset: int) -> int:
+        """Kafka ``deleteRecords(beforeOffset)`` analog: evict every
+        segment file whose max offset is below ``offset`` (whole-file
+        granularity — the same contiguous-suffix invariant as the
+        retention jobs; messages inside a partially-covered segment
+        survive, matching Kafka's log-start-offset rounding to segment
+        boundaries).  The tail file always survives as the offset
+        anchor.  Returns #files deleted."""
+        segs = [s for s in self._segment_stats() if s["min_off"] is not None]
+        tail = max((s["max_off"] for s in segs), default=0)
+        deleted = 0
+        for s in sorted(segs, key=lambda s: s["min_off"]):
+            if s["max_off"] >= offset or s["max_off"] >= tail:
+                break  # prefix semantics: stop at first surviving file
+            os.remove(s["path"])
+            deleted += 1
+        return deleted
+
+    def describe(self) -> dict:
+        """Topic introspection (Kafka describeTopics + log dirs in one):
+        message count, offset range, byte size, segment count, and
+        known subscribers — all from footer stats and directory
+        listings except the message count (one metadata-only Spark
+        count over the footers)."""
+        segs = self._segment_stats()
+        offs = [s for s in segs if s["min_off"] is not None]
+        subs = [r["name"] for r in self.subscribers().collect()] if segs else []
+        return {
+            "topic": self.name,
+            "n_segments": len(segs),
+            "bytes": sum(s["size"] for s in segs),
+            "min_offset": min((s["min_off"] for s in offs), default=0),
+            "max_offset": max((s["max_off"] for s in offs), default=0),
+            "n_messages": self.log().count(),
+            "subscribers": sorted(subs),
+        }
+
     def compact(self, target_files: int = 1) -> int:
         """Merge small log segments into ``target_files`` per partition
         — the companion job to streaming ingest (many tiny appends

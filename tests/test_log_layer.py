@@ -393,3 +393,31 @@ def test_consumer_group_poll_commit_and_rebalance(engine):
         cg3.commit(m, bounds)
     assert sorted(seen2) == sorted((s, 3) for s in shards)
     assert cg3.lag().filter("lag != 0").count() == 0
+
+
+def test_truncate_before_keeps_contiguous_suffix(engine):
+    """deleteRecords analog: early segments evicted, suffix intact."""
+    topic = engine.prepare_topic("trunc_t")
+    for i in range(5):  # 5 publish batches -> >= 5 segment groups
+        topic.publish_batch([("e", {"i": i * 10 + j}) for j in range(10)])
+    assert topic.latest() == 50
+    deleted = topic.truncate_before(25)
+    assert deleted > 0
+    offs = sorted(r.offset for r in topic.log().collect())
+    # survivors are a contiguous suffix ending at the tail
+    assert offs[-1] == 50
+    assert offs == list(range(offs[0], 51))
+    # replay from an evicted offset just resumes from what remains
+    assert topic.replay(since=0).count() == len(offs)
+
+
+def test_describe_reports_topic_state(engine):
+    topic = engine.prepare_topic("desc_t")
+    topic.publish_batch([("e", {"i": i}) for i in range(7)])
+    topic.ack("worker", 3)
+    d = topic.describe()
+    assert d["topic"] == "desc_t"
+    assert d["n_messages"] == 7
+    assert d["min_offset"] == 1 and d["max_offset"] == 7
+    assert d["n_segments"] >= 1 and d["bytes"] > 0
+    assert d["subscribers"] == ["worker"]
