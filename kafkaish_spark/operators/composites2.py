@@ -1111,3 +1111,175 @@ def q_text_bigram_merge_candidates(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "t1", "t2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------- TPC-H Q6
+@query(
+    "q_tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure
+    scan-filter-aggregate — every predicate pushes to the parquet scan
+    (date range prunes row groups via min/max), the aggregate is a
+    single global partial+final with no group keys.  The simplest
+    query in the suite and the one where scan efficiency IS the whole
+    cost: at 100 TB this is bounded by storage bandwidth times the
+    pruning ratio."""
+    li = t(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q7
+@query(
+    "q_tpch_q7_nation_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation nc ON nc.n_nationkey = c_nationkey
+    JOIN nation ns ON ns.n_nationkey = s_nationkey
+    WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY ns.n_name, nc.n_name, year(l_shipdate)
+    """,
+)
+def q_tpch_q7_nation_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): the
+    bidirectional nation-pair filter over a five-way star.  Every
+    dimension chain (orders->customer->nation, supplier->nation)
+    broadcasts, so the lineitem fact joins without shuffling; the
+    pair predicate is applied post-join (it spans both chains), and
+    the final group-by is the single Exchange on three low-cardinality
+    keys."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    s = t(spark, sf, "supplier")
+    n = t(spark, sf, "nation")
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_chain = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key")
+    ).select("o_orderkey", "cust_nation")
+    supp_chain = s.join(F.broadcast(ns), s.s_nationkey == F.col("ns_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    joined = (
+        li.join(F.broadcast(cust_chain), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp_chain), li.l_suppkey == F.col("s_suppkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("bigint").alias("l_year"),
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+
+
+# ---------------------------------------------------------------- TPC-H Q8
+@query(
+    "q_tpch_q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             ns.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation nc ON nc.n_nationkey = c_nationkey
+      JOIN region    ON r_regionkey = nc.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s_nationkey
+      WHERE r_name = 'EUROPE'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           round({dsum_sql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")}
+                 / {dsum_sql('volume')}, 6) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    supply volume into EUROPE-customer orders per year.  The
+    conditional-sum-over-sum ratio computes from two exact-decimal
+    sums and ONE IEEE division (reproducible at any partitioning);
+    everything except the lineitem scan broadcasts, and both sums come
+    out of one aggregate pass — not two queries."""
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    s = t(spark, sf, "supplier")
+    nc = n.select("n_nationkey", "n_regionkey")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_chain = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == nc.n_nationkey)
+        .join(F.broadcast(r), nc.n_regionkey == r.r_regionkey)
+        .select("o_orderkey", "o_orderdate")
+    )
+    supp_chain = s.join(F.broadcast(ns), s.s_nationkey == F.col("ns_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    vol = (
+        li.join(F.broadcast(cust_chain), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp_chain), li.l_suppkey == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    nation_vol = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0)
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(dsum(nation_vol) / dsum(F.col("volume")), 6).alias("mkt_share")
+    )

@@ -476,3 +476,38 @@ def test_stateful_dedup_within_watermark_scoped(engine, spark, tmp_path):
     )
     rows = _collect_stream(spark, dedup, tmp_path, mode="append")
     assert sorted(r["message"] for r in rows) == ["k1", "k2", "k3"]
+
+
+def test_cascaded_stateful_window_aggs(engine, spark, tmp_path):
+    """Multiple stateful operators in ONE streaming query (Spark 3.4+
+    append-mode chaining): hourly counts re-aggregated into a daily
+    max-hourly-rate — the streaming form of the hour->day rollup
+    hierarchy, with no intermediate topic or second query."""
+    topic = _seed_topic(
+        engine,
+        "w_cascade",
+        [
+            ("e", "a", "2024-01-01 10:05:00"),
+            ("e", "b", "2024-01-01 10:15:00"),
+            ("e", "c", "2024-01-01 10:25:00"),
+            ("e", "d", "2024-01-01 11:05:00"),
+            ("e", "x", "2024-01-02 09:05:00"),
+            # watermark mover so day-1 windows close
+            ("e", "z", "2024-01-03 12:00:00"),
+        ],
+    )
+    hourly = (
+        topic.stream()
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour").alias("hw"))
+        .agg(F.count(F.lit(1)).alias("n_hour"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("hw"), "1 day").alias("dw"))
+        .agg(F.max("n_hour").alias("max_hourly"))
+        .select(F.col("dw.start").cast("string").alias("day"), "max_hourly")
+    )
+    rows = _collect_stream(spark, daily, tmp_path, mode="append")
+    got = {r["day"]: r["max_hourly"] for r in rows}
+    assert got.get("2024-01-01 00:00:00") == 3
+    assert got.get("2024-01-02 00:00:00") == 1
