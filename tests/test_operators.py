@@ -421,3 +421,71 @@ def test_weighted_sample_favors_long_docs(spark, sf_dir):
         load_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).collect()[0][0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_attribution_asof_single_exchange(spark, sf_dir):
+    """The last-touch attribution kernel (union timeline + max(struct))
+    must resolve with exactly ONE shuffle on user_id — no click x
+    purchase pairwise join anywhere in the plan."""
+    from kafkaish_spark.operators.composites4 import (
+        q_events_attribution_last_touch,
+    )
+
+    plan = (
+        q_events_attribution_last_touch(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_multi_distinct_uses_expand(spark, sf_dir):
+    """N COUNT(DISTINCT) columns must plan as one Expand-based
+    aggregate, not N separate aggregation subtrees."""
+    from kafkaish_spark.operators.composites4 import q_agg_multi_distinct
+
+    plan = (
+        q_agg_multi_distinct(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    """The column profiler computes six columns' stats in ONE scan of
+    orders (the oracle's six-scan UNION ALL is the spec, not the
+    plan): exactly one FileScan, and no Union."""
+    from kafkaish_spark.operators.composites6 import q_profile_columns
+
+    plan = (
+        q_profile_columns(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_pit_lookup_no_fact_history_join(spark, sf_dir):
+    """The point-in-time lookup must not band-join lineitem against the
+    order history: the only join is the lineitem->orders key join that
+    recovers custkey; the as-of resolution itself is a window over the
+    union timeline."""
+    from kafkaish_spark.operators.composites4 import q_join_pit_priority
+
+    plan = (
+        q_join_pit_priority(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_joins = plan.count("Join")
+    assert n_joins <= 2, plan  # equi-join (maybe counted twice in AQE text)
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
