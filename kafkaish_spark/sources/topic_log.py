@@ -261,15 +261,26 @@ class Topic:
         row = self.log().agg(F.coalesce(F.max("offset"), F.lit(0)).alias("m")).first()
         return int(row["m"])
 
-    def replay(self, since: int = 0, event: str | None = None) -> DataFrame:
-        """Batch replay: everything after ``since`` for ``event`` (None =
-        wildcard), in offset order (ref: replayFrom src/topic.js:143-201).
-        The offset predicate pushes down to parquet row groups — strictly
-        better than the reference, which filters events client-side
-        (src/topic.js:172-173)."""
+    def replay(
+        self,
+        since: int = 0,
+        event: str | None = None,
+        until: int | None = None,
+    ) -> DataFrame:
+        """Batch replay: everything after ``since`` (and, when ``until``
+        is given, at most ``until`` — inclusive) for ``event`` (None =
+        wildcard), in offset order (ref: replayFrom src/topic.js:143-201;
+        the upper bound is the Kafka bounded-consumption analog the
+        reference lacks, and with ``offset_for_time`` it gives offset- or
+        time-bounded time travel over the log).  Both offset predicates
+        push down to parquet row groups, so out-of-range segments are
+        skipped on footer stats — strictly better than the reference,
+        which filters events client-side (src/topic.js:172-173)."""
         df = self.log()
         if since:
             df = df.filter(F.col("offset") > F.lit(int(since)))
+        if until is not None:
+            df = df.filter(F.col("offset") <= F.lit(int(until)))
         if event is not None:
             df = df.filter(F.col("event") == F.lit(event))
         return df.orderBy("offset")

@@ -45,6 +45,10 @@ def test_replay_filters_event_and_offset(engine):
     assert [r["offset"] for r in only_b] == [2, 4]
     late = topic.replay(since=2).collect()
     assert [r["offset"] for r in late] == [3, 4]
+    # bounded replay (Kafka bounded-consumption analog): (since, until]
+    mid = topic.replay(since=1, until=3).collect()
+    assert [r["offset"] for r in mid] == [2, 3]
+    assert topic.replay(until=0).count() == 0
 
 
 def test_ack_monotonic_and_lag(engine):
