@@ -186,3 +186,63 @@ def q_multimodal_frame_sample_stub(spark: SparkSession, sf: str) -> DataFrame:
     real row-explosion plumbing)."""
     media = media_table(spark, sf)
     return media.mapInPandas(sample_frame_batches(), FRAMES_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, frame_idx long, start_byte long, n_samples long, "
+    "energy long, peak long"
+)
+
+
+def audio_feature_batches(frame_bytes: int = 256):
+    """mapInPandas kernel factory for audio feature extraction: one
+    input row (audio payload) fans out to one row per fixed-size
+    analysis frame, with per-frame energy (sum of sample magnitudes)
+    and peak.  Only the CODEC is conceptually stubbed (a real pipeline
+    would decode mp3/flac to PCM first — no av/soundfile in this
+    container); the frame windowing and per-frame reductions below run
+    on the actual payload bytes treated as unsigned 8-bit PCM, so the
+    features are real, deterministic integer DSP — recomputable by the
+    test without Spark.
+
+    Scale shape: a T-second clip yields T*rate/frame_bytes rows of
+    fixed width — output size is decoupled from payload size, and the
+    Arrow batches bound executor memory exactly like the resize
+    kernel."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_idx": [],
+                "start_byte": [],
+                "n_samples": [],
+                "energy": [],
+                "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                # STUB boundary: real path = decode container -> PCM;
+                # here the raw bytes ARE the samples.
+                for i in range(0, len(b), frame_bytes):
+                    frame = b[i : i + frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i // frame_bytes)
+                    out["start_byte"].append(i)
+                    out["n_samples"].append(len(frame))
+                    out["energy"].append(sum(frame))
+                    out["peak"].append(max(frame))
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+@query("q_multimodal_audio_features_stub", oracle=None)
+def q_multimodal_audio_features_stub(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio feature-extraction fan-out through mapInPandas (stubbed
+    codec, real frame windowing + integer reductions), completing the
+    decode / feature-extract / resize / frame-sample kernel set."""
+    media = media_table(spark, sf)
+    return media.mapInPandas(audio_feature_batches(), AUDIO_SCHEMA)

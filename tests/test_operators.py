@@ -489,3 +489,31 @@ def test_pit_lookup_no_fact_history_join(spark, sf_dir):
     assert n_joins <= 2, plan  # equi-join (maybe counted twice in AQE text)
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_audio_features_match_local_recompute(spark, sf_dir):
+    """The audio frame features must equal a plain-Python recompute on
+    the same payload bytes (the kernel does real integer DSP; only the
+    codec is stubbed)."""
+    from kafkaish_spark.operators.multimodal import (
+        q_multimodal_audio_features_stub,
+    )
+    from kafkaish_spark.sources.tables import load_table
+
+    rows = q_multimodal_audio_features_stub(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"].encode()
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, payload in list(docs.items())[:50]:
+        frames = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
+        assert len(frames) == (len(payload) + 255) // 256
+        for r in frames:
+            chunk = payload[r["start_byte"] : r["start_byte"] + 256]
+            assert r["n_samples"] == len(chunk)
+            assert r["energy"] == sum(chunk)
+            assert r["peak"] == max(chunk)
