@@ -132,3 +132,77 @@ def q_scalar_datetime_sweep(spark: SparkSession, sf: str) -> DataFrame:
         F.dayofyear(d).cast("long").alias("doy"),
         F.to_date(F.date_trunc("quarter", d)).alias("qtr_start"),
     )
+
+
+# ------------------------------------------------- Count-Min sketch
+_CMS_DEPTH, _CMS_WIDTH = 4, 1024
+
+
+@query("q_sketch_count_min_terms", oracle=None)
+def q_sketch_count_min_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min frequency sketch over corpus terms — the mergeable
+    heavy-hitters complement to the HLL cardinality sketch
+    (q_sketch_hll_cardinality).  Each term increments one counter per
+    hash row (seeded xxhash64 mod width); a term's frequency estimate
+    is the MIN of its {_CMS_DEPTH} cells — always an overestimate,
+    within eps*N (eps ~ e/width) with high probability.  The sketch IS
+    a DataFrame of (row_id, bucket, n): integer counters that merge by
+    addition, so map-side partial aggregation builds it in one pass
+    with a shuffle of at most depth x width rows — constant size no
+    matter how many terms, the whole point at 100 TB (exact top-k over
+    an unbounded vocabulary is q_text_tf_top_terms; this is what you
+    run when the vocabulary doesn't fit anywhere).  Rows-only:
+    xxhash64 seeding is engine-specific; the overestimate property and
+    the eps*N accuracy bound are pytest-asserted via cms_lookup."""
+    d = t(spark, sf, "documents")
+    terms = d.select(F.explode(F.split("text", " ")).alias("term"))
+    cells = terms.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        F.pmod(
+                            F.xxhash64(F.lit(i), F.col("term")),
+                            F.lit(_CMS_WIDTH),
+                        ).alias("bucket"),
+                    )
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("c")
+    ).select("c.row_id", "c.bucket")
+    return cells.groupBy("row_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def cms_lookup(spark: SparkSession, sketch: DataFrame, terms: DataFrame) -> DataFrame:
+    """Query the Count-Min sketch: for each row of ``terms`` (column
+    ``term``), recompute the {_CMS_DEPTH} cell coordinates with the
+    SAME seeded hashes and take the minimum counter.  The sketch side
+    is at most depth x width rows — broadcast — so lookups never
+    shuffle the term list; missing cells count as 0."""
+    probes = terms.select(
+        "term",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_id"),
+                        F.pmod(
+                            F.xxhash64(F.lit(i), F.col("term")),
+                            F.lit(_CMS_WIDTH),
+                        ).alias("bucket"),
+                    )
+                    for i in range(_CMS_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("term", "c.row_id", "c.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row_id", "bucket"], "left")
+        .na.fill({"n": 0})
+        .groupBy("term")
+        .agg(F.min("n").cast("long").alias("est"))
+    )

@@ -517,3 +517,36 @@ def test_audio_features_match_local_recompute(spark, sf_dir):
             assert r["n_samples"] == len(chunk)
             assert r["energy"] == sum(chunk)
             assert r["peak"] == max(chunk)
+
+
+def test_count_min_sketch_overestimates_within_bound(spark, sf_dir):
+    """CMS property: every estimate >= the exact count, and for the
+    top terms the overshoot stays within ~3*N/width (deterministic on
+    the fixed corpus)."""
+    from pyspark.sql import functions as F
+
+    from kafkaish_spark.operators.composites8 import (
+        _CMS_WIDTH,
+        cms_lookup,
+        q_sketch_count_min_terms,
+    )
+    from kafkaish_spark.sources.tables import load_table
+
+    sketch = q_sketch_count_min_terms(spark, sf_dir)
+    terms = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+    )
+    exact = terms.groupBy("term").count()
+    n_total = terms.count()
+    top = exact.orderBy(F.desc("count"), "term").limit(20)
+    est = cms_lookup(spark, sketch, top.select("term"))
+    joined = {
+        r["term"]: (r["count"], r["est"])
+        for r in top.join(est, "term").collect()
+    }
+    assert len(joined) == 20
+    bound = 3 * n_total / _CMS_WIDTH
+    for term, (true_n, est_n) in joined.items():
+        assert est_n >= true_n, (term, true_n, est_n)
+        assert est_n - true_n <= bound, (term, true_n, est_n, bound)
