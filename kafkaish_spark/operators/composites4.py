@@ -239,10 +239,18 @@ def q_events_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
     one shuffle on user_id, linear state, no click x purchase pairwise
     join — the difference between O(events) and O(hot-user²) on a
     100 TB clickstream.  Output is per-purchase: the winning click id
-    and the gap, NULL when no click qualifies (organic purchase)."""
+    and the gap, NULL when no click qualifies (organic purchase).
+    Kernel extracted as ``last_touch_attribution`` so the hypothesis
+    property test can drive it with arbitrary synthetic timelines."""
     ev = t(spark, sf, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
+    return last_touch_attribution(ev)
+
+
+def last_touch_attribution(ev: DataFrame) -> DataFrame:
+    """The reusable kernel: ``ev`` needs (user_id, ts, event_id,
+    event_type in {click, purchase})."""
     tl = ev.select(
         "user_id",
         "ts",

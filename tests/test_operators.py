@@ -550,3 +550,104 @@ def test_count_min_sketch_overestimates_within_bound(spark, sf_dir):
     for term, (true_n, est_n) in joined.items():
         assert est_n >= true_n, (term, true_n, est_n)
         assert est_n - true_n <= bound, (term, true_n, est_n, bound)
+
+
+def _brute_force_attribution(rows, window_ms=30 * 60 * 1000):
+    """Reference model for last-touch attribution: latest click of the
+    same user at ts <= purchase ts (max by (ts, id)), within window."""
+    out = {}
+    for u, ms, eid, kind in rows:
+        if kind != "purchase":
+            continue
+        clicks = [
+            (cms, cid)
+            for (cu, cms, cid, ck) in rows
+            if ck == "click" and cu == u and cms <= ms
+        ]
+        if clicks:
+            cms, cid = max(clicks)
+            out[eid] = (cid, ms - cms) if ms - cms <= window_ms else (None, None)
+        else:
+            out[eid] = (None, None)
+    return out
+
+
+def test_attribution_matches_brute_force_on_synthetic_timelines(spark):
+    """The union-timeline/max(struct) kernel must agree with the
+    quadratic reference model on adversarial timelines: same-ms click
+    and purchase (attributes), exactly-30-min gaps (attributes),
+    30-min-plus-1-ms gaps (does not), interleaved users, and clicks
+    after purchases (ignored)."""
+    from pyspark.sql import functions as F
+
+    from kafkaish_spark.operators.composites4 import last_touch_attribution
+
+    W = 30 * 60 * 1000
+    rows = [
+        # (user, ms, event_id, kind)
+        (0, 1000, 1, "click"),
+        (0, 1000, 2, "purchase"),      # same-ms tie -> attributes to 1
+        (0, 2000, 3, "purchase"),      # still click 1
+        (0, 2000 + W, 4, "purchase"),  # exactly W after click? gap vs click1
+        (1, 0, 5, "click"),
+        (1, W, 6, "purchase"),         # exactly W -> attributes
+        (1, W + 1, 7, "purchase"),     # W+1 after click 5 -> organic
+        (2, 10, 8, "purchase"),        # purchase before any click
+        (2, 20, 9, "click"),
+        (2, 25, 10, "click"),
+        (2, 30, 11, "purchase"),       # latest click 10
+        (3, 5, 12, "purchase"),        # user with no clicks at all
+    ]
+    df = spark.createDataFrame(
+        [(u, ms, eid, k) for u, ms, eid, k in rows],
+        "user_id long, ms long, event_id long, event_type string",
+    ).select(
+        "user_id",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    got = {
+        r["purchase_id"]: (r["click_id"], r["gap_ms"])
+        for r in last_touch_attribution(df).collect()
+    }
+    assert got == _brute_force_attribution(rows)
+
+
+def test_attribution_property_random_timelines(spark):
+    """Randomized property sweep (fixed seed, deterministic): kernel ==
+    brute force on dense random timelines with heavy ts collisions."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from kafkaish_spark.operators.composites4 import last_touch_attribution
+
+    rng = random.Random(42)
+    W = 30 * 60 * 1000
+    interesting = [0, 1, 999, 1000, W - 1, W, W + 1, 2 * W, 2 * W + 7]
+    rows = []
+    eid = 0
+    for _ in range(120):
+        eid += 1
+        rows.append(
+            (
+                rng.randrange(4),
+                rng.choice(interesting) + rng.choice([0, 0, 0, rng.randrange(5000)]),
+                eid,
+                rng.choice(["click", "purchase"]),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "user_id long, ms long, event_id long, event_type string"
+    ).select(
+        "user_id",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+        "event_id",
+        "event_type",
+    )
+    got = {
+        r["purchase_id"]: (r["click_id"], r["gap_ms"])
+        for r in last_touch_attribution(df).collect()
+    }
+    assert got == _brute_force_attribution(rows)
