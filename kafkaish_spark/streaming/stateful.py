@@ -125,3 +125,78 @@ def running_totals_tws(stream: DataFrame, key_col: str = "event") -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def last_touch_attribution_stream(stream: DataFrame) -> DataFrame:
+    """Streaming last-touch attribution — the streaming dual of the
+    batch as-of kernel (operators/composites4.last_touch_attribution):
+    per-user state holds the latest click (ts_ms, id); each purchase
+    emits its attribution (click id + gap, within 30 minutes) the
+    moment it arrives.
+
+    ``stream`` needs (user_id, ts, event_id, event_type in {click,
+    purchase}).  Within a micro-batch, rows process in (ts, kind, id)
+    order — clicks before purchases at equal ts, exactly the batch
+    kernel's tie rule — and the click state persists in the
+    checkpointed state store across batches and restarts.  Delivery
+    caveat (inherent to streaming): results match the batch kernel
+    when each user's events arrive in event-time order across
+    micro-batches, which the topic log's offset-ordered delivery
+    guarantees for in-order producers; out-of-order stragglers
+    attribute against the state as of their ARRIVAL (a watermark +
+    event-time buffer is the fix when producers can't promise order).
+
+    State is two longs per user — sharded by the grouping key, bounded
+    regardless of stream length."""
+    from pyspark.sql import functions as F
+
+    from kafkaish_spark.functions.timeutil import epoch_ms
+
+    _W_MS = 30 * 60 * 1000
+    out_schema = StructType(
+        [
+            StructField("purchase_id", LongType()),
+            StructField("click_id", LongType()),
+            StructField("gap_ms", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_ms", LongType()), StructField("last_id", LongType())]
+    )
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        last_ms, last_id = state.get if state.exists else (None, None)
+        out_p, out_c, out_g = [], [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ms", "kind", "event_id"])
+        for ms, kind, eid in zip(batch["ms"], batch["kind"], batch["event_id"]):
+            if kind == 0:  # click
+                last_ms, last_id = int(ms), int(eid)
+            else:  # purchase
+                hit = last_ms is not None and int(ms) - last_ms <= _W_MS
+                out_p.append(int(eid))
+                out_c.append(last_id if hit else None)
+                out_g.append(int(ms) - last_ms if hit else None)
+        if last_ms is not None:
+            state.update((last_ms, last_id))
+        yield pd.DataFrame(
+            {"purchase_id": out_p, "click_id": out_c, "gap_ms": out_g}
+        )
+
+    prep = stream.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        epoch_ms(F.col("ts")).alias("ms"),
+        F.when(F.col("event_type") == "click", F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("kind"),
+        "event_id",
+    )
+    return prep.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

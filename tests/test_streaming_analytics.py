@@ -511,3 +511,61 @@ def test_cascaded_stateful_window_aggs(engine, spark, tmp_path):
     got = {r["day"]: r["max_hourly"] for r in rows}
     assert got.get("2024-01-01 00:00:00") == 3
     assert got.get("2024-01-02 00:00:00") == 1
+
+
+def test_streaming_last_touch_attribution(engine, spark, tmp_path):
+    """Streaming dual of the batch as-of kernel: per-user click state
+    attributes purchases across micro-batches and restarts, with the
+    same 30-min window and same-ts tie rule as the batch kernel."""
+    from kafkaish_spark.streaming.stateful import last_touch_attribution_stream
+
+    topic = engine.prepare_topic("attr_stream")
+
+    def pub(rows):
+        # the log envelope is (offset, ts, event, message): route the
+        # event kind through `event` and the ids through the payload
+        topic.publish_df(
+            spark.createDataFrame(
+                rows, "user_id long, event_id long, event_type string, ts string"
+            )
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .select(
+                F.col("event_type").alias("event"),
+                F.to_json(F.struct("user_id", "event_id")).alias("message"),
+                "ts",
+            )
+        )
+
+    pub(
+        [
+            (1, 1, "click", "2024-01-01 10:00:00"),
+            (1, 2, "purchase", "2024-01-01 10:10:00"),   # -> click 1
+            (1, 3, "purchase", "2024-01-01 10:31:00"),   # 31 min -> organic
+            (2, 4, "purchase", "2024-01-01 10:00:00"),   # no click yet
+        ]
+    )
+
+    def run():
+        stream = topic.stream().select(
+            F.get_json_object("message", "$.user_id").cast("long").alias(
+                "user_id"
+            ),
+            "ts",
+            F.get_json_object("message", "$.event_id").cast("long").alias(
+                "event_id"
+            ),
+            F.col("event").alias("event_type"),
+        )
+        return _collect_stream(
+            spark, last_touch_attribution_stream(stream), tmp_path
+        )
+
+    got = {r["purchase_id"]: (r["click_id"], r["gap_ms"]) for r in run()}
+    assert got == {2: (1, 600000), 3: (None, None), 4: (None, None)}
+
+    # click state survives into the next batch AND the next restart:
+    # a purchase 20 min after a click published in a LATER batch
+    pub([(2, 5, "click", "2024-01-01 10:20:00")])
+    pub([(2, 6, "purchase", "2024-01-01 10:40:00")])
+    got2 = {r["purchase_id"]: (r["click_id"], r["gap_ms"]) for r in run()}
+    assert got2[6] == (5, 1200000)
