@@ -651,3 +651,19 @@ def test_attribution_property_random_timelines(spark):
         for r in last_touch_attribution(df).collect()
     }
     assert got == _brute_force_attribution(rows)
+
+
+def test_cumulative_distinct_single_exchange(spark, sf_dir):
+    """Both windows of the running-distinct rewrite partition on
+    user_id; the plan must reuse ONE shuffle and re-sort in place."""
+    from kafkaish_spark.operators.composites11 import (
+        q_window_cumulative_distinct,
+    )
+
+    plan = (
+        q_window_cumulative_distinct(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
