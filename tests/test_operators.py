@@ -667,3 +667,27 @@ def test_cumulative_distinct_single_exchange(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout prunes at the DIRECTORY level: a filter
+    on the partition column must appear as PartitionFilters on the
+    scan (files of other partitions are never listed into the plan),
+    which is the coarse-grained skip that runs BEFORE row-group
+    statistics at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from kafkaish_spark.sources.tables import load_table
+
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan, plan
+    assert "event_type" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    assert (
+        back.count()
+        == ev.filter(F.col("event_type") == "click").count()
+    )
