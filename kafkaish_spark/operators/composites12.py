@@ -1,0 +1,111 @@
+"""Twelfth operator batch: row-pattern matching — the MATCH_RECOGNIZE
+analog.  Spark has no SQL:2016 MATCH_RECOGNIZE clause; the classical
+rewrite encodes each key's ordered event sequence as a letter string
+and runs the row pattern as a REGEX over it — patterns like
+"one-or-more clicks then a purchase" become literally ``c+p``.
+
+Determinism rules: the sequence string builds from
+``sort_array(collect_list(struct(ts, event_id, letter)))`` — an
+explicit total order, never the shuffle-dependent collect_list order —
+and both engines' regex engines agree on greedy non-overlapping
+matching for these patterns.
+
+Reference parity: [NS] north-star operator per SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+# event_type -> pattern letter (single chars keep the regex readable)
+_LETTERS = {
+    "click": "c",
+    "purchase": "p",
+    "view": "v",
+    "error": "e",
+    "signup": "s",
+}
+
+
+@query(
+    "q_events_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'click' THEN 'c'
+                                        WHEN 'purchase' THEN 'p'
+                                        WHEN 'view' THEN 'v'
+                                        WHEN 'error' THEN 'e'
+                                        ELSE 's' END,
+                        '' ORDER BY ts, event_id) AS s,
+             COUNT(*) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract_all(s, 'c+p')) AS BIGINT)
+             AS n_click_to_buy,
+           CAST(COALESCE(list_max(list_transform(
+                  regexp_extract_all(s, 'c+'), x -> len(x))), 0) AS BIGINT)
+             AS longest_click_run,
+           CAST(len(regexp_extract_all(s, 'pe')) AS BIGINT)
+             AS n_buy_then_error
+    FROM seq
+    """,
+)
+def q_events_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-pattern matching (MATCH_RECOGNIZE analog): per user, count
+    'one-or-more clicks then a purchase' journeys (``c+p``), the
+    longest uninterrupted click run (``c+``), and purchase-then-error
+    incidents (``pe``) — sequential-behavior questions a funnel
+    aggregate can't answer because ADJACENCY matters.  The per-user
+    timeline compiles to a letter string (sorted struct collect, so
+    the order is the data's, not the shuffle's) and each pattern is
+    one regex — both engines scan greedy non-overlapping, so counts
+    agree exactly.  One shuffle on user_id; state per user is its
+    history string, so at unbounded history you shard the timeline
+    (user, week) and stitch run boundaries, or run the streaming
+    stateful twin (streaming.stateful) instead."""
+    ev = t(spark, sf, "events")
+    known = list(_LETTERS.items())
+    letter = F.when(F.col("event_type") == known[0][0], known[0][1])
+    for k, v in known[1:-1]:
+        letter = letter.when(F.col("event_type") == k, v)
+    letter = letter.otherwise(known[-1][1])  # ELSE 's', as in the oracle
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            letter.alias("l"),
+                        )
+                    )
+                ),
+                lambda x: x["l"],
+            ),
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    runs = F.transform(
+        F.regexp_extract_all(F.col("s"), F.lit("c+"), F.lit(0)),
+        lambda x: F.length(x),
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.size(F.regexp_extract_all(F.col("s"), F.lit("c+p"), F.lit(0)))
+        .cast("long")
+        .alias("n_click_to_buy"),
+        F.coalesce(F.array_max(runs), F.lit(0))
+        .cast("long")
+        .alias("longest_click_run"),
+        F.size(F.regexp_extract_all(F.col("s"), F.lit("pe"), F.lit(0)))
+        .cast("long")
+        .alias("n_buy_then_error"),
+    )

@@ -57,6 +57,7 @@ def _load_all() -> None:
     import kafkaish_spark.operators.composites9  # noqa: F401
     import kafkaish_spark.operators.composites10  # noqa: F401
     import kafkaish_spark.operators.composites11  # noqa: F401
+    import kafkaish_spark.operators.composites12  # noqa: F401
 
 
 def all_queries() -> dict[str, QuerySpec]:
