@@ -109,3 +109,57 @@ def q_events_pattern_match(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_buy_then_error"),
     )
+
+
+# ------------------------------------------------- NULL-handling scalars
+@query(
+    "q_scalar_null_functions",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'O') AS closed_status,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN o_orderpriority END AS hot_priority
+      FROM orders)
+    SELECT coalesce(closed_status, 'OPEN') AS status_or_open,
+           CASE WHEN hot_priority IS NOT NULL
+                THEN 'expedite' ELSE 'queue' END AS routing,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN closed_status IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           COUNT(hot_priority) AS n_hot
+    FROM x GROUP BY coalesce(closed_status, 'OPEN'),
+                    CASE WHEN hot_priority IS NOT NULL
+                         THEN 'expedite' ELSE 'queue' END
+    """,
+)
+def q_scalar_null_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL-handling scalar surface (R27 completion): nullif
+    manufactures NULLs ('O' = still open -> NULL), coalesce restores a
+    default, nvl2-style branching routes on presence, and the
+    NULL-skipping COUNT(col) vs the NULL-counting SUM(CASE) show both
+    counting conventions side by side.  All pure codegen expressions —
+    the three-valued-logic toolkit every dirty-data pipeline leans on
+    (and the same semantics the null-safe join, q_join_null_safe,
+    exercises at the join boundary)."""
+    o = t(spark, sf, "orders")
+    closed = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    hot = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.col("o_orderpriority"),
+    )
+    x = o.select(closed.alias("closed_status"), hot.alias("hot_priority"))
+    return x.groupBy(
+        F.coalesce(F.col("closed_status"), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.nvl2(F.col("hot_priority"), F.lit("expedite"), F.lit("queue")).alias(
+            "routing"
+        ),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("closed_status").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_open"),
+        F.count("hot_priority").alias("n_hot"),
+    )
