@@ -200,3 +200,85 @@ def last_touch_attribution_stream(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def pattern_detect_stream(stream: DataFrame) -> DataFrame:
+    """Streaming row-pattern detection — the live twin of the batch
+    MATCH_RECOGNIZE analog (operators/composites12.q_events_pattern_match):
+    per-user state tracks the current click run and the previous event
+    letter, emitting a row the moment a ``c+p`` journey (one-or-more
+    clicks then a purchase) or a ``pe`` incident (purchase immediately
+    followed by an error) completes.
+
+    Patterns that span micro-batches detect correctly because the run
+    length and previous letter live in the checkpointed state store —
+    per-user state is two small values, bounded for any history, which
+    is exactly why the streaming form scales where the batch form's
+    per-user history string must be sharded.  Same ordering rule as
+    every kernel here: (ts, event_id) within the batch, and the
+    cross-batch caveat from last_touch_attribution_stream applies."""
+    from pyspark.sql import functions as F
+
+    from kafkaish_spark.functions.timeutil import epoch_ms
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("pattern", StringType()),
+            StructField("at_event_id", LongType()),
+            StructField("run_len", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("prev", StringType()), StructField("run", LongType())]
+    )
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        prev, run = state.get if state.exists else ("", 0)
+        out_u, out_pat, out_eid, out_run = [], [], [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ms", "event_id"])
+        for letter, eid in zip(batch["letter"], batch["event_id"]):
+            if letter == "c":
+                run += 1
+            else:
+                if letter == "p" and run >= 1:
+                    out_u.append(key[0])
+                    out_pat.append("c+p")
+                    out_eid.append(int(eid))
+                    out_run.append(int(run))
+                elif letter == "e" and prev == "p":
+                    out_u.append(key[0])
+                    out_pat.append("pe")
+                    out_eid.append(int(eid))
+                    out_run.append(0)
+                run = 0
+            prev = letter
+        state.update((prev, run))
+        yield pd.DataFrame(
+            {
+                "user_id": out_u,
+                "pattern": out_pat,
+                "at_event_id": out_eid,
+                "run_len": out_run,
+            }
+        )
+
+    prep = stream.select(
+        "user_id",
+        epoch_ms(F.col("ts")).alias("ms"),
+        "event_id",
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("s")
+        .alias("letter"),
+    )
+    return prep.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

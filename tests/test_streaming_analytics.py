@@ -569,3 +569,65 @@ def test_streaming_last_touch_attribution(engine, spark, tmp_path):
     pub([(2, 6, "purchase", "2024-01-01 10:40:00")])
     got2 = {r["purchase_id"]: (r["click_id"], r["gap_ms"]) for r in run()}
     assert got2[6] == (5, 1200000)
+
+
+def test_streaming_pattern_detection(engine, spark, tmp_path):
+    """Streaming MATCH_RECOGNIZE twin: c+p journeys and pe incidents
+    fire as they complete, including runs that SPAN micro-batches
+    (click state carried in the state store)."""
+    from kafkaish_spark.streaming.stateful import pattern_detect_stream
+
+    topic = engine.prepare_topic("pattern_stream")
+
+    def pub(rows):
+        topic.publish_df(
+            spark.createDataFrame(
+                rows, "user_id long, event_id long, event_type string, ts string"
+            )
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .select(
+                F.col("event_type").alias("event"),
+                F.to_json(F.struct("user_id", "event_id")).alias("message"),
+                "ts",
+            )
+        )
+
+    def run():
+        stream = topic.stream().select(
+            F.get_json_object("message", "$.user_id").cast("long").alias(
+                "user_id"
+            ),
+            "ts",
+            F.get_json_object("message", "$.event_id").cast("long").alias(
+                "event_id"
+            ),
+            F.col("event").alias("event_type"),
+        )
+        return _collect_stream(spark, pattern_detect_stream(stream), tmp_path)
+
+    pub(
+        [
+            (1, 1, "click", "2024-01-01 10:00:00"),
+            (1, 2, "click", "2024-01-01 10:01:00"),
+            (1, 3, "purchase", "2024-01-01 10:02:00"),  # c+p, run 2
+            (1, 4, "error", "2024-01-01 10:03:00"),     # pe
+            (2, 5, "view", "2024-01-01 10:00:00"),
+            (2, 6, "purchase", "2024-01-01 10:01:00"),  # no click run -> nothing
+            (3, 7, "click", "2024-01-01 10:00:00"),     # run stays open
+        ]
+    )
+    got = {
+        (r["user_id"], r["pattern"], r["at_event_id"]): r["run_len"]
+        for r in run()
+    }
+    assert got == {(1, "c+p", 3): 2, (1, "pe", 4): 0}
+
+    # user 3's click run carried in state: purchase in a later batch
+    # completes the journey
+    pub([(3, 8, "click", "2024-01-01 10:05:00"),
+         (3, 9, "purchase", "2024-01-01 10:06:00")])
+    got2 = {
+        (r["user_id"], r["pattern"], r["at_event_id"]): r["run_len"]
+        for r in run()
+    }
+    assert got2[(3, "c+p", 9)] == 2
