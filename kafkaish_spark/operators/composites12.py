@@ -163,3 +163,69 @@ def q_scalar_null_functions(spark: SparkSession, sf: str) -> DataFrame:
         .alias("n_open"),
         F.count("hot_priority").alias("n_hot"),
     )
+
+
+# ------------------------------------------------- array set functions
+@query(
+    "q_array_set_functions",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             list_sort(list_distinct(list(
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)))) AS fy
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+    o AS (
+      SELECT o_custkey,
+             list_sort(list_distinct(list(
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)))) AS oy
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+    j AS (
+      SELECT COALESCE(f.o_custkey, o.o_custkey) AS o_custkey,
+             COALESCE(fy, []) AS fy, COALESCE(oy, []) AS oy
+      FROM f FULL JOIN o ON f.o_custkey = o.o_custkey)
+    SELECT o_custkey,
+           list_sort(list_intersect(fy, oy)) AS years_both,
+           list_sort(list_distinct(list_concat(fy, oy))) AS years_any,
+           list_sort(list_filter(fy, x -> NOT list_contains(oy, x)))
+             AS years_f_only
+    FROM j
+    """,
+)
+def q_array_set_functions(spark: SparkSession, sf: str) -> DataFrame:
+    """Array set algebra (R28 completion): per customer, the order
+    years with finished vs open status as SETS — intersection (years
+    with both), union (any activity), difference (finished-only).
+    Set-typed columns are how a pipeline carries per-entity label
+    sets, seen-feature sets, and shard membership without exploding
+    rows; all three operators are JVM-side codegen over the collected
+    arrays.  Every array is sorted before output — array equality is
+    positional, so canonical ordering is what makes set results
+    comparable across engines (and across partitionings)."""
+    o = t(spark, sf, "orders")
+    yr = F.year("o_orderdate").cast("long")
+
+    def years(status):
+        return (
+            o.filter(F.col("o_orderstatus") == status)
+            .groupBy("o_custkey")
+            .agg(F.array_sort(F.collect_set(yr)).alias(f"{status.lower()}y"))
+        )
+
+    empty = F.array().cast("array<bigint>")
+    j = (
+        years("F")
+        .join(years("O"), "o_custkey", "full")
+        .select(
+            "o_custkey",
+            F.coalesce("fy", empty).alias("fy"),
+            F.coalesce("oy", empty).alias("oy"),
+        )
+    )
+    return j.select(
+        "o_custkey",
+        F.array_sort(F.array_intersect("fy", "oy")).alias("years_both"),
+        F.array_sort(F.array_distinct(F.concat("fy", "oy"))).alias(
+            "years_any"
+        ),
+        F.array_sort(F.array_except("fy", "oy")).alias("years_f_only"),
+    )
