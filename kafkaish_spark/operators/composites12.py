@@ -229,3 +229,46 @@ def q_array_set_functions(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.array_sort(F.array_except("fy", "oy")).alias("years_f_only"),
     )
+
+
+# ------------------------------------------------- mapInArrow surface
+def _token_count_arrow(batches):
+    """mapInArrow kernel: whitespace token counts via pyarrow.compute —
+    columnar string ops on the Arrow buffers, no pandas materialization
+    and no per-row Python.  Counts are exact integers, so this Python
+    path is oracle-checkable (same trick as the applyInArrow
+    regression: keep the Python side integer-exact)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        n = pc.add(pc.count_substring(batch.column("text"), " "), 1)
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), pc.cast(n, pa.int64())],
+            ["doc_id", "n_tokens"],
+        )
+
+
+@query(
+    "q_udf_map_in_arrow_tokens",
+    oracle="""
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def q_udf_map_in_arrow_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """``mapInArrow`` surface — the last cell of the Python-boundary
+    matrix (scalar UDF, Arrow UDF, pandas UDF, UDTF, mapInPandas,
+    applyInPandas, applyInArrow, applyInPandasWithState are all
+    exercised elsewhere): per-document token counts computed with
+    pyarrow.compute directly on the Arrow record batches.  vs
+    mapInPandas this skips the pandas conversion entirely — the string
+    kernel (count_substring) runs vectorized over the Arrow buffers —
+    and the integer output makes a Python-side operator bit-equal to
+    the SQL oracle.  In production the JVM-side F.size(F.split(...))
+    wins (no Python boundary at all); this registers the API surface
+    with honest cost notes, like q_udf_arrow_vowel_ratio."""
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        _token_count_arrow, schema="doc_id long, n_tokens long"
+    )
