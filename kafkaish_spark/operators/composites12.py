@@ -15,7 +15,7 @@ Reference parity: [NS] north-star operator per SURVEY.md §2.2.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkaish_spark.plans.registry import query
@@ -271,4 +271,119 @@ def q_udf_map_in_arrow_tokens(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents").select("doc_id", "text")
     return d.mapInArrow(
         _token_count_arrow, schema="doc_id long, n_tokens long"
+    )
+
+
+# ------------------------------------------------- lateness audit
+@query(
+    "q_events_lateness_audit",
+    oracle="""
+    WITH o AS (
+      SELECT event_type, epoch_ms(ts) AS ms,
+             MAX(epoch_ms(ts)) OVER (ORDER BY event_id
+                                     ROWS UNBOUNDED PRECEDING) AS frontier
+      FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ms < frontier THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(MAX(frontier - ms) AS BIGINT) AS max_lateness_ms,
+           CAST(quantile_disc(frontier - ms, 0.99) AS BIGINT)
+             AS p99_lateness_ms
+    FROM o GROUP BY event_type
+    """,
+)
+def q_events_lateness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-orderness audit — the measurement that SIZES a watermark:
+    replay the stream in arrival order (event_id is the ingest order),
+    track the event-time frontier (running max), and report how far
+    behind it late events arrive.  max and p99 lateness are exactly the
+    numbers you set ``withWatermark`` from; guessing instead either
+    drops data (too tight) or holds state forever (too loose).  The
+    frontier is one global running max — an audit-scale sort (events
+    fit; at 100 TB you compute per-shard frontiers in arrival order
+    per ingest partition and a late event is late within its shard,
+    which is also how per-partition watermarks actually advance)."""
+    ev = t(spark, sf, "events")
+    from kafkaish_spark.functions.timeutil import epoch_ms
+
+    ms = epoch_ms(F.col("ts"))
+    w = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    o = ev.select(
+        "event_type",
+        ms.alias("ms"),
+        F.max(ms).over(w).alias("frontier"),
+    )
+    late = F.col("frontier") - F.col("ms")
+    o.createOrReplaceTempView("lateness_v")
+    return spark.sql(
+        """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN ms < frontier THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_late,
+               CAST(MAX(frontier - ms) AS BIGINT) AS max_lateness_ms,
+               CAST(percentile_disc(0.99) WITHIN GROUP
+                    (ORDER BY frontier - ms) AS BIGINT) AS p99_lateness_ms
+        FROM lateness_v GROUP BY event_type
+        """
+    )
+
+
+# ------------------------------------------------- Gini coefficient
+@query(
+    "q_agg_gini_customer_revenue",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM c)
+    SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           round(CAST(2 * SUM(i * cents) AS DOUBLE)
+                 / (MIN(n) * SUM(cents))
+                 - CAST(MIN(n) + 1 AS DOUBLE) / MIN(n), 6) AS gini
+    FROM r
+    """,
+)
+def q_agg_gini_customer_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the third concentration
+    lens next to Pareto (q_agg_pareto_customers) and HHI
+    (q_agg_hhi_supplier_share): 0 = everyone spends alike, 1 = one
+    customer is the business.  Computed by the rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted values —
+    Σ(i·xᵢ) is an exact integer (rank x cents), so the whole statistic
+    is two IEEE divisions at the end.  The rank runs over the
+    per-customer aggregate with a (cents, custkey) total order; ties
+    in cents don't change the sum because equal values make rank
+    assignment among them irrelevant to Σ(i·xᵢ)."""
+    o = t(spark, sf, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    r = c.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    n = F.min("n")
+    return r.agg(
+        n.cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.round(
+            (2 * F.sum(F.col("i") * F.col("cents"))).cast("double")
+            / (n * F.sum("cents"))
+            - (n + 1).cast("double") / n,
+            6,
+        ).alias("gini"),
     )
