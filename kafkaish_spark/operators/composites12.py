@@ -387,3 +387,151 @@ def q_agg_gini_customer_revenue(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ------------------------------------------------- time to convert
+@query(
+    "q_events_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_ms(ts)) AS signup_ms
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (
+      SELECT e.user_id, MIN(epoch_ms(e.ts)) AS first_purchase_ms
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s.signup_ms
+      GROUP BY e.user_id)
+    SELECT COUNT(*) AS n_signup_users,
+           COUNT(p.first_purchase_ms) AS n_converted,
+           round(CAST(COUNT(p.first_purchase_ms) AS DOUBLE) / COUNT(*), 6)
+             AS conv_rate,
+           CAST(percentile_disc(0.5) WITHIN GROUP
+                (ORDER BY p.first_purchase_ms - s.signup_ms) AS BIGINT)
+             AS p50_latency_ms,
+           CAST(percentile_disc(0.9) WITHIN GROUP
+                (ORDER BY p.first_purchase_ms - s.signup_ms) AS BIGINT)
+             AS p90_latency_ms
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def q_events_time_to_convert(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-to-convert: of users who signed up, how many ever purchase
+    (at or after their first signup), and how fast — the activation
+    metric product teams steer by, and the label-latency profile an ML
+    team needs before defining a 'converted within X' target (compare
+    p90 here against the label window you were about to pick).
+    First-signup and first-qualifying-purchase are per-user MINs over
+    exact integer ms; discrete percentiles return actual observed
+    latencies.  Two user-keyed aggregates and a broadcast-size join —
+    no timeline materialization."""
+    ev = t(spark, sf, "events")
+    from kafkaish_spark.functions.timeutil import epoch_ms
+
+    ms = epoch_ms(F.col("ts"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(ms).alias("signup_ms"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", ms.alias("pms"))
+        .join(s, "user_id")
+        .filter(F.col("pms") >= F.col("signup_ms"))
+        .groupBy("user_id")
+        .agg(F.min("pms").alias("first_purchase_ms"))
+    )
+    j = s.join(p, "user_id", "left").select(
+        "user_id",
+        "signup_ms",
+        "first_purchase_ms",
+        (F.col("first_purchase_ms") - F.col("signup_ms")).alias("latency_ms"),
+    )
+    j.createOrReplaceTempView("ttc_v")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_signup_users,
+               COUNT(first_purchase_ms) AS n_converted,
+               round(CAST(COUNT(first_purchase_ms) AS DOUBLE) / COUNT(*), 6)
+                 AS conv_rate,
+               CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_ms)
+                    AS BIGINT) AS p50_latency_ms,
+               CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_ms)
+                    AS BIGINT) AS p90_latency_ms
+        FROM ttc_v
+        """
+    )
+
+
+# ------------------------------------------------- association lift
+@query(
+    "q_basket_pair_lift",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+    freq AS (SELECT l_partkey, COUNT(*) AS f FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS c
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey)
+    SELECT part_a, part_b, c,
+           round(CAST(c AS DOUBLE) * (SELECT n_baskets FROM nb)
+                 / (fa.f * fb.f), 6) AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    WHERE c >= 3
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q_basket_pair_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Association-rule LIFT: for co-purchased part pairs (support >=
+    3 baskets), lift = P(a,b) / (P(a)·P(b)) — the measure that
+    separates 'bought together because both are popular' (lift ~ 1)
+    from real affinity (lift >> 1), which raw co-occurrence counts
+    (q_basket_part_pairs) cannot.  The algebra n·c/(fa·fb) uses only
+    exact integers and one final division; the support floor prunes
+    the pair table BEFORE the lift join, which at 100 TB is the
+    difference between ranking signal and shuffling noise.  Top-20
+    tie-breaks on the pair — deterministic."""
+    li = t(spark, sf, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    nb = items.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    fa = freq.alias("fa")
+    fb = freq.alias("fb")
+    return (
+        pairs.join(fa, F.col("part_a") == F.col("fa.l_partkey"))
+        .join(fb, F.col("part_b") == F.col("fb.l_partkey"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "c",
+            F.round(
+                F.col("c").cast("double")
+                * F.col("n_baskets")
+                / (F.col("fa.f") * F.col("fb.f")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )
