@@ -535,3 +535,104 @@ def q_basket_pair_lift(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# ------------------------------------------------- IQR outlier fences
+@query(
+    "q_agg_iqr_outliers",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      CAST(round(value * 100, 0) AS BIGINT) AS v_c
+               FROM events),
+    q AS (SELECT event_type,
+                 quantile_cont(v_c, 0.25) AS q1,
+                 quantile_cont(v_c, 0.75) AS q3
+          FROM e GROUP BY event_type)
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           round(MIN(q.q1) / 100, 6) AS q1,
+           round(MIN(q.q3) / 100, 6) AS q3,
+           CAST(SUM(CASE WHEN e.v_c < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.v_c > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_agg_iqr_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Tukey / IQR outlier fences — the third standard outlier method
+    next to z-scores (q_events_rate_anomaly) and MAD
+    (q_agg_mad_robust): values beyond Q1−1.5·IQR or Q3+1.5·IQR per
+    event type.  Same exactness recipe as MAD: quartiles interpolate
+    on integer cents (quarter positions are exact dyadic fractions of
+    integers), the fences are single IEEE expressions of identical
+    inputs, and the tiny per-type stats broadcast back onto the scan —
+    two scans, zero fact shuffles."""
+    ev = t(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("v_c")
+    )
+    q = ev.groupBy("event_type").agg(
+        F.percentile("v_c", F.lit(0.25)).alias("q1"),
+        F.percentile("v_c", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("v_c") < F.col("q1") - 1.5 * iqr) | (
+        F.col("v_c") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("q1") / 100, 6).alias("q1"),
+            F.round(F.min("q3") / 100, 6).alias("q3"),
+            F.sum(F.when(out, 1).otherwise(0)).cast("long").alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------- string sweep
+@query(
+    "q_scalar_string_sweep",
+    oracle="""
+    SELECT p_partkey,
+           reverse(p_name) AS rev_name,
+           translate(p_name, 'aeiou', '_____') AS devoweled,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           split_part(p_name, ' ', 1) AS first_word,
+           repeat(p_brand, 2) AS brand_twice,
+           CAST(length(p_name) - length(replace(p_name, ' ', ''))
+                AS BIGINT) AS n_spaces
+    FROM part
+    """,
+)
+def q_scalar_string_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """The wider string scalar surface (R25 completion): reverse,
+    translate (character mapping), lpad (fixed-width key rendering —
+    the zero-padded join/sort key trick), split_part (delimited field
+    extraction without an array), repeat, and the replace-based
+    occurrence count.  All pure codegen in one projection over the
+    scan — string kernels are where whole-stage codegen earns its
+    keep, since every one of these would be a per-row Python call in
+    a naive pipeline."""
+    p = t(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse("p_name").alias("rev_name"),
+        F.translate("p_name", "aeiou", "_____").alias("devoweled"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias(
+            "padded_key"
+        ),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias(
+            "first_word"
+        ),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        (
+            F.length("p_name")
+            - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit("")))
+        )
+        .cast("long")
+        .alias("n_spaces"),
+    )
