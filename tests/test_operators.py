@@ -691,3 +691,32 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
         back.count()
         == ev.filter(F.col("event_type") == "click").count()
     )
+
+
+def test_lift_topk_uses_take_ordered(spark, sf_dir):
+    """The lift top-20 must plan as TakeOrderedAndProject (map-side
+    partial top-k), never a global sort of the pair table."""
+    from kafkaish_spark.operators.composites12 import q_basket_pair_lift
+
+    plan = (
+        q_basket_pair_lift(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_iqr_stats_broadcast_back(spark, sf_dir):
+    """The per-type quartile table must broadcast onto the fact scan —
+    a SortMergeJoin here would shuffle the whole fact for a 5-row dim."""
+    from kafkaish_spark.operators.composites12 import q_agg_iqr_outliers
+
+    plan = (
+        q_agg_iqr_outliers(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
