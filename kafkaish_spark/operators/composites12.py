@@ -636,3 +636,114 @@ def q_scalar_string_sweep(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_spaces"),
     )
+
+
+# ------------------------------------------------- seasonality index
+@query(
+    "q_agg_seasonality_index",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+             CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY yr, mo),
+    avg_mo AS (
+      SELECT mo, COUNT(*) AS n_years,
+             CAST(SUM(cents) AS BIGINT) AS mo_cents
+      FROM m GROUP BY mo),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t,
+                   COUNT(*) AS n_cells FROM m)
+    SELECT mo, n_years, mo_cents,
+           round((CAST(mo_cents AS DOUBLE) / n_years)
+                 / (CAST((SELECT t FROM tot) AS DOUBLE)
+                    / (SELECT n_cells FROM tot)), 6) AS seasonality
+    FROM avg_mo
+    """,
+)
+def q_agg_seasonality_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's average
+    revenue relative to the average across all year-months (1.0 = flat,
+    >1 = peak season) — the multiplicative seasonal factor a
+    forecasting pipeline divides out before trend fitting.  Everything
+    folds as exact integer cents at (year, month) grain first, so the
+    index is a ratio of two IEEE averages of identical exact sums; the
+    12-row month table and the scalar total are broadcast-size."""
+    o = t(spark, sf, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    avg_mo = m.groupBy("mo").agg(
+        F.count(F.lit(1)).alias("n_years"),
+        F.sum("cents").cast("long").alias("mo_cents"),
+    )
+    tot = m.agg(
+        F.sum("cents").cast("long").alias("t"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    return avg_mo.crossJoin(F.broadcast(tot)).select(
+        "mo",
+        "n_years",
+        "mo_cents",
+        F.round(
+            (F.col("mo_cents").cast("double") / F.col("n_years"))
+            / (F.col("t").cast("double") / F.col("n_cells")),
+            6,
+        ).alias("seasonality"),
+    )
+
+
+# ------------------------------------------------- embedding norm audit
+@query(
+    "q_embed_norm_histogram",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(CAST(list_sum(list_transform(embedding,
+                    x -> CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)
+                         * CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)))
+                  AS DOUBLE)) / 10000000 AS norm
+      FROM embeddings)
+    SELECT CAST(floor(norm * 10) AS BIGINT) AS bucket,
+           COUNT(*) AS n_vectors,
+           round(MIN(norm), 6) AS min_norm,
+           round(MAX(norm), 6) AS max_norm
+    FROM n GROUP BY CAST(floor(norm * 10) AS BIGINT)
+    """,
+)
+def q_embed_norm_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding L2-norm histogram (0.1-wide buckets) — the vector
+    quality audit run before any similarity search: a spread-out norm
+    distribution means un-normalized vectors (cosine and dot-product
+    ranking will disagree), and a spike at 0 means dead embeddings.
+    Exactness: components quantize to an integer 1e-7 grid, squares
+    sum as exact integers (JVM-side fold, no Python), and sqrt is
+    IEEE-correctly-rounded — the same double on both engines, so even
+    bucket edges agree bit-for-bit.  Scan-only: no shuffle before the
+    16-ish-row histogram aggregate."""
+    e = t(spark, sf, "embeddings")
+    q = F.transform(
+        "embedding",
+        # x is float32: promote to double BEFORE scaling, or the
+        # engine-specific float32 multiply shifts the grid by ±1
+        lambda x: F.round(x.cast("double") * 10000000, 0).cast("long")
+        * F.round(x.cast("double") * 10000000, 0).cast("long"),
+    )
+    norm = F.sqrt(
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, b: a + b).cast(
+            "double"
+        )
+    ) / F.lit(10000000.0)
+    n = e.select(norm.alias("norm"))
+    return n.groupBy(
+        F.floor(F.col("norm") * 10).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )
