@@ -720,3 +720,43 @@ def test_iqr_stats_broadcast_back(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pit_lookup_matches_brute_force(spark, sf_dir):
+    """The PIT union-timeline kernel must agree with a brute-force
+    'latest anchor at-or-before the probe, highest key on ties' model,
+    including same-day order/ship ties and multi-order days."""
+    from pyspark.sql import functions as F
+
+    from kafkaish_spark.plans.registry import all_queries
+
+    # brute force in DuckDB-free Python off the same parquet inputs
+    from kafkaish_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    ).collect()
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    ).collect()
+    cust_of = {r["o_orderkey"]: r["o_custkey"] for r in orders}
+    hist = {}
+    for r in orders:
+        hist.setdefault(r["o_custkey"], []).append(
+            (r["o_orderdate"], r["o_orderkey"], r["o_orderpriority"])
+        )
+    want = {}
+    for ln in lines:
+        ck = cust_of[ln["l_orderkey"]]
+        cands = [h for h in hist[ck] if h[0] <= ln["l_shipdate"]]
+        # testdata has ship-before-order rows; with no anchor at or
+        # before the probe the kernel (and its oracle) emit NULL
+        pri = max(cands, key=lambda h: (h[0], h[1]))[2] if cands else None
+        want[pri] = want.get(pri, 0) + 1
+    got = {
+        r["pit_priority"]: r["n_lines"]
+        for r in all_queries()["q_join_pit_priority"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
