@@ -747,3 +747,111 @@ def q_embed_norm_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.min("norm"), 6).alias("min_norm"),
         F.round(F.max("norm"), 6).alias("max_norm"),
     )
+
+
+# ------------------------------------------------- growth accounting
+@query(
+    "q_orders_growth_accounting",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS first_m
+      FROM orders GROUP BY o_custkey),
+    m AS (
+      SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS mo,
+             o.o_custkey, MIN(f.first_m) AS first_m
+      FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+      GROUP BY mo, o.o_custkey)
+    SELECT mo,
+           CAST(SUM(CASE WHEN mo = first_m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN mo <> first_m THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning,
+           COUNT(*) AS n_active
+    FROM m GROUP BY mo
+    """,
+)
+def q_orders_growth_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    """Growth accounting: per month, how many active customers are NEW
+    (first-ever order this month) vs RETURNING — the
+    acquisition-vs-retention split every growth team reports, and the
+    denominator feed for the cohort retention table
+    (q_events_cohort_retention).  Two aggregates on the same custkey
+    shuffle: first-order month per customer (broadcast back), then
+    distinct customer-months classified by comparison — all integer
+    date math, no windows over the fact."""
+    o = t(spark, sf, "orders")
+    mo = F.to_date(F.date_trunc("month", "o_orderdate"))
+    fo = o.groupBy("o_custkey").agg(F.min(mo).alias("first_m"))
+    m = (
+        o.select("o_custkey", mo.alias("mo"))
+        .distinct()
+        .join(F.broadcast(fo), "o_custkey")
+    )
+    is_new = (F.col("mo") == F.col("first_m")).cast("int")
+    return m.groupBy("mo").agg(
+        F.sum(is_new).cast("long").alias("n_new"),
+        F.sum(1 - is_new).cast("long").alias("n_returning"),
+        F.count(F.lit(1)).alias("n_active"),
+    )
+
+
+# ------------------------------------------------- winsorized mean
+@query(
+    "q_agg_winsorized_mean",
+    oracle="""
+    WITH e AS (SELECT event_type,
+                      CAST(round(value * 100, 0) AS BIGINT) AS v_c
+               FROM events),
+    q AS (SELECT event_type,
+                 quantile_cont(v_c, 0.05) AS lo,
+                 quantile_cont(v_c, 0.95) AS hi
+          FROM e GROUP BY event_type)
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           round(CAST(SUM(CAST(round(least(greatest(CAST(e.v_c AS DOUBLE),
+                                                    q.lo), q.hi) * 100, 0)
+                               AS BIGINT))
+                      AS DOUBLE) / (COUNT(*) * 10000), 6)
+             AS winsorized_mean,
+           round(CAST(SUM(e.v_c) AS DOUBLE) / (COUNT(*) * 100), 6)
+             AS raw_mean
+    FROM e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_agg_winsorized_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorized mean (clamp at p5/p95, then average) — the robust
+    ESTIMATOR companion to the outlier DETECTORS (z-score, MAD, IQR):
+    instead of flagging tails it caps them, giving a mean a single
+    fat-fingered value can't drag.  Exactness: cents are integers, the
+    p5/p95 bounds interpolate on integers (values on the 0.05 grid —
+    exact in double), the clamp is a comparison, and the clamped sum
+    re-quantizes to an exact 1e-4-cent integer grid before the one
+    final division.  Stats broadcast back onto the scan, as in the MAD
+    and IQR plans."""
+    ev = t(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("v_c")
+    )
+    q = ev.groupBy("event_type").agg(
+        F.percentile("v_c", F.lit(0.05)).alias("lo"),
+        F.percentile("v_c", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("v_c").cast("double"), F.col("lo")), F.col("hi")
+    )
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.round(clamped * 100, 0).cast("long")).cast("double")
+                / (F.count(F.lit(1)) * 10000),
+                6,
+            ).alias("winsorized_mean"),
+            F.round(
+                F.sum("v_c").cast("double") / (F.count(F.lit(1)) * 100), 6
+            ).alias("raw_mean"),
+        )
+    )
