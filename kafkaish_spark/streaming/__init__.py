@@ -1,3 +1,7 @@
-from kafkaish_spark.streaming.subscribe import Subscription, subscribe
+from kafkaish_spark.streaming.subscribe import (
+    Subscription,
+    subscribe,
+    subscribe_batches,
+)
 
-__all__ = ["Subscription", "subscribe"]
+__all__ = ["Subscription", "subscribe", "subscribe_batches"]

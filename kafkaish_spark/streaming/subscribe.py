@@ -82,6 +82,19 @@ def _start_offset_for(topic: Topic, name: str | None, replay: bool) -> int:
     return start
 
 
+# Default micro-batch bound for the per-message callback path.  The
+# callback API is inherently driver-side (the reference's subscriber
+# callback, src/topic.js:97,105, is too), so an UNBOUNDED first batch on
+# a durable replay subscription would collect the entire backlog to the
+# driver in one go.  Bounding the source at N files per trigger caps the
+# collect at N publish-batches' worth of rows regardless of log size —
+# the whole backlog still drains (availableNow iterates triggers), just
+# in bounded chunks.
+DEFAULT_CALLBACK_MAX_FILES = 4
+
+_UNSET = object()  # sentinel: caller did not choose a backpressure bound
+
+
 def subscribe(
     topic: Topic,
     callback: Callable[[str | None, str, int], None],
@@ -89,7 +102,7 @@ def subscribe(
     name: str | None = None,
     replay: bool = False,
     available_now: bool = True,
-    max_files_per_trigger: int | None = None,
+    max_files_per_trigger: int | None = _UNSET,
     on_error: str = "raise",
 ) -> Subscription:
     """Subscribe to a topic (ref: Topic.subscribe routing,
@@ -117,6 +130,12 @@ def subscribe(
     if on_error not in ("raise", "dlq"):
         raise ValueError(f"on_error must be 'raise' or 'dlq', got {on_error!r}")
     use_dlq = on_error == "dlq"
+    if max_files_per_trigger is _UNSET:
+        # Per-message delivery collects each micro-batch to the driver;
+        # bound it by default so a durable subscriber's first backlog
+        # drain cannot pull the whole log at once.  Pass None explicitly
+        # to opt out (e.g. when the caller knows the backlog is tiny).
+        max_files_per_trigger = DEFAULT_CALLBACK_MAX_FILES
     if name is None:
         checkpoint = tempfile.mkdtemp(prefix=f"kafkaish_ephemeral_{topic.name}_")
     else:
@@ -128,7 +147,10 @@ def subscribe(
         stream = stream.filter(F.col("offset") > F.lit(int(start_offset)))
 
     def deliver(batch_df: DataFrame, _batch_id: int) -> None:
-        rows = batch_df.orderBy("offset").collect()
+        # Sort driver-side: the batch is bounded (max_files_per_trigger),
+        # and a Spark orderBy would add a range-partitioner SAMPLING scan
+        # — the source would be read twice per micro-batch.
+        rows = sorted(batch_df.collect(), key=lambda r: r["offset"])
         poisoned = []
         for r in rows:
             if not use_dlq:
@@ -171,6 +193,61 @@ def subscribe(
     # maxFilesPerTrigger is a SOURCE option (set in topic.stream above);
     # it bounds micro-batch size in both modes, including the
     # availableNow backlog drain.
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return Subscription(query, name, checkpoint)
+
+
+def subscribe_batches(
+    topic: Topic,
+    batch_fn: Callable[[DataFrame, int], None],
+    event: str | None = None,
+    name: str | None = None,
+    replay: bool = False,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> Subscription:
+    """DataFrame-level delivery: ``batch_fn(batch_df, batch_id)`` per
+    micro-batch, never collecting rows to the driver.
+
+    This is the scale path the per-message ``subscribe`` cannot be: the
+    consumer logic runs as Spark jobs over the batch DataFrame (write it
+    somewhere, aggregate it, join it), so a terabyte backlog drains
+    without any driver materialization.  Offset tracking is identical to
+    ``subscribe`` — checkpoint commit per micro-batch (at-least-once for
+    durable names), plus the ``_subscribers`` upsert for introspection,
+    computed with a single-row ``max(offset)`` aggregate instead of a
+    row collect.
+
+    Semantics vs the reference: same at-least-once contract as the
+    durable path (src/topic.js:118-201), with the delivery unit raised
+    from one message to one micro-batch — batch_fn that throws leaves
+    the batch uncommitted, so it is redelivered in full on resume.
+    """
+    if name is None:
+        checkpoint = tempfile.mkdtemp(prefix=f"kafkaish_ephemeral_{topic.name}_")
+    else:
+        checkpoint = os.path.join(topic.sub_dir, name, "checkpoint")
+    start_offset = _start_offset_for(topic, name, replay)
+
+    stream = topic.stream(event=event, max_files_per_trigger=max_files_per_trigger)
+    if start_offset:
+        stream = stream.filter(F.col("offset") > F.lit(int(start_offset)))
+
+    def deliver(batch_df: DataFrame, batch_id: int) -> None:
+        batch_fn(batch_df, batch_id)
+        if name is not None:
+            # Bounded driver traffic: one row, not the batch.
+            last = batch_df.agg(F.max("offset").alias("o")).first()["o"]
+            if last is not None:
+                topic.ack(name, int(last))
+
+    writer = (
+        stream.writeStream.foreachBatch(deliver)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     query = writer.start()
