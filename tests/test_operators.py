@@ -760,3 +760,49 @@ def test_pit_lookup_matches_brute_force(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_shingle_df_cap_bounds_hot_shingles(spark):
+    """VERDICT r1 item 2: the near-dup pair join must never see a
+    shingle shared by more docs than _SHINGLE_DF_CAP — one stop-word
+    3-gram must not produce a k^2 join group.  150 docs share a hot
+    3-gram (DF 150 > cap 100); each doc also has unique content."""
+    from kafkaish_spark.operators.llm import (
+        _SHINGLE_DF_CAP,
+        _capped_shingles_df,
+        _shingles_df,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick fox u{i}a u{i}b u{i}c") for i in range(150)],
+        "doc_id long, text string",
+    )
+    raw = _shingles_df(docs)
+    hot_df = (
+        raw.groupBy("shingle").count().agg(F.max("count").alias("m")).first()["m"]
+    )
+    assert hot_df == 150  # the hot shingle really exceeds the cap
+
+    capped = _capped_shingles_df(docs)
+    max_df = (
+        capped.groupBy("shingle").count().agg(F.max("count").alias("m")).first()["m"]
+    )
+    assert max_df <= _SHINGLE_DF_CAP
+    # discriminative shingles survive: every doc still has its unique grams
+    assert capped.select("doc_id").distinct().count() == 150
+    # and the hot shingle specifically is gone
+    assert capped.filter(F.col("shingle") == "the quick fox").count() == 0
+
+
+def test_shingle_df_cap_noop_at_test_scale(spark, sf_dir):
+    """At driver test scales the cap must be a pure scale guard: max
+    observed DF is far below the cap, so capped == uncapped and the
+    DuckDB oracle hash stays unchanged."""
+    from kafkaish_spark.operators.llm import (
+        _capped_shingles_df,
+        _shingles_df,
+    )
+    from kafkaish_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    assert _capped_shingles_df(d).count() == _shingles_df(d).count()
