@@ -41,8 +41,14 @@ def _regress_arrow(table):
     sxy = sum(x * y for x, y in zip(xs, ys))
     sxx = sum(x * x for x in xs)
     den = n * sxx - sx * sx
-    slope = float(n * sxy - sx * sy) / float(den)
-    intercept = float(sy * sxx - sx * sxy) / float(den)
+    if den == 0:
+        # single-row group or all-identical x: slope is undefined.
+        # Emit NULL like the SQL regr_* family would, instead of
+        # letting ZeroDivisionError fail the whole job.
+        slope = intercept = None
+    else:
+        slope = float(n * sxy - sx * sy) / float(den)
+        intercept = float(sy * sxx - sx * sxy) / float(den)
     return pa.table(
         {
             "event_type": [et],

@@ -144,7 +144,7 @@ def q_sketch_count_min_terms(spark: SparkSession, sf: str) -> DataFrame:
     heavy-hitters complement to the HLL cardinality sketch
     (q_sketch_hll_cardinality).  Each term increments one counter per
     hash row (seeded xxhash64 mod width); a term's frequency estimate
-    is the MIN of its {_CMS_DEPTH} cells — always an overestimate,
+    is the MIN of its depth=4 cells — always an overestimate,
     within eps*N (eps ~ e/width) with high probability.  The sketch IS
     a DataFrame of (row_id, bucket, n): integer counters that merge by
     addition, so map-side partial aggregation builds it in one pass
@@ -179,7 +179,7 @@ def q_sketch_count_min_terms(spark: SparkSession, sf: str) -> DataFrame:
 
 def cms_lookup(spark: SparkSession, sketch: DataFrame, terms: DataFrame) -> DataFrame:
     """Query the Count-Min sketch: for each row of ``terms`` (column
-    ``term``), recompute the {_CMS_DEPTH} cell coordinates with the
+    ``term``), recompute the depth=4 cell coordinates with the
     SAME seeded hashes and take the minimum counter.  The sketch side
     is at most depth x width rows — broadcast — so lookups never
     shuffle the term list; missing cells count as 0."""

@@ -155,6 +155,7 @@ def last_touch_attribution_stream(stream: DataFrame) -> DataFrame:
     _W_MS = 30 * 60 * 1000
     out_schema = StructType(
         [
+            StructField("user_id", LongType()),
             StructField("purchase_id", LongType()),
             StructField("click_id", LongType()),
             StructField("gap_ms", LongType()),
@@ -179,8 +180,16 @@ def last_touch_attribution_stream(stream: DataFrame) -> DataFrame:
                 out_g.append(int(ms) - last_ms if hit else None)
         if last_ms is not None:
             state.update((last_ms, last_id))
+        # Nullable Int64 (not float64): a Python list mixing int and
+        # None would coerce to float64 and silently round ids > 2^53
+        # before the Arrow cast back to LongType.
         yield pd.DataFrame(
-            {"purchase_id": out_p, "click_id": out_c, "gap_ms": out_g}
+            {
+                "user_id": pd.array([int(key[0])] * len(out_p), dtype="Int64"),
+                "purchase_id": pd.array(out_p, dtype="Int64"),
+                "click_id": pd.array(out_c, dtype="Int64"),
+                "gap_ms": pd.array(out_g, dtype="Int64"),
+            }
         )
 
     prep = stream.filter(

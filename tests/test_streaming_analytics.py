@@ -560,8 +560,13 @@ def test_streaming_last_touch_attribution(engine, spark, tmp_path):
             spark, last_touch_attribution_stream(stream), tmp_path
         )
 
-    got = {r["purchase_id"]: (r["click_id"], r["gap_ms"]) for r in run()}
+    rows1 = run()
+    got = {r["purchase_id"]: (r["click_id"], r["gap_ms"]) for r in rows1}
     assert got == {2: (1, 600000), 3: (None, None), 4: (None, None)}
+    # the grouping key is part of the output (parity with
+    # pattern_detect_stream): purchases attribute WITHOUT a lookup join
+    users = {r["purchase_id"]: r["user_id"] for r in rows1}
+    assert users == {2: 1, 3: 1, 4: 2}
 
     # click state survives into the next batch AND the next restart:
     # a purchase 20 min after a click published in a LATER batch
@@ -631,3 +636,23 @@ def test_streaming_pattern_detection(engine, spark, tmp_path):
         for r in run()
     }
     assert got2[(3, "c+p", 9)] == 2
+
+
+def test_arrow_regression_degenerate_group_yields_null():
+    """ADVICE r1: a single-row (or constant-x) group must yield NULL
+    slope/intercept, not ZeroDivisionError."""
+    import pyarrow as pa
+
+    from kafkaish_spark.operators.composites7 import _regress_arrow
+
+    one = pa.table(
+        {"event_type": ["click"], "x_s": [1700000000], "y_c": [123]}
+    )
+    out = _regress_arrow(one)
+    assert out.column("slope")[0].as_py() is None
+    assert out.column("intercept_cents")[0].as_py() is None
+    const_x = pa.table(
+        {"event_type": ["click", "click"], "x_s": [5, 5], "y_c": [1, 2]}
+    )
+    out2 = _regress_arrow(const_x)
+    assert out2.column("slope")[0].as_py() is None
