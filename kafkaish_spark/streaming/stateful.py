@@ -76,55 +76,13 @@ def running_totals(
     )
 
 
-def running_totals_tws(stream: DataFrame, key_col: str = "event") -> DataFrame:
-    """Per-key running counters on the transformWithStateInPandas API
-    (Spark 4.x StatefulProcessor) — the successor to
-    applyInPandasWithState with typed state handles (ValueState here;
-    ListState/MapState/timers available for richer operators).  Same
-    semantics as running_totals(); kept separately so both state APIs
-    stay exercised.
-
-    Requires ``google.protobuf`` (the transformWithState wire protocol)
-    — absent in some minimal containers; raises ImportError with a
-    clear message there, and the applyInPandasWithState path
-    (running_totals) covers the same semantics."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as ex:
-        raise ImportError(
-            "transformWithStateInPandas needs google.protobuf; use "
-            "running_totals() (applyInPandasWithState) in this environment"
-        ) from ex
-    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
-
-    out_schema = StructType(
-        [
-            StructField("key", StringType()),
-            StructField("total", LongType()),
-        ]
-    )
-
-    class CountProcessor(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._cnt = handle.getValueState("cnt", "cnt long")
-
-        def handleInputRows(self, key, rows, timerValues):
-            total = self._cnt.get()[0] if self._cnt.exists() else 0
-            for pdf in rows:
-                total += len(pdf)
-            self._cnt.update((total,))
-            yield pd.DataFrame({"key": [key[0]], "total": [total]})
-
-        def close(self) -> None:
-            pass
-
-    keyed = stream.withColumn("key", stream[key_col])
-    return keyed.groupBy("key").transformWithStateInPandas(
-        statefulProcessor=CountProcessor(),
-        outputStructType=out_schema,
-        outputMode="Update",
-        timeMode="None",
-    )
+# NOTE: a transformWithStateInPandas (Spark 4 StatefulProcessor) twin of
+# running_totals existed through round 1, import-gated on
+# google.protobuf (the transformWithState wire protocol).  protobuf is
+# not in this container and installs are not possible, so the path could
+# never execute here; it was removed rather than kept permanently
+# skipped.  applyInPandasWithState (above) covers the same S9 semantics
+# with restart-tested checkpointed state.
 
 
 def last_touch_attribution_stream(stream: DataFrame) -> DataFrame:

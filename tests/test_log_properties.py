@@ -95,3 +95,58 @@ def test_compaction_interleaved_with_publishes_preserves_history(
     assert got == expect
     if expect:
         assert topic.latest() == len(expect)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    shard_batches=st.lists(  # per-shard publish plans, interleaved round-robin
+        st.lists(st.integers(1, 3), min_size=1, max_size=3),
+        min_size=2,
+        max_size=3,
+    )
+)
+def test_sharded_union_is_per_shard_total_order(engine_factory, shard_batches):
+    """SURVEY §4's multi-partition relaxation, as a property: for ANY
+    interleaving of publishes across shards, (a) each shard's offsets
+    are contiguous 1..n_i (per-shard total order, Kafka-partition
+    analog), (b) the union reader sees every message exactly once with
+    (topic, offset) as a unique key, and (c) per-shard publish order is
+    recoverable from the union by sorting on offset within topic."""
+    eng = engine_factory()
+    sent = {}  # shard name -> [messages in publish order]
+    plans = {f"shard_{i}": plan for i, plan in enumerate(shard_batches)}
+    for name in plans:
+        eng.prepare_topic(name)
+        sent[name] = []
+    # round-robin interleave publishes across shards (multi-writer shape)
+    step = 0
+    while any(plans.values()):
+        for name, plan in plans.items():
+            if not plan:
+                continue
+            k = plan.pop(0)
+            msgs = [("e", f"{name}:m{step}:{j}") for j in range(k)]
+            eng.prepare_topic(name).publish_batch(msgs)
+            sent[name].extend(m for _, m in msgs)
+        step += 1
+
+    union = eng.union_topics(list(sent)).collect()
+    # (b) exactly-once per (topic, offset); no cross-shard leakage
+    keys = [(r["topic"], r["offset"]) for r in union]
+    assert len(keys) == len(set(keys)) == sum(len(v) for v in sent.values())
+    per = {}
+    for r in union:
+        per.setdefault(r["topic"], []).append((r["offset"], r["message"]))
+    assert set(per) == set(sent)
+    for name, rows in per.items():
+        rows.sort()
+        # (a) contiguous per-shard offsets from 1
+        assert [o for o, _ in rows] == list(range(1, len(rows) + 1))
+        # (c) offset order == publish order within the shard
+        assert [m for _, m in rows] == sent[name]
+        # and the shard handle's own tail agrees with the union view
+        assert eng.prepare_topic(name).latest() == len(rows)

@@ -806,3 +806,66 @@ def test_shingle_df_cap_noop_at_test_scale(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents")
     assert _capped_shingles_df(d).count() == _shingles_df(d).count()
+
+
+def test_multimodal_arrow_batches_never_materialize_partition(spark, sf_dir):
+    """VERDICT r1 item 5 (contract): mapInPandas over a binary column
+    must stream bounded Arrow batches — a single 500-row partition of
+    blobs must arrive as many small batches, never one partition-sized
+    pdf."""
+    import math
+
+    from kafkaish_spark.operators.multimodal import media_table
+
+    media = media_table(spark, sf_dir).coalesce(1)  # force ONE partition
+    n_docs = media.count()
+    assert n_docs >= 100
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+
+        def batch_sizes(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        sizes = [
+            r["n"] for r in media.mapInPandas(batch_sizes, "n long").collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    assert sum(sizes) == n_docs
+    assert max(sizes) <= 7  # bounded by the Arrow batch cap
+    assert len(sizes) >= math.ceil(n_docs / 7)
+
+
+def test_decode_kernel_is_streaming_generator():
+    """The decode kernel must consume input batches one at a time (no
+    pd.concat of the whole iterator): pulling one output batch pulls
+    exactly one input batch."""
+    import pandas as pd
+
+    from kafkaish_spark.operators.multimodal import decode_media_batches
+
+    consumed = []
+
+    def feed():
+        for i in range(5):
+            consumed.append(i)
+            yield pd.DataFrame(
+                {
+                    "doc_id": [i],
+                    "mime": ["image/fake"],
+                    "payload": [f"payload-{i}".encode()],
+                }
+            )
+
+    gen = decode_media_batches(feed())
+    first = next(gen)
+    assert len(consumed) == 1  # exactly one input batch pulled
+    assert first["sha256"].iloc[0]
+    rest = list(gen)
+    assert len(rest) == 4 and consumed == [0, 1, 2, 3, 4]

@@ -399,31 +399,6 @@ def test_stream_stream_left_outer_join_emits_unmatched(engine, spark, tmp_path):
     assert ("p_lonely", None) in got
 
 
-def test_running_totals_transform_with_state(engine, spark, tmp_path):
-    """S9 on the Spark 4 StatefulProcessor API: same counters, typed
-    ValueState, resume across restarts.  Skipped where google.protobuf
-    (the transformWithState wire protocol) is unavailable."""
-    pytest.importorskip("google.protobuf")
-    from kafkaish_spark.streaming.stateful import running_totals_tws
-
-    topic = _seed_topic(
-        engine,
-        "w_tws",
-        [
-            ("a", "1", "2024-01-01 10:00:00"),
-            ("b", "2", "2024-01-01 10:01:00"),
-            ("a", "3", "2024-01-01 10:02:00"),
-        ],
-    )
-    rows = _collect_stream(spark, running_totals_tws(topic.stream()), tmp_path)
-    got = {r["key"]: r["total"] for r in rows}
-    assert got == {"a": 2, "b": 1}
-
-    topic.publish_batch([("b", "4")])
-    rows2 = _collect_stream(spark, running_totals_tws(topic.stream()), tmp_path)
-    assert {r["key"]: r["total"] for r in rows2}["b"] == 2
-
-
 def test_stream_static_enrichment(engine, spark, tmp_path):
     """Stream-static join: each micro-batch row picks up its dimension
     attributes; unmatched keys survive with nulls (left join); the plan
