@@ -869,3 +869,141 @@ def test_decode_kernel_is_streaming_generator():
     assert first["sha256"].iloc[0]
     rest = list(gen)
     assert len(rest) == 4 and consumed == [0, 1, 2, 3, 4]
+
+
+def test_substring_runs_match_bruteforce(spark, sf_dir):
+    """Every reported pair's longest_run_tokens must equal a driver-side
+    brute-force longest common token run, and exact-duplicate docs must
+    surface with a full-length run."""
+    from kafkaish_spark.operators.composites13 import q_dedup_substring_runs
+    from kafkaish_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    reported = q_dedup_substring_runs(spark, sf_dir).collect()
+    assert reported, "expected some shared-run pairs at this sf"
+
+    def longest_common_run(a, b):
+        # O(len(a)*len(b)) dp over token equality, fine at test scale
+        best, prev = 0, [0] * (len(b) + 1)
+        for x in a:
+            cur = [0] * (len(b) + 1)
+            for j, y in enumerate(b, 1):
+                if x == y:
+                    cur[j] = prev[j - 1] + 1
+                    best = max(best, cur[j])
+            prev = cur
+        return best
+
+    for r in reported:
+        truth = longest_common_run(docs[r["doc_a"]], docs[r["doc_b"]])
+        assert truth == r["longest_run_tokens"], (
+            r["doc_a"], r["doc_b"], truth, r["longest_run_tokens"])
+
+    # completeness anchor: every near-dup candidate pair (3-gram
+    # Jaccard >= 0.2) whose true longest run clears the threshold must
+    # be reported with the exact run length
+    from kafkaish_spark.operators.llm import q_dedup_ngram_jaccard
+
+    got = {(r["doc_a"], r["doc_b"]): r["longest_run_tokens"] for r in reported}
+    anchored = 0
+    for r in q_dedup_ngram_jaccard(spark, sf_dir).collect():
+        truth = longest_common_run(docs[r["doc_a"]], docs[r["doc_b"]])
+        if truth >= 15:
+            assert got.get((r["doc_a"], r["doc_b"])) == truth
+            anchored += 1
+    assert anchored >= 1, "expected some long-run near-dup pairs"
+
+
+def test_semantic_clustered_covers_within_cluster_twin(spark, sf_dir):
+    """Clustered semantic dedup vs the all-pairs twin: every reported
+    pair must be a true >=0.35 cosine pair (no false positives), and
+    the >=0.4 twin pairs it misses must be exactly the cluster-boundary
+    stragglers (documented trade) — coverage stays above half here."""
+    import math
+
+    from kafkaish_spark.operators.composites13 import (
+        q_dedup_semantic_clustered,
+    )
+    from kafkaish_spark.operators.llm import q_dedup_embedding_cosine
+    from kafkaish_spark.sources.tables import load_table
+
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    clustered = q_dedup_semantic_clustered(spark, sf_dir).collect()
+    assert clustered
+    for r in clustered:  # no false positives
+        assert cos(vecs[r["vec_a"]], vecs[r["vec_b"]]) >= 0.35 - 1e-9
+
+    twin = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    found = {(r["vec_a"], r["vec_b"]) for r in clustered}
+    coverage = len(twin & found) / len(twin) if twin else 1.0
+    assert coverage >= 0.5, f"cluster-boundary misses too high: {coverage}"
+
+
+def test_winnow_fingerprints_window_guarantee(spark, sf_dir):
+    """Winnowing invariant: every w-window of consecutive gram hashes
+    contains at least one selected fingerprint position, each selected
+    fp equals the hash at its position, and density stays near 2/(w+1)."""
+    import hashlib
+
+    from kafkaish_spark.operators.composites13 import (
+        _WIN_K,
+        _WIN_W,
+        q_text_winnow_fingerprints,
+    )
+    from kafkaish_spark.sources.tables import load_table
+
+    texts = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    sel = {}
+    for r in q_text_winnow_fingerprints(spark, sf_dir).collect():
+        sel.setdefault(r["doc_id"], {})[r["pos"]] = r["fp"]
+
+    def gram_hashes(toks):
+        return [
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + _WIN_K]).encode()
+                ).hexdigest()[:8],
+                16,
+            )
+            for i in range(len(toks) - _WIN_K + 1)
+        ]
+
+    checked_docs = 0
+    total_sel = total_grams = 0
+    for doc_id, toks in texts.items():
+        h = gram_hashes(toks)
+        if not h:
+            assert doc_id not in sel
+            continue
+        picks = sel.get(doc_id, {})
+        assert picks, f"doc {doc_id} has grams but no fingerprints"
+        for pos, fp in picks.items():
+            assert h[pos - 1] == fp  # fp is the hash at its 1-based pos
+        wlen = min(_WIN_W, len(h))
+        for s in range(1, len(h) - wlen + 2):  # every window covered
+            assert any(s <= p <= s + wlen - 1 for p in picks), (doc_id, s)
+        checked_docs += 1
+        total_sel += len(picks)
+        total_grams += len(h)
+    assert checked_docs >= 100
+    density = total_sel / total_grams
+    assert 1 / (_WIN_W + 1) <= density <= 4 / (_WIN_W + 1), density
