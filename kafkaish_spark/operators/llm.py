@@ -191,8 +191,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     global _SHINGLE_CACHE
     if _SHINGLE_CACHE is not None:
         _SHINGLE_CACHE.unpersist(blocking=False)
-    sh = _capped_shingles_df(d).cache()
-    _SHINGLE_CACHE = sh
+    # Cache the RAW shingles, then cap off the cache: the expensive
+    # explode+distinct runs once, and both the hot-shingle aggregate
+    # and the three capped subtrees (counts + two join sides) read the
+    # cached frame (caching the capped frame instead would run the
+    # explosion twice — once into the DF aggregate, once into the
+    # cache materialization).
+    raw = _shingles_df(d).cache()
+    _SHINGLE_CACHE = raw
+    hot = (
+        raw.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = raw.join(F.broadcast(hot), "shingle", "left_anti").select(
+        "doc_id", "shingle"
+    )
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
