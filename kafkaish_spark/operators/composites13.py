@@ -335,3 +335,255 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ------------------------------------------------- product quantization
+# PQ (Jegou et al., "Product Quantization for Nearest Neighbor
+# Search"): split the 64-dim embedding into _PQ_M subvectors and code
+# each against a per-subspace codebook -> an 8-code (32-bit here)
+# fingerprint per vector, the memory layout ANN systems scan when raw
+# vectors no longer fit.  Codebooks are the first _PQ_K vectors'
+# subvectors (deterministic seeding, same convention as the k-means
+# E-step) so the whole thing stays oracle-expressible.
+_PQ_M = 8   # subspaces
+_PQ_D = 8   # dims per subspace (8*8 = embedding dim 64)
+_PQ_K = 16  # codes per subspace (4 bits)
+
+_PQ_SUBDIST = """round(list_reduce(list_transform(
+      list_zip(CAST(e.embedding AS DOUBLE[])[{a}:{b}],
+               CAST(c.embedding AS DOUBLE[])[{a}:{b}]),
+      s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y), 6)"""
+
+
+def _pq_oracle() -> str:
+    sub = " UNION ALL ".join(
+        f"SELECT e.vec_id, c.vec_id AS cid, {m} AS m, "
+        + _PQ_SUBDIST.format(a=m * _PQ_D + 1, b=(m + 1) * _PQ_D)
+        + f" AS dist FROM embeddings e CROSS JOIN "
+        f"(SELECT * FROM embeddings WHERE vec_id < {_PQ_K}) c"
+        for m in range(_PQ_M)
+    )
+    return f"""
+    WITH dists AS ({sub}),
+    best AS (
+      SELECT vec_id, m, cid, dist
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                         ORDER BY dist, cid) AS rn
+            FROM dists)
+      WHERE rn = 1)
+    SELECT vec_id,
+           CAST(SUM(cid * power(2, 4 * m)) AS BIGINT) AS code_key,
+           CAST(SUM(CAST(round(dist * 1000000) AS BIGINT)) AS BIGINT)
+             AS recon_err_e6
+    FROM best GROUP BY vec_id
+    """
+
+
+@query("q_embed_pq_codes", oracle=_pq_oracle())
+def q_embed_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encoding: each vector becomes 8 nibble
+    codes (packed into one BIGINT) plus its reconstruction error on the
+    1e-6 integer grid (exact, order-independent sum — the IEEE-safe
+    pattern the other moment aggregates use).
+
+    Scale shape: the codebook is K*M tiny subvectors — broadcast at any
+    corpus size — so encoding is a single map-side pass over the
+    vectors plus one argmin shuffle of M rows per vector; the output is
+    ~8 bytes/vector versus 256, which is the entire point (PQ is what
+    an IVF list stores when 100 TB of raw vectors cannot be paged
+    through).  Cites the IVF probe search (llm.q_sim_ivf_ann) as the
+    companion coarse quantizer."""
+    e = t(spark, sf, "embeddings")
+    codes = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    )
+    pairs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+    ).crossJoin(F.broadcast(codes))
+
+    def subdist(m: int):
+        a = F.slice(F.col("ve"), m * _PQ_D + 1, _PQ_D)
+        b = F.slice(F.col("ce"), m * _PQ_D + 1, _PQ_D)
+        d2 = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+        return F.round(F.aggregate(d2, F.lit(0.0), lambda acc, v: acc + v), 6)
+
+    per_sub = pairs.select(
+        "vec_id",
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), subdist(m).alias("dist"))
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("sd"),
+    ).select("vec_id", "cid", F.col("sd.m").alias("m"), F.col("sd.dist").alias("dist"))
+    rw = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    best = per_sub.withColumn("rn", F.row_number().over(rw)).filter(
+        F.col("rn") == 1
+    )
+    return best.groupBy("vec_id").agg(
+        F.sum(F.col("cid") * F.pow(F.lit(2.0), F.col("m") * 4))
+        .cast("long")
+        .alias("code_key"),
+        F.sum(F.round(F.col("dist") * 1e6).cast("long"))
+        .cast("long")
+        .alias("recon_err_e6"),
+    )
+
+
+# ------------------------------------------------- hard-negative mining
+# Contrastive-training data prep: for each query vector, the top
+# candidates that are SIMILAR BUT NOT NEAR-DUPS (cosine inside a
+# mid band) — the "hard negatives" that make embedding models learn.
+_HN_QUERIES = 10
+_HN_LO, _HN_HI = 0.15, 0.30
+_HN_TOPN = 5
+
+
+@query(
+    "q_sim_hard_negatives",
+    oracle=f"""
+    WITH cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({_SEM_DOT.format(a='q.embedding', b='c.embedding')}
+             / (sqrt({_SEM_DOT.format(a='q.embedding', b='q.embedding')})
+                * sqrt({_SEM_DOT.format(a='c.embedding', b='c.embedding')})),
+               6) AS cos_sim
+      FROM (SELECT * FROM embeddings WHERE vec_id < {_HN_QUERIES}) q
+      JOIN embeddings c ON c.vec_id <> q.vec_id)
+    SELECT query_id, cand_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, cand_id) AS rnk
+          FROM cand
+          WHERE cos_sim >= {_HN_LO} AND cos_sim < {_HN_HI})
+    WHERE rnk <= {_HN_TOPN}
+    """,
+)
+def q_sim_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top 5 candidates whose cosine lands in the [0.15, 0.30) band —
+    close enough to be informative, far enough to be true negatives.
+    Same broadcast-queries x linear-candidate-scan shape as the top-k
+    similarity baseline (rank on the ROUNDED cosine with cand_id
+    tiebreak, so ordering is identical across engines); the banded
+    filter prunes before the per-query window, so the rank state is a
+    handful of rows per query."""
+    from kafkaish_spark.functions.vectors import cosine_sim
+
+    e = t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cec"))
+    cos = F.round(cosine_sim(F.col("qe"), F.col("cec")), 6)
+    cand = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cos_sim"))
+        .filter((F.col("cos_sim") >= _HN_LO) & (F.col("cos_sim") < _HN_HI))
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        cand.withColumn("rnk", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rnk") <= _HN_TOPN)
+        .select("query_id", "cand_id", "cos_sim", "rnk")
+    )
+
+
+# ------------------------------------------------- BPE merge training
+# Distributed BPE tokenizer training (Sennrich et al., "Neural Machine
+# Translation of Rare Words with Subword Units"): learn the top merge
+# rules from corpus statistics.  The classic factoring: the CORPUS pass
+# is one shuffle (word -> frequency), after which merge learning
+# iterates over the word-frequency table — which is vocabulary-sized,
+# not corpus-sized, so each round is cheap no matter how big the input
+# corpus was.  Each round: count adjacent symbol pairs weighted by word
+# frequency, pick the max (count desc, then lexicographic — fully
+# deterministic), rewrite every word's symbol sequence with the merge.
+_BPE_MERGES = 5
+
+
+def bpe_train_merges(spark: SparkSession, sf: str, n_merges: int = _BPE_MERGES):
+    """Returns (merges_df, vocab_df): the learned merge table
+    (step, left, right, merged, pair_count) and the final symbolized
+    vocabulary.  Driver loop of n_merges rounds over the cached
+    vocab frame (lineage truncated per round, same pattern as the
+    connected-components operator)."""
+    d = t(spark, sf, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.split(F.col("word"), "").alias("syms"), "n")
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = vocab.select(
+            "n",
+            F.explode(
+                F.when(
+                    F.size("syms") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("left"),
+                            F.element_at("syms", i + 1).alias("right"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+            .agg(F.sum("n").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append((step, left, right, left + right, int(cnt)))
+        # greedy left-to-right merge of (left, right) in every word —
+        # a JVM-side fold: append, or fuse with the previous symbol
+        # when (prev, cur) is the chosen pair
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) >= 1)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.lit(left + right)),
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        vocab = vocab.select(merged.alias("syms"), "n").localCheckpoint(
+            eager=True
+        )
+
+    merges_df = spark.createDataFrame(
+        merges, "step long, left string, right string, merged string, pair_count long"
+    )
+    return merges_df, vocab
+
+
+@query("q_text_bpe_train_merges", oracle=None)
+def q_text_bpe_train_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """The learned BPE merge table (5 rounds).  Rows-only: the result
+    is deterministic but iterative (5 chained vocabulary rewrites), so
+    the check is the pytest pure-Python replay rather than one SQL
+    statement.  Completes the tokenizer story: merge CANDIDATE counting
+    (q_text_bigram_merge_candidates) was one round of this; the trained
+    table + q_text_bpe_token_stats are what a 100 TB corpus pass
+    actually produces."""
+    merges_df, _ = bpe_train_merges(spark, sf)
+    return merges_df

@@ -1007,3 +1007,55 @@ def test_winnow_fingerprints_window_guarantee(spark, sf_dir):
     assert checked_docs >= 100
     density = total_sel / total_grams
     assert 1 / (_WIN_W + 1) <= density <= 4 / (_WIN_W + 1), density
+
+
+def test_bpe_train_matches_pure_python_replay(spark, sf_dir):
+    """The distributed BPE trainer must learn exactly the merges a
+    reference in-memory implementation learns from the same corpus."""
+    from collections import Counter
+
+    from kafkaish_spark.operators.composites13 import bpe_train_merges
+    from kafkaish_spark.sources.tables import load_table
+
+    words = Counter()
+    for r in load_table(spark, sf_dir, "documents").collect():
+        for w in r["text"].split(" "):
+            if w:
+                words[w] += 1
+
+    vocab = {tuple(w): n for w, n in words.items()}
+    expect = []
+    for step in range(1, 6):
+        pc = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += n
+        if not pc:
+            break
+        # count desc, then lexicographic — the operator's tiebreak
+        (left, right), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((step, left, right, left + right, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == left and s == right:
+                    out[-1] = left + right
+                else:
+                    out.append(s)
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + n
+        vocab = new_vocab
+
+    merges_df, final_vocab = bpe_train_merges(spark, sf_dir)
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges_df.orderBy("step").collect()
+    ]
+    assert got == expect
+    # the final vocabulary still spells every original word
+    sample = final_vocab.limit(50).collect()
+    for r in sample:
+        assert "".join(r["syms"])  # non-empty concatenation
