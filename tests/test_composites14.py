@@ -1,0 +1,114 @@
+"""Behavioral tests for the composites14 batch: bloom-incremental
+dedup, embedding whitening, n-gram novelty, split audit."""
+
+import pyspark.sql.functions as F
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bloom_incremental_equals_exact_anti_join(spark, sf_dir):
+    """The bloom is a prefilter only: result must equal the plain
+    exact anti-join of new-batch head keys against seen head keys."""
+    from kafkaish_spark.operators.composites14 import (
+        _HEAD_WORDS,
+        q_dedup_bloom_incremental,
+    )
+    from kafkaish_spark.sources.tables import load_table
+
+    got = {
+        (r.doc_id, r.head_key)
+        for r in q_dedup_bloom_incremental(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    head = F.md5(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, _HEAD_WORDS))
+    )
+    keyed = d.select(
+        "doc_id",
+        head.alias("head_key"),
+        (F.substring("source", 4, 10).cast("int") >= 10).alias("is_new"),
+    )
+    seen_keys = {
+        r.head_key for r in keyed.filter(~F.col("is_new")).collect()
+    }
+    want = {
+        (r.doc_id, r.head_key)
+        for r in keyed.filter(F.col("is_new")).collect()
+        if r.head_key not in seen_keys
+    }
+    assert got == want
+    assert got, "expected at least one unseen doc in the new batch"
+
+
+def test_bloom_bitmap_is_broadcast(spark, sf_dir):
+    """Neither the bitmap join nor the false-positive anti-join may
+    shuffle the seen corpus: both must be broadcast joins."""
+    from kafkaish_spark.operators.composites14 import q_dedup_bloom_incremental
+
+    plan = _executed_plan(q_dedup_bloom_incremental(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_whitening_normalizes_each_dimension(spark, sf_dir):
+    """After whitening, every dimension has mean ~0 and std ~1, and
+    vector length is preserved."""
+    from kafkaish_spark.operators.composites14 import q_embed_whitening
+
+    out = q_embed_whitening(spark, sf_dir)
+    dims = (
+        out.select(F.posexplode("whitened").alias("pos", "w"))
+        .groupBy("pos")
+        .agg(
+            F.avg("w").alias("mu"),
+            F.stddev_pop("w").alias("sd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert len(dims) == 64
+    for r in dims:
+        assert abs(r.mu) < 1e-4, (r.pos, r.mu)
+        assert abs(r.sd - 1.0) < 1e-4, (r.pos, r.sd)
+    lens = out.select(F.size("whitened").alias("k")).distinct().collect()
+    assert [r.k for r in lens] == [64]
+
+
+def test_ngram_novelty_invariants(spark, sf_dir):
+    """The lowest doc_id sees only novel grams, and summing n_novel
+    over docs recovers the corpus's distinct-shingle count exactly."""
+    from kafkaish_spark.operators.composites14 import q_text_ngram_novelty
+    from kafkaish_spark.operators.llm import _shingles_df
+    from kafkaish_spark.sources.tables import load_table
+
+    out = q_text_ngram_novelty(spark, sf_dir)
+    rows = {r.doc_id: r for r in out.collect()}
+    first_doc = min(rows)
+    assert rows[first_doc].novelty == 1.0
+    total_novel = sum(r.n_novel for r in rows.values())
+    n_shingles = (
+        _shingles_df(load_table(spark, sf_dir, "documents"))
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    assert total_novel == n_shingles
+
+
+def test_split_shares_and_coverage(spark, sf_dir):
+    """Per-language shares sum to 1 and the split partitions the
+    corpus (doc counts sum to the table count)."""
+    from kafkaish_spark.operators.composites14 import q_split_train_valid
+    from kafkaish_spark.sources.tables import load_table
+
+    rows = q_split_train_valid(spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        assert abs(sum(r.doc_share for r in rs) - 1.0) < 1e-6, lang
+        assert {r.split for r in rs} <= {"train", "valid", "test"}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
