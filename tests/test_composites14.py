@@ -112,3 +112,18 @@ def test_split_shares_and_coverage(spark, sf_dir):
         assert {r.split for r in rs} <= {"train", "valid", "test"}
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert sum(r.n_docs for r in rows) == n_docs
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """Damped PageRank with uniform seed conserves total mass exactly:
+    sum(r) == |V| at every round (0.15*n teleport + 0.85*n flowed), so
+    after 3 rounds the rank sum must equal the node count to float
+    tolerance; and all ranks are positive."""
+    from kafkaish_spark.operators.composites15 import q_graph_pagerank
+
+    rows = q_graph_pagerank(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - n) < 1e-3 * n, (total, n)
+    assert min(r.pagerank for r in rows) >= 0.15
