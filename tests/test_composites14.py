@@ -127,3 +127,35 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     total = sum(r.pagerank for r in rows)
     assert abs(total - n) < 1e-3 * n, (total, n)
     assert min(r.pagerank for r in rows) >= 0.15
+
+
+def test_lm_interp_score_invariants(spark, sf_dir):
+    """Every doc's bigram count is exactly len(words)-1, and all MLE
+    log-probs are negative (probabilities < 1)."""
+    from kafkaish_spark.operators.composites16 import q_text_lm_interp_score
+    from kafkaish_spark.sources.tables import load_table
+
+    rows = {r.doc_id: r for r in q_text_lm_interp_score(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("nw")
+    ).collect()
+    for d in docs:
+        if d.nw >= 2:
+            assert rows[d.doc_id].n_bigrams == d.nw - 1, d.doc_id
+    assert all(r.avg_logprob < 0 for r in rows.values())
+
+
+def test_copurchase_sim_bounds(spark, sf_dir):
+    """Jaccard stays in (0, 1], pairs are ordered, floors hold."""
+    from kafkaish_spark.operators.composites16 import (
+        _MIN_COP_JACCARD,
+        _MIN_SHARED,
+        q_graph_copurchase_sim,
+    )
+
+    rows = q_graph_copurchase_sim(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.supp_a < r.supp_b
+        assert r.n_shared >= _MIN_SHARED
+        assert _MIN_COP_JACCARD <= r.jaccard <= 1.0
