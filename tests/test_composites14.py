@@ -159,3 +159,55 @@ def test_copurchase_sim_bounds(spark, sf_dir):
         assert r.supp_a < r.supp_b
         assert r.n_shared >= _MIN_SHARED
         assert _MIN_COP_JACCARD <= r.jaccard <= 1.0
+
+
+def test_prefix_filter_equals_inverted_index_twin(spark, sf_dir):
+    """Two independent exact algorithms, one answer: the PPJoin-style
+    prefix-filtered join must return exactly the >=0.5 pairs of the
+    inverted-index twin."""
+    from kafkaish_spark.operators.composites17 import q_dedup_prefix_filter
+    from kafkaish_spark.operators.llm import q_dedup_ngram_jaccard
+
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in q_dedup_prefix_filter(spark, sf_dir).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in q_dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == want
+
+
+def test_skyline_dominance(spark, sf_dir):
+    """No skyline member dominates another; every non-member is
+    dominated by some member (brute-force check at test scale)."""
+    from kafkaish_spark.operators.composites17 import q_skyline_parts
+    from kafkaish_spark.sources.tables import load_table
+
+    sky = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in q_skyline_parts(spark, sf_dir).collect()
+    ]
+    allp = [
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in load_table(spark, sf_dir, "part").collect()
+    ]
+    assert sky
+
+    def dominates(a, b):
+        return (
+            a[1] <= b[1]
+            and a[2] >= b[2]
+            and (a[1] < b[1] or a[2] > b[2])
+        )
+
+    for a in sky:
+        for b in sky:
+            assert not dominates(a, b), (a, b)
+    sky_keys = {k for k, _, _ in sky}
+    for p in allp:
+        if p[0] not in sky_keys:
+            assert any(dominates(s, p) for s in sky), p
