@@ -49,7 +49,13 @@ def _shingles_df(docs: DataFrame, k: int = 3) -> DataFrame:
     is repartitioned to the session parallelism BEFORE the explode —
     document tables arrive in few large-row files, and without this
     the expensive shingle expansion runs on a handful of tasks
-    regardless of cluster size."""
+    regardless of cluster size; (c) "distinct per doc" is a ROW-LOCAL
+    property, so it's array_distinct BEFORE the explode — a
+    .distinct() after it would shuffle the whole exploded frame on
+    (doc_id, shingle) for something each row can do alone, and (with
+    the repartition above) the returned frame stays hash-partitioned
+    by doc_id, which per-doc consumers (signature groupBys, counts)
+    reuse with no further Exchange."""
     cpus = docs.sparkSession.sparkContext.defaultParallelism
     w = F.split(F.col("text"), " ")
     n = F.size(w)
@@ -59,10 +65,8 @@ def _shingles_df(docs: DataFrame, k: int = 3) -> DataFrame:
         n >= k,
         F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(k)])),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.repartition(cpus, "doc_id")
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
+    return docs.repartition(cpus, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
 
