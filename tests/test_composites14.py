@@ -211,3 +211,45 @@ def test_skyline_dominance(spark, sf_dir):
     for p in allp:
         if p[0] not in sky_keys:
             assert any(dominates(s, p) for s in sky), p
+
+
+def test_sql_udf_inlines_into_codegen(spark, sf_dir):
+    """The SQL-language UDF must leave NO Python evaluation node in
+    the physical plan — it is inlined as a Catalyst expression."""
+    from kafkaish_spark.operators.composites18 import q_sql_udf_price_band
+
+    plan = _executed_plan(q_sql_udf_price_band(spark, sf_dir))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_pipe_syntax_plan_matches_classic(spark, sf_dir):
+    """Pipe syntax is a dialect, not an engine: its physical plan has
+    the same shape as the classic SELECT (pushed filter + partial agg
+    before the exchange), with no extra nodes."""
+    from kafkaish_spark.operators.composites18 import q_sql_pipe_summary
+
+    plan = _executed_plan(q_sql_pipe_summary(spark, sf_dir))
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_maha_outliers_are_top_of_full_ranking(spark, sf_dir):
+    """The top-20 cut must equal the head of the full distance ranking
+    (deterministic tiebreak on vec_id)."""
+    from kafkaish_spark.operators.composites18 import q_embed_outliers_maha
+    from kafkaish_spark.operators.composites14 import q_embed_whitening
+
+    got = [(r.vec_id, r.maha) for r in q_embed_outliers_maha(spark, sf_dir).collect()]
+    wh = q_embed_whitening(spark, sf_dir).collect()
+    full = sorted(
+        (
+            (r.vec_id, round(sum(w * w for w in r.whitened) ** 0.5, 6))
+            for r in wh
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )
+    want = full[: len(got)]
+    assert [v for v, _ in got] == [v for v, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert abs(a - b) < 1e-6
