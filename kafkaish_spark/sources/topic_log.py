@@ -644,6 +644,55 @@ class Topic:
         )
         return n_before - n_keys
 
+    def redact(self, predicate: str, target_files: int = 1) -> int:
+        """GDPR-style targeted erasure: permanently remove every
+        message matching ``predicate`` (a SQL boolean over the
+        envelope columns — e.g.
+        ``get_json_object(message, '$.user') = 'u-42'``), keeping all
+        other offsets untouched.  The right-to-be-forgotten op the
+        reference cannot express (its capped collection only FIFO-
+        evicts, /root/reference/src/topic.js:9).
+
+        Contract: surviving rows keep their offsets (holes are fine —
+        the same replay tolerance keyed compaction already relies on),
+        so subscriber acks stay meaningful.  [NS] like compaction, run
+        quiesced (two-rename swap).  A no-match predicate is a no-op:
+        the log is NOT rewritten.  Returns rows removed.
+
+        Scale: the match probe is one filtered count (predicate pushed
+        into the parquet scan).  The rewrite here re-writes the whole
+        log; at 100 TB a partitioned topic would first narrow to
+        affected ``pub_date`` partitions via the same probe grouped by
+        partition, and swap only those directories — the protocol
+        (write-tmp, two renames, validate, rollback) is unchanged."""
+        cur = self.log().cache()
+        n_before = cur.count()
+        n_match = cur.filter(F.expr(predicate)).count()
+        if n_match == 0:
+            cur.unpersist(blocking=False)
+            return 0
+        kept = cur.filter(~F.expr(predicate))
+        if self.partitioned:
+            kept = kept.withColumn("pub_date", F.to_date("ts"))
+
+        def validate(after: DataFrame) -> str | None:
+            n_after = after.count()
+            n_left = after.filter(F.expr(predicate)).count()
+            if n_after != n_before - n_match or n_left != 0:
+                return (
+                    f"redaction invariant broken ({n_after} rows vs "
+                    f"{n_before}-{n_match}, {n_left} matches left)"
+                )
+            return None
+
+        self._swap_log_with(
+            kept,
+            target_files,
+            validate,
+            release=lambda: cur.unpersist(blocking=True),
+        )
+        return n_match
+
     # -- streaming handles --------------------------------------------
 
     def stream(

@@ -85,3 +85,57 @@ def test_group_ack_rows_per_shard(engine):
     for i in range(2):
         topic = engine.prepare_topic(f"ak.{i}")
         assert topic.last_ack("g4.m0") == 4
+
+
+def test_redact_removes_only_matches(engine):
+    """GDPR redaction: matching rows gone, surviving offsets unchanged,
+    subsequent publishes continue after the old tail."""
+    import json as _json
+
+    topic = engine.prepare_topic("gdpr")
+    rows = topic.publish_batch(
+        [("e", {"user": f"u{i % 3}", "n": i}) for i in range(9)]
+    )
+    tail = max(r["offset"] for r in rows)
+    before = {
+        int(r["offset"]): _json.loads(r["message"])["user"]
+        for r in topic.log().collect()
+    }
+    removed = topic.redact("get_json_object(message, '$.user') = 'u1'")
+    assert removed == 3
+    after = {
+        int(r["offset"]): _json.loads(r["message"])["user"]
+        for r in topic.log().collect()
+    }
+    assert after == {o: u for o, u in before.items() if u != "u1"}
+    # no-match predicate is a no-op
+    assert topic.redact("get_json_object(message, '$.user') = 'nope'") == 0
+    # offsets keep growing after the old tail
+    nxt = topic.publish("e", {"user": "u9"})
+    assert int(nxt["offset"]) == tail + 1
+
+
+def test_redact_rolls_back_on_broken_invariant(engine, monkeypatch):
+    """If validation fails mid-swap the original log is restored."""
+    topic = engine.prepare_topic("gdpr_rb")
+    topic.publish_batch([("e", {"n": i}) for i in range(4)])
+    import kafkaish_spark.sources.topic_log as tl
+
+    orig = tl.Topic._swap_log_with
+
+    def broken(self, frame, target_files, validate, release=None):
+        return orig(
+            self,
+            frame.limit(0),  # write an empty log -> validate must fail
+            target_files,
+            validate,
+            release,
+        )
+
+    monkeypatch.setattr(tl.Topic, "_swap_log_with", broken)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="redaction invariant"):
+        topic.redact("get_json_object(message, '$.n') = '1'")
+    monkeypatch.undo()
+    assert topic.log().count() == 4
