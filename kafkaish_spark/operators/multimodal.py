@@ -2,10 +2,19 @@
 
 Images/audio/video are carried as opaque ``binary`` columns plus typed
 metadata; decode / feature-extract run as Arrow-batched pandas
-functions over ``mapInPandas``.  The actual codec libraries are not in
-this container, so the decode kernel is STUBBED (clearly marked below)
-behind a deterministic fake — the Spark-side plumbing (schema,
-partitioning, batch iteration, UDF signatures) is real and tested.
+functions over ``mapInPandas``.
+
+Two tiers of codec:
+
+- **Real** (no external libraries needed): PPM (P6) image decode +
+  nearest-neighbor resize via numpy, and RIFF/WAV PCM16 audio decode
+  via the stdlib ``wave`` module — actual pixels and actual samples,
+  verified bit-for-bit against pure-python re-decodes in
+  ``tests/test_multimodal_real.py``.
+- **Stubbed** (clearly marked below): compressed formats (JPEG, MP4,
+  MP3/FLAC) would need PIL/av, which this container does not ship;
+  those kernels keep the real Arrow plumbing behind a deterministic
+  fake.
 
 At 100 TB: binary payloads ride in the same parquet row groups as their
 metadata; filters on metadata (mime/side/bytes) prune row groups before
@@ -246,3 +255,248 @@ def q_multimodal_audio_features_stub(spark: SparkSession, sf: str) -> DataFrame:
     decode / feature-extract / resize / frame-sample kernel set."""
     media = media_table(spark, sf)
     return media.mapInPandas(audio_feature_batches(), AUDIO_SCHEMA)
+
+
+# =====================================================================
+# REAL codec tier — stdlib + numpy only, no PIL/av required.
+# =====================================================================
+
+def make_ppm(doc_id: int, seed: bytes) -> bytes:
+    """Deterministically synthesize a REAL binary PPM (P6) image: the
+    testdata has no blob column, so the media table manufactures one —
+    but unlike the stub tier the manufactured bytes are a spec-valid
+    image any PPM reader (PIL included) would open."""
+    w = 16 + seed[0] % 48
+    h = 16 + seed[1] % 48
+    body = (seed * (w * h * 3 // len(seed) + 1))[: w * h * 3]
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def decode_ppm(payload: bytes):
+    """REAL P6 parser: header tokens (width, height, maxval) then raw
+    RGB bytes, returned as an (h, w, 3) uint8 numpy array."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = 4 whitespace-separated tokens: magic, w, h, maxval;
+    # pixel data starts one byte after the maxval token.
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    w, h, maxval = (int(tk) for tk in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    pix = np.frombuffer(payload[i + 1 : i + 1 + w * h * 3], dtype=np.uint8)
+    return pix.reshape(h, w, 3)
+
+
+def resize_nn(img, target: int):
+    """REAL nearest-neighbor resize to fit in target x target (aspect
+    preserved): pure numpy fancy-indexing, no codec library."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    scale = target / max(w, h)
+    ow, oh = max(1, round(w * scale)), max(1, round(h * scale))
+    cols = np.minimum((np.arange(ow) * w // ow), w - 1)
+    rows = np.minimum((np.arange(oh) * h // oh), h - 1)
+    return img[np.ix_(rows, cols)]
+
+
+PPM_SCHEMA = (
+    "doc_id long, width long, height long, sum_r long, sum_g long, "
+    "sum_b long, out_w long, out_h long, thumb_sha string"
+)
+
+
+def ppm_pipeline_batches(target: int = 32):
+    """mapInPandas kernel: REAL decode -> channel stats -> REAL resize.
+    Channel sums are exact uint8 integer reductions (no float), the
+    thumbnail is hashed rather than returned so the output row is
+    fixed-width regardless of image size."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+                "out_w", "out_h", "thumb_sha")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_ppm(bytes(payload))
+                thumb = resize_nn(img, target)
+                sums = img.astype(np.int64).sum(axis=(0, 1))
+                out["doc_id"].append(doc_id)
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["sum_r"].append(int(sums[0]))
+                out["sum_g"].append(int(sums[1]))
+                out["sum_b"].append(int(sums[2]))
+                out["out_h"].append(thumb.shape[0])
+                out["out_w"].append(thumb.shape[1])
+                out["thumb_sha"].append(
+                    hashlib.sha256(thumb.tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def ppm_media_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary media table with REAL PPM payloads, synthesized per doc
+    from its text digest (deterministic, spec-valid P6)."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = [
+                make_ppm(
+                    int(did), hashlib.sha256(str(txt).encode()).digest()
+                )
+                for did, txt in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": "image/x-portable-pixmap",
+                    "payload": payloads,
+                }
+            )
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    return d.mapInPandas(gen, "doc_id long, mime string, payload binary")
+
+
+@query("q_multimodal_ppm_decode", oracle=None)
+def q_multimodal_ppm_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image pipeline: spec-valid PPM payloads decoded with the
+    repo's own P6 parser, exact integer channel statistics, numpy
+    nearest-neighbor thumbnails — no codec library, no stub.  Rows-only
+    by design (the oracle cannot parse binary images);
+    tests/test_multimodal_real.py re-decodes payloads in pure python
+    and matches every output column bit-for-bit.
+
+    At 100 TB the plan is identical to the stub tier: metadata prune ->
+    Arrow-batched mapInPandas -> fixed-width feature rows; decode cost
+    is linear in payload bytes and embarrassingly parallel."""
+    return ppm_media_table(spark, sf).mapInPandas(
+        ppm_pipeline_batches(32), PPM_SCHEMA
+    )
+
+
+def make_wav(doc_id: int, seed: bytes, rate: int = 8000) -> bytes:
+    """Deterministically synthesize a REAL RIFF/WAV file (PCM16 mono):
+    a triangle wave whose period and length derive from the seed.
+    Any WAV reader opens it."""
+    import io
+    import wave
+
+    import numpy as np
+
+    period = 16 + seed[2] % 64
+    n = 400 + int.from_bytes(seed[3:5], "big") % 800
+    idx = np.arange(n) % period
+    tri = np.where(idx * 2 < period, idx * 2, 2 * period - idx * 2)
+    samples = ((tri.astype(np.int32) * 2000 // period) - 1000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+WAV_SCHEMA = (
+    "doc_id long, rate long, n_samples long, duration_ms long, "
+    "frame_idx long, energy long, peak long, zero_crossings long"
+)
+
+
+def wav_feature_batches(frame_samples: int = 200):
+    """mapInPandas kernel: REAL WAV decode (stdlib ``wave``) -> framed
+    integer DSP features: per-frame sum |sample| (energy), peak |s|,
+    and zero-crossing count — all exact int64, no float anywhere."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "rate", "n_samples", "duration_ms", "frame_idx",
+                "energy", "peak", "zero_crossings")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as wf:
+                    rate = wf.getframerate()
+                    n = wf.getnframes()
+                    pcm = np.frombuffer(
+                        wf.readframes(n), dtype="<i2"
+                    ).astype(np.int64)
+                dur_ms = n * 1000 // rate
+                for fi in range(0, len(pcm), frame_samples):
+                    fr = pcm[fi : fi + frame_samples]
+                    out["doc_id"].append(doc_id)
+                    out["rate"].append(rate)
+                    out["n_samples"].append(n)
+                    out["duration_ms"].append(dur_ms)
+                    out["frame_idx"].append(fi // frame_samples)
+                    out["energy"].append(int(np.abs(fr).sum()))
+                    out["peak"].append(int(np.abs(fr).max()))
+                    out["zero_crossings"].append(
+                        int((np.signbit(fr[:-1]) != np.signbit(fr[1:])).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def wav_media_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary media table with REAL WAV payloads per document."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": "audio/wav",
+                    "payload": [
+                        make_wav(
+                            int(did),
+                            hashlib.sha256(str(txt).encode()).digest(),
+                        )
+                        for did, txt in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    d = t(spark, sf, "documents").select("doc_id", "text")
+    return d.mapInPandas(gen, "doc_id long, mime string, payload binary")
+
+
+@query("q_multimodal_wav_features", oracle=None)
+def q_multimodal_wav_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio pipeline: spec-valid WAV payloads decoded with the
+    stdlib ``wave`` reader, framed into fixed windows, reduced to exact
+    integer DSP features (energy / peak / zero-crossings).  Rows-only
+    by design; tests/test_multimodal_real.py matches a pure-python
+    re-decode bit-for-bit.  The frame fan-out keeps output rows
+    fixed-width — T seconds of audio become T*rate/frame rows, never a
+    variable-length blob."""
+    return wav_media_table(spark, sf).mapInPandas(
+        wav_feature_batches(200), WAV_SCHEMA
+    )

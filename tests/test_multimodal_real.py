@@ -1,0 +1,101 @@
+"""Bit-for-bit verification of the REAL multimodal codec tier (PPM
+decode/resize via numpy, WAV decode via stdlib wave) against
+pure-python re-decodes computed without Spark."""
+
+import hashlib
+import io
+import wave
+
+import numpy as np
+
+
+def _doc_texts(spark, sf_dir, n=20):
+    from kafkaish_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(n)
+        .collect()
+    )
+    return {r.doc_id: r.text for r in rows}
+
+
+def test_ppm_payloads_are_spec_valid_and_decode_matches(spark, sf_dir):
+    from kafkaish_spark.operators.multimodal import (
+        decode_ppm,
+        make_ppm,
+        q_multimodal_ppm_decode,
+        resize_nn,
+    )
+
+    texts = _doc_texts(spark, sf_dir)
+    got = {
+        r.doc_id: r
+        for r in q_multimodal_ppm_decode(spark, sf_dir).collect()
+        if r.doc_id in texts
+    }
+    assert set(got) == set(texts)
+    for did, text in texts.items():
+        seed = hashlib.sha256(text.encode()).digest()
+        payload = make_ppm(did, seed)
+        # spec-valid header
+        assert payload.startswith(b"P6\n")
+        img = decode_ppm(payload)
+        r = got[did]
+        assert (r.height, r.width) == img.shape[:2]
+        sums = img.astype(np.int64).sum(axis=(0, 1))
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
+        thumb = resize_nn(img, 32)
+        assert (r.out_h, r.out_w) == thumb.shape[:2]
+        assert r.thumb_sha == hashlib.sha256(thumb.tobytes()).hexdigest()
+        assert max(r.out_h, r.out_w) <= 32
+
+
+def test_ppm_resize_preserves_aspect_and_pixels_come_from_source(spark, sf_dir):
+    from kafkaish_spark.operators.multimodal import decode_ppm, make_ppm, resize_nn
+
+    seed = hashlib.sha256(b"fixed").digest()
+    img = decode_ppm(make_ppm(1, seed))
+    thumb = resize_nn(img, 8)
+    # every thumb pixel exists in the source image (nearest neighbor)
+    src = {tuple(px) for row in img for px in row}
+    for row in thumb:
+        for px in row:
+            assert tuple(px) in src
+
+
+def test_wav_payloads_open_with_stdlib_and_features_match(spark, sf_dir):
+    from kafkaish_spark.operators.multimodal import (
+        make_wav,
+        q_multimodal_wav_features,
+    )
+
+    texts = _doc_texts(spark, sf_dir, n=10)
+    got = {}
+    for r in q_multimodal_wav_features(spark, sf_dir).collect():
+        if r.doc_id in texts:
+            got.setdefault(r.doc_id, {})[r.frame_idx] = r
+    assert set(got) == set(texts)
+    for did, text in texts.items():
+        seed = hashlib.sha256(text.encode()).digest()
+        payload = make_wav(did, seed)
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            assert wf.getnchannels() == 1
+            assert wf.getsampwidth() == 2
+            rate = wf.getframerate()
+            n = wf.getnframes()
+            pcm = np.frombuffer(wf.readframes(n), dtype="<i2").astype(np.int64)
+        frames = got[did]
+        assert len(frames) == (len(pcm) + 199) // 200
+        for fi, row in frames.items():
+            fr = pcm[fi * 200 : fi * 200 + 200]
+            assert row.rate == rate
+            assert row.n_samples == n
+            assert row.duration_ms == n * 1000 // rate
+            assert row.energy == int(np.abs(fr).sum())
+            assert row.peak == int(np.abs(fr).max())
+            assert row.zero_crossings == int(
+                (np.signbit(fr[:-1]) != np.signbit(fr[1:])).sum()
+            )
