@@ -1,0 +1,81 @@
+"""Round-2 additions, batch 9: temperature-scaled corpus mixture.
+[NS] north-star extension — the reference
+(/root/reference/src/topic.js) has no processing layer; this is the
+multilingual/multidomain sampling knob (XLM-R style p^T re-weighting)
+a pretraining pipeline applies on top of the plain mixture table
+(q_corpus_mixture_weights).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+
+@query(
+    "q_sample_temperature",
+    oracle="""
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT *, CAST(floor(sqrt(n_tokens) * 1000) AS BIGINT) AS w_milli
+      FROM s),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+                   CAST(SUM(w_milli) AS BIGINT) AS z FROM w)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / (SELECT t FROM tot), 6) AS share,
+           round(CAST(w_milli AS DOUBLE) / (SELECT z FROM tot), 6)
+             AS temp_share,
+           round((CAST(w_milli AS DOUBLE) / (SELECT z FROM tot))
+                 / (CAST(n_tokens AS DOUBLE) / (SELECT t FROM tot)), 6)
+             AS repeat_factor
+    FROM w
+    """,
+)
+def q_sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled domain mixture (T = 0.5): sampling weight
+    proportional to share^T flattens the domain distribution — high-
+    resource domains are down-weighted, low-resource ones up-weighted,
+    the standard knob (mBERT/XLM-R exponential smoothing) between
+    'natural mixture' and 'uniform' (q_corpus_mixture_weights is the
+    uniform-target end).
+
+    Determinism: T = 0.5 makes the power a SQRT, which IEEE 754
+    guarantees correctly rounded (unlike pow, which differs between
+    libm and the JVM) — and the weight is snapped to an integer
+    milli-grid (floor(sqrt(n)*1000)) before the normalizing sum, so Z
+    is an exact BIGINT and every reported double is a single division
+    of exact integers.  Both engines agree bit-for-bit before
+    round(6).
+
+    Scale: one partial-aggregated shuffle on source (~20 groups); the
+    totals row is a broadcast.  The repeat factors feed the same
+    md5-bucket resampler as q_sample_stratified — the actual
+    up/down-sampling never shuffles the corpus."""
+    d = t(spark, sf, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "w_milli", F.floor(F.sqrt("n_tokens") * 1000).cast("long")
+    )
+    tot = w.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.sum("w_milli").cast("long").alias("z"),
+    )
+    share = F.col("n_tokens").cast("double") / F.col("t")
+    tshare = F.col("w_milli").cast("double") / F.col("z")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("share"),
+        F.round(tshare, 6).alias("temp_share"),
+        F.round(tshare / share, 6).alias("repeat_factor"),
+    )

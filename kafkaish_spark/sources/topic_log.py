@@ -37,6 +37,7 @@ import shutil
 import tempfile
 import time
 from typing import Any, Iterable
+from uuid import uuid4
 
 from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
@@ -528,6 +529,63 @@ class Topic:
             for f in files
             if f.startswith("part-") and f.endswith(".parquet")
         )
+
+    def compact_small(
+        self, small_bytes: int = 1 << 20, target_files: int = 1
+    ) -> int:
+        """SELECTIVE segment compaction: merge only data files smaller
+        than ``small_bytes``, leaving full-size segments untouched —
+        unlike ``compact()``, whose whole-log rewrite costs O(log
+        bytes) every run.  This is the steady-state maintenance job for
+        a streaming-ingest topic: rewrite cost is proportional to the
+        small-file backlog (typically the last few micro-batches), so
+        at 100 TB it stays a constant-size job no matter how large the
+        log has grown.
+
+        Small files are grouped PER DIRECTORY, so a date-partitioned
+        topic keeps its layout and typically only the most recent
+        partition is ever touched.  Offsets ride in the data — content
+        and order are exactly preserved; validation re-reads the merged
+        files and aborts (originals untouched) on any count mismatch.
+        Like the other compaction ops, run quiesced.  Returns the net
+        reduction in file count."""
+        by_dir: dict[str, list[dict]] = {}
+        for s in self._segment_stats():
+            if s["size"] < small_bytes:
+                by_dir.setdefault(os.path.dirname(s["path"]), []).append(s)
+        removed = 0
+        for d, smalls in sorted(by_dir.items()):
+            if len(smalls) <= target_files:
+                continue
+            paths = sorted(s["path"] for s in smalls)
+            merged = self.spark.read.parquet(*paths)
+            n_before = merged.count()
+            tmp = self.log_dir + f".smallcompact.{uuid4().hex}.tmp"
+            merged.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+            new_files = [
+                f
+                for f in os.listdir(tmp)
+                if f.startswith("part-") and f.endswith(".parquet")
+            ]
+            n_after = self.spark.read.parquet(
+                *[os.path.join(tmp, f) for f in new_files]
+            ).count()
+            if n_after != n_before:
+                shutil.rmtree(tmp)
+                raise RuntimeError(
+                    f"small-segment compaction mismatch in {d} "
+                    f"({n_after} != {n_before}); originals untouched"
+                )
+            # merged files enter the live dir BEFORE originals leave, so
+            # a concurrent (non-quiesced) reader sees duplicates, never
+            # loss — the at-least-once direction.
+            for f in new_files:
+                os.replace(os.path.join(tmp, f), os.path.join(d, f))
+            shutil.rmtree(tmp)
+            for p in paths:
+                os.remove(p)
+            removed += len(paths) - len(new_files)
+        return removed
 
     def _swap_log_with(
         self, frame: DataFrame, target_files: int, validate, release=None

@@ -425,3 +425,39 @@ def test_describe_reports_topic_state(engine):
     assert d["min_offset"] == 1 and d["max_offset"] == 7
     assert d["n_segments"] >= 1 and d["bytes"] > 0
     assert d["subscribers"] == ["worker"]
+
+
+def test_compact_small_merges_only_small_segments(engine):
+    import os
+
+    topic = engine.prepare_topic("t_smallcompact")
+    # one big segment (padded rows), then many tiny ones
+    topic.publish_batch(
+        [("big", {"n": i, "pad": "x" * 2000}) for i in range(1, 51)]
+    )
+    for i in range(51, 61):
+        topic.publish_batch([("tiny", {"n": i})])
+    before = topic._segment_stats()
+    big_paths = {s["path"] for s in before if s["size"] >= 4096}
+    n_files_before = len(before)
+    content_before = sorted(
+        (r["offset"], r["event"], r["message"])
+        for r in topic.log().collect()
+    )
+
+    removed = topic.compact_small(small_bytes=4096, target_files=1)
+    assert removed > 0
+
+    after = topic._segment_stats()
+    assert len(after) == n_files_before - removed
+    # the big segment file(s) were not rewritten
+    for p in big_paths:
+        assert os.path.exists(p)
+    # content and offsets exactly preserved
+    content_after = sorted(
+        (r["offset"], r["event"], r["message"])
+        for r in topic.log().collect()
+    )
+    assert content_after == content_before
+    # idempotent once merged below threshold count
+    assert topic.compact_small(small_bytes=4096, target_files=1) == 0
