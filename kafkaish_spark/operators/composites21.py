@@ -8,7 +8,7 @@ a pretraining pipeline applies on top of the plain mixture table
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkaish_spark.plans.registry import query
@@ -78,4 +78,69 @@ def q_sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
         F.round(share, 6).alias("share"),
         F.round(tshare, 6).alias("temp_share"),
         F.round(tshare / share, 6).alias("repeat_factor"),
+    )
+
+
+# --------------------------------------------- SpaceSaving heavy hitters
+SS_CAP = 64  # counters per partition summary
+SS_TOPK = 20
+
+
+@query("q_sketch_spacesaving_topk", oracle=None)
+def q_sketch_spacesaving_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """SpaceSaving heavy hitters (Metwally et al.): each partition
+    maintains <= SS_CAP (term, est, err) counters — a new term evicts
+    the smallest counter and inherits its count as its error bound —
+    then the bounded summaries merge with a plain group-by and the
+    top-k by estimated count is reported with its overcount bound
+    (true count is always in [est - err, est]).
+
+    This is the O(1)-memory complement to the Count-Min sketch
+    (q_sketch_count_min_terms): CMS answers point queries, SpaceSaving
+    answers 'what ARE the top terms' without a full term group-by.
+    Scale: the shuffle moves #partitions x SS_CAP summary rows — KBs —
+    instead of one row per distinct term (billions at 100 TB); the
+    per-partition pass is a single sequential scan.  Rows-only by
+    design (eviction order is partition-layout-dependent);
+    tests/test_composites21.py checks the sketch bounds and top-term
+    recall against exact counts."""
+    import pandas as pd
+
+    d = t(spark, sf, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.length("term") > 0
+    )
+
+    def summarize(batches):
+        counters: dict[str, list[int]] = {}  # term -> [est, err]
+        for pdf in batches:
+            # batch-weighted update, alphabetical for determinism
+            vc = pdf["term"].value_counts().sort_index()
+            for term, c in vc.items():
+                c = int(c)
+                if term in counters:
+                    counters[term][0] += c
+                elif len(counters) < SS_CAP:
+                    counters[term] = [c, 0]
+                else:
+                    vterm = min(counters, key=lambda k: (counters[k][0], k))
+                    vest = counters.pop(vterm)[0]
+                    counters[term] = [vest + c, vest]
+        yield pd.DataFrame(
+            {
+                "term": list(counters),
+                "est": [v[0] for v in counters.values()],
+                "err": [v[1] for v in counters.values()],
+            }
+        )
+
+    summaries = words.mapInPandas(summarize, "term string, est long, err long")
+    merged = summaries.groupBy("term").agg(
+        F.sum("est").alias("est"), F.sum("err").alias("err")
+    )
+    w = Window.partitionBy().orderBy(F.col("est").desc(), F.col("term"))
+    return (
+        merged.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SS_TOPK)
+        .select("rk", "term", "est", "err")
     )

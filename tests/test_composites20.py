@@ -182,3 +182,36 @@ def test_merge_upsert_latest_wins(spark, sf_dir):
             assert merged[r.o_orderkey] == r.o_orderstatus
         elif r.yr > 1998:
             assert r.o_orderkey not in merged
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_merge_upsert_plan_uses_group_limit(spark, sf_dir):
+    """rn=1 must push into the per-key sort (WindowGroupLimit), so
+    per-key state is one row — the property that makes MERGE hold at
+    100 TB."""
+    from kafkaish_spark.operators.composites20 import q_merge_upsert
+
+    plan = _plan(q_merge_upsert(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_reservoir_plan_uses_group_limit_and_one_exchange(spark, sf_dir):
+    from kafkaish_spark.operators.composites19 import q_sample_reservoir
+
+    plan = _plan(q_sample_reservoir(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE reuse noise)
+
+
+def test_salted_agg_plan_has_two_aggregation_phases(spark, sf_dir):
+    """Phase 1 aggregates on (key, salt), phase 2 on key: the plan must
+    contain two distinct keyed HashAggregate pairs, and the first
+    exchange must partition on the SALTED key (that's the de-skew)."""
+    from kafkaish_spark.operators.composites19 import q_agg_salted_skew
+
+    plan = _plan(q_agg_salted_skew(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 phases
+    assert "salt" in plan
