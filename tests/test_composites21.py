@@ -48,3 +48,51 @@ def test_spacesaving_bounds_and_recall(spark, sf_dir):
     top5_exact = [w for w, _ in exact.most_common(5)]
     sketched = {r.term for r in got}
     assert set(top5_exact) <= sketched
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Spark's InjectRuntimeFilter: when the dimension side of a
+    shuffle join is selectively filtered, the optimizer builds a bloom
+    filter from the dim keys and applies might_contain() on the FACT
+    scan — rows that cannot join are dropped before the shuffle.  At
+    100 TB this is the difference between shuffling the whole fact
+    table and shuffling the ~matching fraction; the thresholds below
+    only exist because the test data is tiny."""
+    from kafkaish_spark.sources.tables import load_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        # and the result is still correct
+        rows = j.collect()
+        assert len(rows) == 1 and rows[0]["count"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
