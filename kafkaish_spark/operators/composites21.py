@@ -144,3 +144,123 @@ def q_sketch_spacesaving_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= SS_TOPK)
         .select("rk", "term", "est", "err")
     )
+
+
+# ----------------------------------------------------- CUPED A/B kernel
+@query(
+    "q_ab_cuped",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             o_custkey % 2 AS arm,
+             CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                           THEN CAST(floor(o_totalprice) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                           THEN CAST(floor(o_totalprice) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+      GROUP BY o_custkey),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM per_cust),
+    theta AS (
+      SELECT n, sx,
+             (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+                * (CAST(sy AS DOUBLE) / n))
+             / (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+                * (CAST(sx AS DOUBLE) / n)) AS th
+      FROM g)
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(y) AS BIGINT) AS y_total,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS mean_y,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*)
+                 - (SELECT th FROM theta)
+                   * (CAST(SUM(x) AS DOUBLE) / COUNT(*)
+                      - CAST((SELECT sx FROM theta) AS DOUBLE)
+                        / (SELECT n FROM theta)), 6) AS cuped_mean_y
+    FROM per_cust
+    GROUP BY arm
+    """,
+)
+def q_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    """CUPED variance reduction for A/B metrics (Deng et al., WSDM'13):
+    the post-period metric y is adjusted by theta * (x - mean(x)) where
+    x is the PRE-period covariate and theta = cov(x,y)/var(x) — the
+    regression that removes between-user variance the experiment did
+    not cause.  Arms are a deterministic key split; here the covariate
+    is 1996 spend, the metric 1997 spend.
+
+    Determinism: x and y are exact integer dollars, all five moments
+    (n, sx, sy, sxx, sxy) are exact BIGINT sums (x ~ 5e5 keeps sxx
+    within int64 headroom past sf100), and theta plus the per-arm
+    adjustment are a short FIXED sequence of IEEE divisions of those
+    integers — both engines agree bit-for-bit before round(6).
+
+    Scale: one shuffle groups orders per customer, a 5-number global
+    moment row broadcasts back, and the per-arm rollup is 2 groups —
+    the fact table is read once.  This is the experimentation-platform
+    kernel (adjusted means per arm) computed without any per-user
+    float fold, so it is partitioning-independent at any scale."""
+    o = t(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    dollars = F.floor("o_totalprice").cast("long")
+    per_cust = (
+        o.filter(yr.isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(yr == 1996, dollars).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("x"),
+            F.sum(F.when(yr == 1997, dollars).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn("arm", (F.col("o_custkey") % 2).cast("long"))
+    )
+    g = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    ).withColumn(
+        "th",
+        (
+            F.col("sxy").cast("double") / F.col("n")
+            - (F.col("sx").cast("double") / F.col("n"))
+            * (F.col("sy").cast("double") / F.col("n"))
+        )
+        / (
+            F.col("sxx").cast("double") / F.col("n")
+            - (F.col("sx").cast("double") / F.col("n"))
+            * (F.col("sx").cast("double") / F.col("n"))
+        ),
+    )
+    arms = per_cust.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("y").cast("long").alias("y_total"),
+        F.sum("x").cast("long").alias("x_total"),
+    )
+    return arms.crossJoin(F.broadcast(g)).select(
+        "arm",
+        "n_users",
+        "y_total",
+        F.round(F.col("y_total").cast("double") / F.col("n_users"), 6).alias(
+            "mean_y"
+        ),
+        F.round(
+            F.col("y_total").cast("double") / F.col("n_users")
+            - F.col("th")
+            * (
+                F.col("x_total").cast("double") / F.col("n_users")
+                - F.col("sx").cast("double") / F.col("n")
+            ),
+            6,
+        ).alias("cuped_mean_y"),
+    )
