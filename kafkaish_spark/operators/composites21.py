@@ -86,6 +86,24 @@ SS_CAP = 64  # counters per partition summary
 SS_TOPK = 20
 
 
+def spacesaving_update(
+    counters: dict[str, list[int]], term: str, c: int, cap: int
+) -> None:
+    """One weighted SpaceSaving update: increment if tracked, insert if
+    room, else evict the (count, term)-smallest counter and inherit its
+    count as the newcomer's overestimate bound.  Invariant (property-
+    tested in tests/test_composites21.py): for every tracked term,
+    est >= true count >= est - err."""
+    if term in counters:
+        counters[term][0] += c
+    elif len(counters) < cap:
+        counters[term] = [c, 0]
+    else:
+        vterm = min(counters, key=lambda k: (counters[k][0], k))
+        vest = counters.pop(vterm)[0]
+        counters[term] = [vest + c, vest]
+
+
 @query("q_sketch_spacesaving_topk", oracle=None)
 def q_sketch_spacesaving_topk(spark: SparkSession, sf: str) -> DataFrame:
     """SpaceSaving heavy hitters (Metwally et al.): each partition
@@ -117,15 +135,7 @@ def q_sketch_spacesaving_topk(spark: SparkSession, sf: str) -> DataFrame:
             # batch-weighted update, alphabetical for determinism
             vc = pdf["term"].value_counts().sort_index()
             for term, c in vc.items():
-                c = int(c)
-                if term in counters:
-                    counters[term][0] += c
-                elif len(counters) < SS_CAP:
-                    counters[term] = [c, 0]
-                else:
-                    vterm = min(counters, key=lambda k: (counters[k][0], k))
-                    vest = counters.pop(vterm)[0]
-                    counters[term] = [vest + c, vest]
+                spacesaving_update(counters, term, int(c), SS_CAP)
         yield pd.DataFrame(
             {
                 "term": list(counters),

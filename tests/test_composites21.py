@@ -96,3 +96,44 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_spacesaving_kernel_invariant_holds_on_adversarial_streams():
+    """Pure-python hypothesis check of the SpaceSaving update: after
+    ANY weighted stream, every tracked term's true count is inside
+    [est - err, est], and any UNTRACKED term's true count is <= the
+    smallest tracked est (the eviction guarantee)."""
+    import collections
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkaish_spark.operators.composites21 import spacesaving_update
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from("abcdefghij"),
+                st.integers(min_value=1, max_value=9),
+            ),
+            max_size=200,
+        ),
+        st.integers(min_value=1, max_value=6),
+    )
+    def run(stream, cap):
+        counters = {}
+        true = collections.Counter()
+        for term, c in stream:
+            true[term] += c
+            spacesaving_update(counters, term, c, cap)
+        assert len(counters) <= cap
+        for term, (est, err) in counters.items():
+            assert est >= true[term] >= est - err
+        if counters:
+            min_est = min(v[0] for v in counters.values())
+            for term, cnt in true.items():
+                if term not in counters:
+                    assert cnt <= min_est
+
+    run()
