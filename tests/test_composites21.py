@@ -137,3 +137,32 @@ def test_spacesaving_kernel_invariant_holds_on_adversarial_streams():
                     assert cnt <= min_est
 
     run()
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Write the fact partitioned by year, join it to a filtered dim
+    whose predicate is NOT constant-foldable: the scan must carry a
+    DynamicPruningExpression (runtime partition pruning) so only the
+    dim-surviving partitions are listed/read.  At 100 TB this is the
+    mechanism that turns a date-dim filter into reading 1 partition of
+    2500 — table layout (SCALE.md §1) exists to feed it."""
+    import pyspark.sql.functions as F
+
+    from kafkaish_spark.sources.tables import load_table
+
+    d = str(tmp_path / "fact_by_year")
+    load_table(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    ).write.partitionBy("yr").mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = (
+        spark.range(1990, 2003)
+        .select(F.col("id").alias("yr2"), (F.col("id") % 7).alias("tag"))
+        .filter("tag = 2")
+    )
+    j = fact.join(dim, fact.yr == dim.yr2).groupBy("yr").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    rows = j.collect()
+    assert [r.yr for r in rows] == [1997]  # only 1997 % 7 == 2 in range
+    assert rows[0]["count"] > 0
