@@ -1,9 +1,12 @@
-"""Round-2 additions, batch 9: temperature-scaled corpus mixture.
-[NS] north-star extension — the reference
-(/root/reference/src/topic.js) has no processing layer; this is the
-multilingual/multidomain sampling knob (XLM-R style p^T re-weighting)
-a pretraining pipeline applies on top of the plain mixture table
-(q_corpus_mixture_weights).
+"""Round-2 additions, batch 9: temperature-scaled corpus mixture,
+SpaceSaving heavy hitters, and experimentation kernels (CUPED,
+difference-in-differences).
+[NS] north-star extensions — the reference
+(/root/reference/src/topic.js) has no processing layer; these cover
+the pretraining sampling knob (XLM-R style p^T re-weighting on top of
+q_corpus_mixture_weights), bounded-memory top-k frequency, and the
+A/B-metric adjustments an experimentation platform computes over the
+same warehouse.
 """
 
 from __future__ import annotations
@@ -273,4 +276,69 @@ def q_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
             ),
             6,
         ).alias("cuped_mean_y"),
+    )
+
+
+# ---------------------------------------------- difference-in-differences
+@query(
+    "q_ab_diff_in_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey % 2 AS arm,
+             EXTRACT(year FROM o_orderdate) AS yr,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997))
+    SELECT arm,
+           CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pre_n,
+           CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT)
+             AS post_n,
+           CAST(SUM(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS BIGINT)
+             AS pre_cents,
+           CAST(SUM(CASE WHEN yr = 1997 THEN cents ELSE 0 END) AS BIGINT)
+             AS post_cents,
+           round(CAST(SUM(CASE WHEN yr = 1997 THEN cents ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END)
+                 - CAST(SUM(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS DOUBLE)
+                   / SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END), 6)
+             AS delta_mean_cents
+    FROM base GROUP BY arm
+    """,
+)
+def q_ab_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Difference-in-differences design table: per arm (deterministic
+    key split), pre-period (1996) and post-period (1997) order counts,
+    exact cents totals, and the within-arm mean change; the DiD
+    estimate is the difference of the two ``delta_mean_cents`` rows.
+    The design-based companion to q_ab_cuped's covariate adjustment.
+
+    Determinism: both periods are conditional exact-integer sums inside
+    ONE aggregate pass (no self-join of the fact), and each mean is a
+    single IEEE division of exact integers.  Scale: one map-side
+    partial-aggregated shuffle to 2 groups — the 2x2 experiment table
+    over a 100 TB fact costs one scan."""
+    o = t(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    base = o.filter(yr.isin(1996, 1997)).select(
+        (F.col("o_custkey") % 2).alias("arm"),
+        yr.alias("yr"),
+        cents.alias("cents"),
+    )
+    pre_n = F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).cast("long")
+    post_n = F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0)).cast("long")
+    pre_c = F.sum(
+        F.when(F.col("yr") == 1996, F.col("cents")).otherwise(F.lit(0))
+    ).cast("long")
+    post_c = F.sum(
+        F.when(F.col("yr") == 1997, F.col("cents")).otherwise(F.lit(0))
+    ).cast("long")
+    return base.groupBy("arm").agg(
+        pre_n.alias("pre_n"),
+        post_n.alias("post_n"),
+        pre_c.alias("pre_cents"),
+        post_c.alias("post_cents"),
+        F.round(
+            post_c.cast("double") / post_n - pre_c.cast("double") / pre_n, 6
+        ).alias("delta_mean_cents"),
     )
