@@ -432,3 +432,35 @@ def q_events_hourly_locf(spark: SparkSession, sf: str) -> DataFrame:
             F.last("v", ignorenulls=True).over(w).alias("v_filled"),
         )
     )
+
+
+# ---------------------------------------------------------------- S8 twin
+@query(
+    "q_stream_dedup_counts",
+    oracle=f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_unique
+    FROM (SELECT DISTINCT event_type, user_id,
+                 (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS h
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of stateful streaming dedup (S8): at most one counted
+    engagement per (user, type, hour) — the exact state key a
+    ``dropDuplicatesWithinWatermark(["event_type","user_id","h"])``
+    stream holds, with the hour bucket bounding state exactly like the
+    watermark does (state for closed hours is droppable).  The live
+    form is exercised in tests/test_streaming_analytics.py; this twin
+    pins the VALUES against the DuckDB oracle.
+
+    Scale: dropDuplicates plans as a partial-then-final aggregate on
+    the dedup key — map-side combining absorbs same-key repeats before
+    the shuffle, so the exchange carries unique keys, not raw events."""
+    ev = t(spark, sf, "events")
+    return (
+        ev.select("event_type", "user_id", _hour_ms().alias("h"))
+        .dropDuplicates(["event_type", "user_id", "h"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
