@@ -342,3 +342,58 @@ def q_ab_diff_in_diff(spark: SparkSession, sf: str) -> DataFrame:
             post_c.cast("double") / post_n - pre_c.cast("double") / pre_n, 6
         ).alias("delta_mean_cents"),
     )
+
+
+# ------------------------------------------------------- salted join
+@query(
+    "q_join_salted_skew",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Manually salted equi-join — the join-side twin of
+    q_agg_salted_skew: the fact side gets salt = pmod(xxhash64(row), 8)
+    and the (conceptually hot-keyed) build side is REPLICATED across
+    all 8 salt values, so a single hot join key spreads over 8 reducers
+    instead of one.  The salt is dropped before the rollup, so the
+    result is bit-identical to the plain join (the oracle).
+
+    When to reach for this at 100 TB: AQE's skew-join split handles
+    most cases for sort-merge joins, but it cannot split a hot key
+    WITHIN one reducer task for aggregating joins that follow, and it
+    does nothing for stream-stream or bucketed joins where AQE is
+    disabled — manual salting is the portable fallback.  Cost model in
+    the trade: build side bytes x 8 replication vs eliminating the
+    straggler; keep the salted copy pruned to join keys + payload
+    columns actually needed (here 2 columns).  The equivalence pytest
+    for the library form lives in tests/test_operators.py
+    (functions.skew.salted_join)."""
+    SALTS = 8
+    o = t(spark, sf, "orders").withColumn(
+        "salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(SALTS))
+    )
+    c = (
+        t(spark, sf, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .crossJoin(
+            F.broadcast(
+                spark.range(SALTS).select(F.col("id").cast("long").alias("salt"))
+            )
+        )
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o.salt == c.salt))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+                "cents"
+            ),
+        )
+    )
