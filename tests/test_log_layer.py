@@ -461,3 +461,30 @@ def test_compact_small_merges_only_small_segments(engine):
     assert content_after == content_before
     # idempotent once merged below threshold count
     assert topic.compact_small(small_bytes=4096, target_files=1) == 0
+
+
+def test_compact_small_preserves_partitioned_layout(engine):
+    import os
+
+    topic = engine.prepare_topic("t_smallcompact_part", partitioned=True)
+    for i in range(1, 9):
+        topic.publish_batch([("tiny", {"n": i})])
+    content_before = sorted(
+        (r["offset"], r["message"]) for r in topic.log().collect()
+    )
+    part_dirs_before = {
+        d for d in os.listdir(topic.log_dir) if d.startswith("pub_date=")
+    }
+    assert part_dirs_before  # partitioned layout exists
+
+    removed = topic.compact_small(small_bytes=1 << 20, target_files=1)
+    assert removed > 0
+
+    part_dirs_after = {
+        d for d in os.listdir(topic.log_dir) if d.startswith("pub_date=")
+    }
+    assert part_dirs_after == part_dirs_before  # layout untouched
+    content_after = sorted(
+        (r["offset"], r["message"]) for r in topic.log().collect()
+    )
+    assert content_after == content_before
