@@ -397,3 +397,119 @@ def q_join_salted_skew(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------- distribution drift
+@query(
+    "q_audit_chi2_drift",
+    oracle="""
+    WITH banded AS (
+      SELECT LEAST(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS band,
+             EXTRACT(year FROM o_orderdate) AS yr
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)),
+    per_band AS (
+      SELECT band,
+             CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS p_n,
+             CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS q_n
+      FROM banded GROUP BY band),
+    tot AS (SELECT CAST(SUM(p_n) AS BIGINT) AS tp,
+                   CAST(SUM(q_n) AS BIGINT) AS tq FROM per_band),
+    micro AS (
+      SELECT band, p_n, q_n,
+             CAST(floor(1e6 * p_n / (SELECT tp FROM tot)) AS BIGINT)
+               AS p_micro,
+             CAST(floor(1e6 * q_n / (SELECT tq FROM tot)) AS BIGINT)
+               AS q_micro
+      FROM per_band),
+    contribs AS (
+      SELECT band, p_n, q_n, p_micro, q_micro,
+             CAST((p_micro - q_micro) * (p_micro - q_micro) AS DOUBLE)
+               / (q_micro + 1) AS contrib
+      FROM micro),
+    chi AS (
+      SELECT round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list(contrib ORDER BY band)),
+               (a, b) -> a + b), 6) AS chi2
+      FROM contribs)
+    SELECT band, p_n, q_n, p_micro, q_micro,
+           round(contrib, 6) AS contrib,
+           (SELECT chi2 FROM chi) AS chi2
+    FROM contribs
+    """,
+)
+def q_audit_chi2_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-drift audit between two loads (the PSI/chi-square
+    monitor an ML-serving pipeline runs on every feature): order totals
+    are bucketed into 10 fixed-width bands, the 1996 (reference) and
+    1997 (current) shares are snapped to the exact micro-unit grid,
+    and each band contributes (p-q)^2/(q+1) to a chi-square-style
+    drift statistic (the +1 is Laplace smoothing so an empty current
+    band cannot divide by zero).
+
+    Determinism: shares are floors of divisions of exact integers, the
+    contribution is one IEEE division of exact integers, and the
+    10-term total is an ORDERED fold (array_sort + aggregate vs
+    DuckDB's list ORDER BY + 0.0-prepended list_reduce — the PageRank
+    pattern) so the sum is partition-order-independent.  Scale: one
+    conditional-aggregate pass collapses the fact to 10 bands
+    map-side; everything after is constant-size."""
+    o = t(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    band = F.least(
+        F.floor(F.col("o_totalprice") / 50000).cast("long"), F.lit(9)
+    )
+    per_band = (
+        o.filter(yr.isin(1996, 1997))
+        .select(band.alias("band"), yr.alias("yr"))
+        .groupBy("band")
+        .agg(
+            F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+            .cast("long")
+            .alias("p_n"),
+            F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0))
+            .cast("long")
+            .alias("q_n"),
+        )
+    )
+    tot = per_band.agg(
+        F.sum("p_n").cast("long").alias("tp"),
+        F.sum("q_n").cast("long").alias("tq"),
+    )
+    micro = per_band.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "p_n",
+        "q_n",
+        F.floor(F.lit(1e6) * F.col("p_n") / F.col("tp"))
+        .cast("long")
+        .alias("p_micro"),
+        F.floor(F.lit(1e6) * F.col("q_n") / F.col("tq"))
+        .cast("long")
+        .alias("q_micro"),
+    )
+    contribs = micro.withColumn(
+        "contrib",
+        (
+            (F.col("p_micro") - F.col("q_micro"))
+            * (F.col("p_micro") - F.col("q_micro"))
+        ).cast("double")
+        / (F.col("q_micro") + 1),
+    )
+    chi = contribs.agg(
+        F.round(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(band, contrib))),"
+                " s -> s.contrib), 0D, (a, x) -> a + x)"
+            ),
+            6,
+        ).alias("chi2")
+    )
+    return contribs.crossJoin(F.broadcast(chi)).select(
+        "band",
+        "p_n",
+        "q_n",
+        "p_micro",
+        "q_micro",
+        F.round("contrib", 6).alias("contrib"),
+        "chi2",
+    )

@@ -464,3 +464,75 @@ def q_stream_dedup_counts(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique"))
     )
+
+
+# ------------------------------------------------------ seasonal anomaly
+@query(
+    "q_events_seasonal_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST((epoch_ms(ts) // 3600000) * 3600000 AS BIGINT)
+               AS hour_start_ms,
+             CAST((epoch_ms(ts) // 3600000) % 24 AS BIGINT) AS hod,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3),
+    base AS (
+      SELECT event_type, hod, COUNT(*) AS k,
+             CAST(SUM(n) AS DOUBLE) AS s1,
+             CAST(SUM(n * n) AS DOUBLE) AS s2
+      FROM hourly GROUP BY 1, 2)
+    SELECT h.event_type, h.hour_start_ms, h.hod, h.n,
+           round((h.n - b.s1 / b.k)
+                 / sqrt(NULLIF((b.s2 - b.s1 * b.s1 / b.k) / (b.k - 1), 0)),
+                 6) AS z
+    FROM hourly h JOIN base b
+      ON h.event_type = b.event_type AND h.hod = b.hod
+    WHERE b.k > 1
+      AND abs((h.n - b.s1 / b.k)
+              / sqrt(NULLIF((b.s2 - b.s1 * b.s1 / b.k) / (b.k - 1), 0))) >= 1.5
+    """,
+)
+def q_events_seasonal_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Seasonally-conditioned rate anomaly: each (type, hour) bucket is
+    z-scored against the baseline for ITS OWN hour-of-day — so a
+    nightly lull is not an anomaly and a spike at 3am is, which the
+    unconditioned q_events_rate_anomaly cannot distinguish.  The
+    baseline key (type, hour-of-day) is the seasonal profile a
+    monitoring pipeline maintains incrementally (counts and squared
+    counts are mergeable monoids, same as q_matview_incremental).
+
+    Determinism: integer hourly counts -> exact per-(type,hod) moments
+    -> one fixed IEEE z sequence (the dispersion pattern).  Scale: the
+    fact collapses to hourly buckets map-side; the baseline is 24 x
+    #types rows broadcast back onto them."""
+    ev = t(spark, sf, "events")
+    hod = (
+        (epoch_ms(F.col("ts")).cast("long") / F.lit(HOUR_MS)).cast("long")
+        % 24
+    )
+    hourly = ev.groupBy(
+        "event_type", _hour_ms().alias("hour_start_ms"), hod.alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = hourly.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("double").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k")) / (
+        F.col("k") - 1
+    )
+    z = (F.col("n") - F.col("s1") / F.col("k")) / F.sqrt(
+        F.nullif(var, F.lit(0.0))
+    )
+    return (
+        hourly.join(F.broadcast(base), ["event_type", "hod"])
+        .filter((F.col("k") > 1) & (F.abs(z) >= 1.5))
+        .select(
+            "event_type",
+            "hour_start_ms",
+            "hod",
+            "n",
+            F.round(z, 6).alias("z"),
+        )
+    )
