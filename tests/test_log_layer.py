@@ -488,3 +488,38 @@ def test_compact_small_preserves_partitioned_layout(engine):
         (r["offset"], r["message"]) for r in topic.log().collect()
     )
     assert content_after == content_before
+
+
+def test_fsck_clean_log_and_detects_corruption(engine):
+    import shutil as _shutil
+    import os
+
+    topic = engine.prepare_topic("t_fsck")
+    for i in range(1, 4):
+        topic.publish_batch([("e", {"n": j}) for j in range(i * 10, i * 10 + 5)])
+    report = topic.fsck(deep=True)
+    assert report["ok"], report["issues"]
+    assert report["n_rows"] == 15
+    assert (report["min_offset"], report["max_offset"]) == (1, 15)
+
+    # duplicate a segment file -> overlap (and deep duplicate-offsets)
+    segs = sorted(
+        (s for s in topic._segment_stats() if s["min_off"] is not None),
+        key=lambda s: s["min_off"],
+    )
+    dup = segs[1]["path"]
+    copy_to = os.path.join(
+        os.path.dirname(dup), "part-99999-deadbeefcafe.snappy.parquet"
+    )
+    _shutil.copyfile(dup, copy_to)
+    bad = topic.fsck(deep=True)
+    assert not bad["ok"]
+    assert any("overlap" in i for i in bad["issues"])
+    assert any("duplicate offsets" in i for i in bad["issues"])
+    os.remove(copy_to)
+
+    # remove a MIDDLE segment -> gap (retention only trims the prefix)
+    os.remove(segs[1]["path"])
+    gap = topic.fsck()
+    assert not gap["ok"]
+    assert any("gap" in i for i in gap["issues"])
