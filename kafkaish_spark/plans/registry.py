@@ -67,6 +67,7 @@ def _load_all() -> None:
     import kafkaish_spark.operators.composites19  # noqa: F401
     import kafkaish_spark.operators.composites20  # noqa: F401
     import kafkaish_spark.operators.composites21  # noqa: F401
+    import kafkaish_spark.operators.composites22  # noqa: F401
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries

@@ -166,3 +166,16 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     rows = j.collect()
     assert [r.yr for r in rows] == [1997]  # only 1997 % 7 == 2 in range
     assert rows[0]["count"] > 0
+
+
+def test_kmeans_lloyd2_partitions_all_vectors(spark, sf_dir):
+    from kafkaish_spark.operators.composites22 import q_embed_kmeans_lloyd2
+    from kafkaish_spark.sources.tables import load_table
+
+    rows = q_embed_kmeans_lloyd2(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs  # exact partition
+    assert {r.cluster for r in rows} <= set(range(8))
+    for r in rows:
+        assert r.inertia_micro >= 0
+        assert r.movement >= 0.0
