@@ -175,3 +175,129 @@ def q_embed_kmeans_lloyd2(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(mv), "cluster")
         .select("cluster", "n_members", "inertia_micro", "movement")
     )
+
+
+# --------------------------------------------------- PCA power iteration
+_FOLD_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {lst}), (a, b) -> a + b)"
+)
+
+
+@query(
+    "q_embed_pca_power",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, t.i,
+             CAST(round(CAST(embedding AS DOUBLE[])[CAST(t.i AS INTEGER)]
+                        * {_GRID}) AS BIGINT) AS q
+      FROM embeddings, range(1, {_DIM + 1}) t(i)),
+    A AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS a
+      FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+    u1 AS (
+      SELECT i, CAST(SUM(a) AS DOUBLE) AS u FROM A GROUP BY i),
+    n1 AS (
+      SELECT sqrt({_FOLD_SQL.format(lst="list(u * u ORDER BY i)")}) AS n
+      FROM u1),
+    v1 AS (
+      SELECT i AS j, u / (SELECT n FROM n1) AS w FROM u1),
+    u2 AS (
+      SELECT A.i,
+             {_FOLD_SQL.format(lst="list(CAST(A.a AS DOUBLE) * v1.w ORDER BY A.j)")}
+               AS u
+      FROM A JOIN v1 ON A.j = v1.j GROUP BY A.i),
+    n2 AS (
+      SELECT sqrt({_FOLD_SQL.format(lst="list(u * u ORDER BY i)")}) AS n
+      FROM u2),
+    lam AS (
+      SELECT {_FOLD_SQL.format(lst="list(u2.u * v1.w ORDER BY u2.i)")} AS l
+      FROM u2 JOIN v1 ON u2.i = v1.j)
+    SELECT u2.i AS dim,
+           round(u2.u / (SELECT n FROM n2), 6) AS loading,
+           round((SELECT l FROM lam) / 1000000000000.0, 6) AS eigenvalue
+    FROM u2
+    """,
+)
+def q_embed_pca_power(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal component of the embedding Gram matrix by TWO
+    power-iteration steps, hash-checked: the 64x64 second-moment
+    matrix A[i][j] = sum_v q_i*q_j is built EXACTLY (micro-grid
+    integer products, int64-safe to ~100k vectors at 64 dims), the
+    first matvec is exact integer row sums (start vector = all-ones),
+    and the second is an ordered fold over the dimension index — so
+    every intermediate double is the same IEEE value in both engines,
+    including the Rayleigh-quotient eigenvalue.
+
+    This is the vector-iteration counterpart to q_embed_kmeans_lloyd2
+    and q_graph_pagerank: the reusable recipe is (1) exact integer
+    moment matrix, one shuffle, mergeable partials; (2) per-round
+    matvec = join + ordered fold, broadcast-sized state (the 64-vector
+    rides to every executor); more rounds repeat stage 2.  The top PC
+    is the embedding-pipeline workhorse: de-biasing (remove dominant
+    direction), drift monitoring (PC rotation between snapshots), and
+    ABTT-style postprocessing all start here.
+
+    Scale: the Gram build dominates — O(vectors x dim^2) products with
+    map-side partial sums collapsing to 4096 cells per task; at 100 TB
+    the same plan holds because the shuffle carries only the 64x64
+    partials, never vectors."""
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.select("vec_id", F.posexplode("v").alias("i", "val")).select(
+        "vec_id", "i", F.round(F.col("val") * _GRID).cast("long").alias("q")
+    )
+    A = (
+        q.alias("a")
+        .join(q.alias("b"), "vec_id")
+        .select(
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            (F.col("a.q") * F.col("b.q")).alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("long").alias("a"))
+    )
+
+    def fold_sorted(key, val):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(key.alias("k"), val.alias("x")))),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    u1 = A.groupBy("i").agg(F.sum("a").cast("long").cast("double").alias("u"))
+    n1 = u1.agg(
+        F.sqrt(fold_sorted(F.col("i"), F.col("u") * F.col("u"))).alias("n")
+    )
+    v1 = u1.crossJoin(F.broadcast(n1)).select(
+        F.col("i").alias("jj"), (F.col("u") / F.col("n")).alias("w")
+    )
+    u2 = (
+        A.join(F.broadcast(v1), A.j == F.col("jj"))
+        .groupBy("i")
+        .agg(
+            fold_sorted(
+                F.col("j"), F.col("a").cast("double") * F.col("w")
+            ).alias("u")
+        )
+    )
+    n2 = u2.agg(
+        F.sqrt(fold_sorted(F.col("i"), F.col("u") * F.col("u"))).alias("n")
+    )
+    lam = (
+        u2.join(F.broadcast(v1), u2.i == F.col("jj"))
+        .agg(fold_sorted(F.col("i"), F.col("u") * F.col("w")).alias("l"))
+    )
+    return (
+        u2.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(lam))
+        .select(
+            (F.col("i") + 1).cast("long").alias("dim"),  # 1-based like the oracle
+            F.round(F.col("u") / F.col("n"), 6).alias("loading"),
+            F.round(F.col("l") / F.lit(1e12), 6).alias("eigenvalue"),
+        )
+    )

@@ -179,3 +179,14 @@ def test_kmeans_lloyd2_partitions_all_vectors(spark, sf_dir):
     for r in rows:
         assert r.inertia_micro >= 0
         assert r.movement >= 0.0
+
+
+def test_pca_power_loadings_are_unit_norm(spark, sf_dir):
+    from kafkaish_spark.operators.composites22 import q_embed_pca_power
+
+    rows = q_embed_pca_power(spark, sf_dir).collect()
+    assert len(rows) == 64
+    norm2 = sum(r.loading * r.loading for r in rows)
+    assert abs(norm2 - 1.0) < 1e-3  # rounded loadings, unit eigvec
+    eig = {r.eigenvalue for r in rows}
+    assert len(eig) == 1 and eig.pop() > 0
