@@ -123,6 +123,24 @@ _DRIVER_PRIORITY = (
     "q_stream_tumbling_counts",   # S4 twin
     "q_stream_sliding_counts",    # S5 twin
     "q_stream_session_windows",   # S6 twin
+    # Round-2 second-wave flagships: surface these in the driver's
+    # 50-query sample so CORRECTNESS_r2 records them explicitly.
+    "q_embed_kmeans_lloyd2",      # iterative vector state (E->M->E)
+    "q_embed_pca_power",          # exact Gram + power iteration
+    "q_agg_salted_skew",          # aggregation de-skew
+    "q_join_salted_skew",         # join de-skew
+    "q_matview_incremental",      # partial-aggregate refresh
+    "q_merge_upsert",             # MERGE latest-wins
+    "q_diff_snapshots",           # load diff audit
+    "q_sample_reservoir",         # deterministic per-group sample
+    "q_sample_temperature",       # p^T mixture re-weighting
+    "q_ab_cuped",                 # experimentation adjustment
+    "q_ab_diff_in_diff",          # 2x2 design table
+    "q_audit_benford",            # digit-distribution audit
+    "q_audit_chi2_drift",         # distribution drift monitor
+    "q_privacy_l_diversity",      # attribute-disclosure audit
+    "q_events_seasonal_anomaly",  # hour-of-day-conditioned z-scores
+    "q_stream_dedup_counts",      # S8 oracle twin
 )
 
 
