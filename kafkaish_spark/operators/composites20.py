@@ -211,7 +211,7 @@ def q_sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     100 TB the candidate stage is the sublinear ANN path
     (q_sim_ann_lsh / q_sim_ivf_ann); MMR cost is independent of corpus
     size by construction.  Rows-only check by design (greedy float
-    argmax has no SQL twin); tests/test_composites14.py pins the
+    argmax has no SQL twin); tests/test_composites20.py pins the
     selection against a pure-python reference.
     """
     e = t(spark, sf, "embeddings")
@@ -247,6 +247,13 @@ def q_sim_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        # applyInPandas does NOT guarantee intra-group row order; the
+        # tie-break below assumes rel-desc/id-asc, so establish it here
+        # instead of relying on the upstream window sort surviving the
+        # physical plan.
+        pdf = pdf.sort_values(
+            ["rel", "cand_id"], ascending=[False, True]
+        ).reset_index(drop=True)
         qid = int(pdf["query_id"].iloc[0])
         ids = pdf["cand_id"].to_numpy()
         rel = pdf["rel"].to_numpy(dtype=np.float64)

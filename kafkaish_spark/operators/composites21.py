@@ -112,9 +112,12 @@ def q_sketch_spacesaving_topk(spark: SparkSession, sf: str) -> DataFrame:
     """SpaceSaving heavy hitters (Metwally et al.): each partition
     maintains <= SS_CAP (term, est, err) counters — a new term evicts
     the smallest counter and inherits its count as its error bound —
-    then the bounded summaries merge with a plain group-by and the
-    top-k by estimated count is reported with its overcount bound
-    (true count is always in [est - err, est]).
+    then the bounded summaries merge with the Metwally compensation
+    rule (a partition where a term is untracked contributes its
+    smallest-counter value to both est and err, since the term may
+    have been evicted there) and the top-k by estimated count is
+    reported with its overcount bound (true count is always in
+    [est - err, est], which holds across ANY partitioning).
 
     This is the O(1)-memory complement to the Count-Min sketch
     (q_sketch_count_min_terms): CMS answers point queries, SpaceSaving
@@ -133,23 +136,60 @@ def q_sketch_spacesaving_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def summarize(batches):
+        # Partition id as the summary key: DETERMINISTIC across the
+        # multiple evaluations Spark makes of this un-cached frame
+        # (parts / terms / join each rescan) — a random id would never
+        # join back to itself and silently zero the merge.
+        from pyspark import TaskContext
+
+        pid = str(TaskContext.get().partitionId())
         counters: dict[str, list[int]] = {}  # term -> [est, err]
+        at_cap = False
         for pdf in batches:
             # batch-weighted update, alphabetical for determinism
             vc = pdf["term"].value_counts().sort_index()
             for term, c in vc.items():
                 spacesaving_update(counters, term, int(c), SS_CAP)
+            at_cap = at_cap or len(counters) >= SS_CAP
+        # compensation m: a term ABSENT from this partition's summary
+        # may still have occurred here up to the smallest counter (it
+        # was evicted, its count inherited) — m bounds that loss.  A
+        # partition that never hit the cap evicted nothing: m = 0.
+        m = min((v[0] for v in counters.values()), default=0) if at_cap else 0
         yield pd.DataFrame(
             {
+                "pid": pid,
                 "term": list(counters),
                 "est": [v[0] for v in counters.values()],
                 "err": [v[1] for v in counters.values()],
+                "m": m,
             }
         )
 
-    summaries = words.mapInPandas(summarize, "term string, est long, err long")
-    merged = summaries.groupBy("term").agg(
-        F.sum("est").alias("est"), F.sum("err").alias("err")
+    summaries = words.mapInPandas(
+        summarize, "pid string, term string, est long, err long, m long"
+    )
+    # SpaceSaving MERGE (Metwally et al. §merging): for each (term,
+    # partition) pair where the term is untracked, the partition
+    # contributes its compensation m to BOTH est and err — without it,
+    # a term evicted in one partition would under-count and break the
+    # est >= true upper bound the tests pin.
+    parts = summaries.select("pid", "m").distinct()
+    terms = summaries.select("term").distinct()
+    grid = terms.crossJoin(F.broadcast(parts))
+    merged = (
+        grid.join(
+            summaries.select("pid", "term", "est", "err"),
+            ["pid", "term"],
+            "left",
+        )
+        .select(
+            "term",
+            F.coalesce("est", "m").alias("e2"),
+            F.coalesce("err", "m").alias("r2"),
+        )
+        .groupBy("term")
+        .agg(F.sum("e2").alias("est"), F.sum("r2").alias("err"))
     )
     w = Window.partitionBy().orderBy(F.col("est").desc(), F.col("term"))
     return (

@@ -55,17 +55,25 @@ class ConsumerGroup:
 
     def assignment(self) -> dict[int, list[str]]:
         """member id -> shard names; deterministic, disjoint, complete
-        (round-robin over the sorted shard list)."""
+        (round-robin over the sorted shard list).  Delegates to the ONE
+        group assignor (streaming.groups.assignment) so batch and
+        streaming members of the same logical group can never disagree
+        about shard ownership."""
+        from kafkaish_spark.streaming.groups import assignment as _assign
+
         return {
-            m: self.shards[m :: self.n_members] for m in range(self.n_members)
+            m: _assign(self.shards, m, self.n_members)
+            for m in range(self.n_members)
         }
 
     def assigned(self, member_id: int) -> list[str]:
+        from kafkaish_spark.streaming.groups import assignment as _assign
+
         if not 0 <= member_id < self.n_members:
             raise ValueError(
                 f"member_id {member_id} out of range for group of {self.n_members}"
             )
-        return self.shards[member_id :: self.n_members]
+        return _assign(self.shards, member_id, self.n_members)
 
     # -- consumption ---------------------------------------------------
 

@@ -636,7 +636,16 @@ class Topic:
             merged = self.spark.read.parquet(*paths)
             n_before = merged.count()
             tmp = self.log_dir + f".smallcompact.{uuid4().hex}.tmp"
-            merged.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+            # Range-partition on offset so EACH output file covers a
+            # disjoint contiguous offset range — coalesce(n>1) would
+            # concatenate arbitrary input subsets and interleave
+            # ranges, which fsck() rightly flags as overlap.
+            writer = (
+                merged.repartitionByRange(target_files, F.col("offset"))
+                if target_files > 1
+                else merged.coalesce(1)
+            )
+            writer.write.mode("overwrite").parquet(tmp)
             new_files = [
                 f
                 for f in os.listdir(tmp)
@@ -804,7 +813,11 @@ class Topic:
         if n_match == 0:
             cur.unpersist(blocking=False)
             return 0
-        kept = cur.filter(~F.expr(predicate))
+        # NULL-safe complement: a predicate that evaluates to NULL on a
+        # row (e.g. get_json_object on a payload without the field)
+        # must KEEP that row — a bare ~expr drops NULL rows too, which
+        # both over-redacts and breaks the count invariant below.
+        kept = cur.filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         if self.partitioned:
             kept = kept.withColumn("pub_date", F.to_date("ts"))
 

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafkaish_spark.sources.topic_log import Engine
-from kafkaish_spark.streaming.subscribe import Subscription
+from kafkaish_spark.streaming.subscribe import Subscription, _start_offset_for
 
 
 def shard_names(engine: Engine, base: str) -> list[str]:
@@ -55,7 +55,10 @@ def assignment(shards: list[str], member: int, n_members: int) -> list[str]:
     """Static modulo assignment: shard i -> member (i mod n_members).
     Deterministic from shared inputs, so members never need to talk;
     members beyond the shard count idle (Kafka's over-provisioned
-    group behavior)."""
+    group behavior).  Single source of truth shared with the batch
+    ConsumerGroup (sources/consumer_group.py) so batch and streaming
+    members of one logical group can never diverge on who owns a
+    shard."""
     if not 0 <= member < n_members:
         raise ValueError(f"member must be in [0, {n_members}), got {member}")
     return [s for i, s in enumerate(shards) if i % n_members == member]
@@ -83,8 +86,13 @@ def subscribe_group(
     ``batch_fn(batch_df, batch_id)`` runs per micro-batch BEFORE the
     ack, with columns (topic, offset, ts, event, message); a throwing
     batch_fn leaves the batch uncommitted for redelivery on resume
-    (at-least-once).  replay=False starts each shard at its
-    subscribe-time tail instead of offset 0."""
+    (at-least-once).  replay=False starts each shard at its tail AT
+    FIRST SUBSCRIBE — the start offset is persisted per (group,
+    member, shard), so a member that resubscribes after downtime
+    resumes from its original start and still receives everything
+    published while it was away (the same ``.start.json`` contract as
+    ``subscribe``; recomputing the tail on resubscribe would silently
+    skip that window)."""
     shards = shard_names(engine, base)
     mine = assignment(shards, member, n_members)
     if not mine:
@@ -94,10 +102,9 @@ def subscribe_group(
     for shard in mine:
         topic = engine.prepare_topic(shard)
         s = topic.stream(max_files_per_trigger=max_files_per_trigger)
-        if not replay:
-            tail = topic.latest()
-            if tail:
-                s = s.filter(F.col("offset") > F.lit(int(tail)))
+        start = _start_offset_for(topic, sub_name, replay)
+        if start:
+            s = s.filter(F.col("offset") > F.lit(int(start)))
         frames.append(
             s.select(
                 F.lit(shard).alias("topic"), "offset", "ts", "event", "message"

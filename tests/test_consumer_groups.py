@@ -139,3 +139,38 @@ def test_redact_rolls_back_on_broken_invariant(engine, monkeypatch):
         topic.redact("get_json_object(message, '$.n') = '1'")
     monkeypatch.undo()
     assert topic.log().count() == 4
+
+
+def test_group_replay_false_does_not_lose_downtime_messages(engine):
+    """replay=False pins the start offset at FIRST subscribe: messages
+    published while a member is down must still be delivered when it
+    resubscribes (the recompute-tail-on-resubscribe bug would skip
+    them)."""
+    topic = engine.prepare_topic("dt.0")
+    topic.publish_batch([("ev", {"n": j}) for j in range(3)])  # pre-history
+
+    _, got1 = _drain(engine, "dt", "gdt", 0, 1, replay=False)
+    assert got1 == []  # from-now semantics: pre-history skipped
+
+    # member is down; new messages arrive
+    topic.publish_batch([("ev", {"n": j}) for j in range(3, 6)])
+
+    _, got2 = _drain(engine, "dt", "gdt", 0, 1, replay=False)
+    assert [json.loads(m)["n"] for _, _, m in got2] == [3, 4, 5]
+
+
+def test_redact_keeps_rows_where_predicate_is_null(engine):
+    """The docstring's own example predicate evaluates to NULL on
+    payloads without the field; those rows must survive and redact
+    must not spuriously abort."""
+    topic = engine.prepare_topic("t_redact_null")
+    topic.publish("e", {"user": "u-42", "x": 1})
+    topic.publish("e", {"user": "keep", "x": 2})
+    topic.publish("e", {"n": 3})  # no 'user' field -> predicate NULL
+
+    removed = topic.redact("get_json_object(message, '$.user') = 'u-42'")
+    assert removed == 1
+    left = sorted(r["message"] for r in topic.log().collect())
+    assert len(left) == 2
+    assert not any("u-42" in m for m in left)
+    assert any('"n": 3' in m or '"n":3' in m for m in left)
