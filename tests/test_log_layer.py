@@ -523,3 +523,17 @@ def test_fsck_clean_log_and_detects_corruption(engine):
     gap = topic.fsck()
     assert not gap["ok"]
     assert any("gap" in i for i in gap["issues"])
+
+
+def test_compact_small_multi_file_output_passes_fsck(engine):
+    """target_files > 1 must produce disjoint contiguous offset ranges
+    (range partitioning, not coalesce concatenation) — fsck stays
+    clean."""
+    topic = engine.prepare_topic("t_smallcompact_multi")
+    for i in range(1, 11):
+        topic.publish_batch([("e", {"n": i})])
+    removed = topic.compact_small(small_bytes=1 << 20, target_files=2)
+    assert removed > 0
+    report = topic.fsck(deep=True)
+    assert report["ok"], report["issues"]
+    assert report["n_rows"] == 10
