@@ -144,6 +144,37 @@ def q_dedup_bloom_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ------------------------------------------------- embedding whitening
+def whitened_dims(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, pos, wv): per-dimension z-scores of the embedding
+    column on the 1e-6 integer grid — the ONE whitening subtree shared
+    by q_embed_whitening (array reassembly) and
+    kafkaish_spark.operators.composites18.q_embed_outliers_maha
+    (whitened norm), so a change to the grid, the moment math, or the
+    zero-std guard can never desynchronize the two kernels and their
+    oracles."""
+    e = t(spark, sf, "embeddings")
+    q = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        F.round(F.col("v").cast("double") * 1e6).cast("long").alias("qv"),
+    )
+    st = q.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qv").alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    std = F.sqrt(F.col("ss").cast("double") / F.col("n") - mean * mean)
+    wv = F.round(
+        (F.col("qv").cast("double") - mean) / F.nullif(std, F.lit(0.0)), 6
+    )
+    return q.join(F.broadcast(st), "pos").select(
+        "vec_id", "pos", wv.alias("wv")
+    )
+
+
 @query(
     "q_embed_whitening",
     oracle="""
@@ -185,27 +216,8 @@ def q_embed_whitening(spark: SparkSession, sf: str) -> DataFrame:
     array reassembly via sorted collect_list.  At 100 TB the moment
     table is still 64 rows — the only full-data passes are the explode
     and the vec_id regroup, both embarrassingly parallel."""
-    e = t(spark, sf, "embeddings")
-    q = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "vec_id",
-        "pos",
-        F.round(F.col("v").cast("double") * 1e6).cast("long").alias("qv"),
-    )
-    st = q.groupBy("pos").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("qv").alias("s"),
-        F.sum(F.col("qv") * F.col("qv")).alias("ss"),
-    )
-    mean = F.col("s").cast("double") / F.col("n")
-    std = F.sqrt(F.col("ss").cast("double") / F.col("n") - mean * mean)
-    wv = F.round(
-        (F.col("qv").cast("double") - mean) / F.nullif(std, F.lit(0.0)), 6
-    )
     return (
-        q.join(F.broadcast(st), "pos")
-        .select("vec_id", "pos", wv.alias("wv"))
+        whitened_dims(spark, sf)
         .groupBy("vec_id")
         .agg(
             F.transform(

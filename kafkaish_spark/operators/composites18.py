@@ -142,24 +142,8 @@ def q_embed_outliers_maha(spark: SparkSession, sf: str) -> DataFrame:
     on vec_id.  Plan: the whitening subtree (64-row broadcast moment
     table) -> per-vector fold -> TakeOrderedAndProject — the top-k
     never global-sorts."""
-    e = t(spark, sf, "embeddings")
-    q = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "v")
-    ).select(
-        "vec_id",
-        "pos",
-        F.round(F.col("v").cast("double") * 1e6).cast("long").alias("qv"),
-    )
-    st = q.groupBy("pos").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("qv").alias("s"),
-        F.sum(F.col("qv") * F.col("qv")).alias("ss"),
-    )
-    mean = F.col("s").cast("double") / F.col("n")
-    std = F.sqrt(F.col("ss").cast("double") / F.col("n") - mean * mean)
-    wv = F.round(
-        (F.col("qv").cast("double") - mean) / F.nullif(std, F.lit(0.0)), 6
-    )
+    from kafkaish_spark.operators.composites14 import whitened_dims
+
     sq = F.aggregate(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "wv"))),
@@ -169,8 +153,7 @@ def q_embed_outliers_maha(spark: SparkSession, sf: str) -> DataFrame:
         lambda a, b: a + b,
     )
     return (
-        q.join(F.broadcast(st), "pos")
-        .select("vec_id", "pos", wv.alias("wv"))
+        whitened_dims(spark, sf)
         .groupBy("vec_id")
         .agg(F.round(F.sqrt(sq), 6).alias("maha"))
         .orderBy(F.desc("maha"), "vec_id")

@@ -401,12 +401,15 @@ class Topic:
     def fsck(self, deep: bool = False) -> dict:
         """Log integrity audit — the fsck for a topic.  Cheap mode runs
         ENTIRELY on parquet footer statistics (no Spark job): per
-        offset-sorted segment file it checks that offset stats exist,
-        that no two files' offset ranges overlap (a duplicated/
-        re-ingested segment), that each file is internally dense
-        (max-min+1 == its row count), and that the whole log is one
-        contiguous offset suffix (gaps appear when a middle segment is
-        lost — retention only ever trims the prefix).  ``deep=True``
+        offset-sorted COMMIT GROUP (all files of one publish uuid) it
+        checks that offset stats exist, that no two groups' offset
+        ranges overlap (a duplicated/re-ingested segment), that each
+        group is internally dense (max-min+1 == its row count — the
+        per-GROUP invariant every publish guarantees, even when a
+        partitioned write splits one offset run across date files),
+        and that the whole log is one contiguous offset suffix (gaps
+        appear when a middle segment is lost — retention only ever
+        trims whole-group prefixes).  ``deep=True``
         additionally runs one Spark aggregate asserting distinct
         offsets == rows (corruption INSIDE a file that footer ranges
         cannot see).
@@ -427,27 +430,45 @@ class Topic:
         for s in segs:
             if s["num_rows"] and s["min_off"] is None:
                 issues.append(f"missing offset stats: {s['path']}")
-        ordered = sorted(offs, key=lambda s: s["min_off"])
-        for s in ordered:
-            span = s["max_off"] - s["min_off"] + 1
-            if span != s["num_rows"]:
+        # Check at the COMMIT-GROUP granularity (all files sharing one
+        # publish uuid): a publish is atomic and dense as a GROUP, but
+        # its files may interleave offsets — a partitioned publish_df
+        # spanning two pub_dates splits one contiguous offset run
+        # across date files.  Per-file density would false-positive on
+        # that healthy layout; per-group it cannot.
+        groups: dict[str, list[dict]] = {}
+        for s in offs:
+            groups.setdefault(s["uuid"], []).append(s)
+        gstats = sorted(
+            (
+                {
+                    "uuid": u,
+                    "gmin": min(s["min_off"] for s in gs),
+                    "gmax": max(s["max_off"] for s in gs),
+                    "grows": sum(s["num_rows"] for s in gs),
+                }
+                for u, gs in groups.items()
+            ),
+            key=lambda g: g["gmin"],
+        )
+        for g in gstats:
+            span = g["gmax"] - g["gmin"] + 1
+            if span != g["grows"]:
                 issues.append(
-                    f"non-dense file {os.path.basename(s['path'])}: "
-                    f"range {span} != rows {s['num_rows']}"
+                    f"non-dense publish group {g['uuid']}: "
+                    f"range {span} != rows {g['grows']}"
                 )
-        for a, b in zip(ordered, ordered[1:]):
-            if b["min_off"] <= a["max_off"]:
+        for a, b in zip(gstats, gstats[1:]):
+            if b["gmin"] <= a["gmax"]:
                 issues.append(
-                    f"offset overlap: {os.path.basename(a['path'])} "
-                    f"[{a['min_off']},{a['max_off']}] vs "
-                    f"{os.path.basename(b['path'])} "
-                    f"[{b['min_off']},{b['max_off']}]"
+                    f"offset overlap: group {a['uuid']} "
+                    f"[{a['gmin']},{a['gmax']}] vs group {b['uuid']} "
+                    f"[{b['gmin']},{b['gmax']}]"
                 )
-            elif b["min_off"] != a["max_off"] + 1:
+            elif b["gmin"] != a["gmax"] + 1:
                 issues.append(
-                    f"offset gap: {a['max_off']} -> {b['min_off']} "
-                    f"(between {os.path.basename(a['path'])} and "
-                    f"{os.path.basename(b['path'])})"
+                    f"offset gap: {a['gmax']} -> {b['gmin']} "
+                    f"(between groups {a['uuid']} and {b['uuid']})"
                 )
         if deep and offs:
             row = (
@@ -617,19 +638,36 @@ class Topic:
         at 100 TB it stays a constant-size job no matter how large the
         log has grown.
 
-        Small files are grouped PER DIRECTORY, so a date-partitioned
-        topic keeps its layout and typically only the most recent
-        partition is ever touched.  Offsets ride in the data — content
-        and order are exactly preserved; validation re-reads the merged
-        files and aborts (originals untouched) on any count mismatch.
-        Like the other compaction ops, run quiesced.  Returns the net
-        reduction in file count."""
+        Small files are grouped per directory (a date-partitioned topic
+        keeps its layout) AND per offset-ADJACENCY run within the
+        directory: only consecutive-in-offset-order small files merge,
+        so a merged file's offset range can never enclose an untouched
+        large segment between two small runs — which would both trip
+        fsck's overlap check and, worse, make retention (ordered by
+        min offset, whole-group eviction) evict the NEWEST data first.
+        Offsets ride in the data — content and order are exactly
+        preserved; validation re-reads the merged files and aborts
+        (originals untouched) on any count mismatch.  Like the other
+        compaction ops, run quiesced.  Returns the net reduction in
+        file count."""
         by_dir: dict[str, list[dict]] = {}
         for s in self._segment_stats():
-            if s["size"] < small_bytes:
+            if s["min_off"] is not None:
                 by_dir.setdefault(os.path.dirname(s["path"]), []).append(s)
+        runs: list[tuple[str, list[dict]]] = []
+        for d, segs in sorted(by_dir.items()):
+            run: list[dict] = []
+            for s in sorted(segs, key=lambda s: s["min_off"]):
+                if s["size"] < small_bytes:
+                    run.append(s)
+                else:  # a large segment breaks the adjacency run
+                    if run:
+                        runs.append((d, run))
+                    run = []
+            if run:
+                runs.append((d, run))
         removed = 0
-        for d, smalls in sorted(by_dir.items()):
+        for d, smalls in runs:
             if len(smalls) <= target_files:
                 continue
             paths = sorted(s["path"] for s in smalls)

@@ -15,7 +15,8 @@ membership is a constructor argument, not a negotiation).
 Delivery contract per member = the durable ``subscribe_batches``
 contract per owned shard: per-shard total order by offset,
 at-least-once (micro-batch checkpoint commit), per-shard ack rows in
-each shard's ``_subscribers`` table under ``<group>.m<member>``.
+each shard's ``_subscribers`` table under the GROUP name (offsets
+belong to the group, not the member — Kafka's contract).
 Cross-shard order is NOT promised — exactly the multi-partition Kafka
 relaxation the sharded-topic property test pins.
 
@@ -87,22 +88,42 @@ def subscribe_group(
     ack, with columns (topic, offset, ts, event, message); a throwing
     batch_fn leaves the batch uncommitted for redelivery on resume
     (at-least-once).  replay=False starts each shard at its tail AT
-    FIRST SUBSCRIBE — the start offset is persisted per (group,
-    member, shard), so a member that resubscribes after downtime
-    resumes from its original start and still receives everything
-    published while it was away (the same ``.start.json`` contract as
-    ``subscribe``; recomputing the tail on resubscribe would silently
-    skip that window)."""
+    FIRST SUBSCRIBE — the start offset is persisted per (group, shard)
+    (NOT per member: Kafka's contract, and the batch ConsumerGroup's —
+    offsets belong to the group), so a member that resubscribes after
+    downtime, or a DIFFERENT member that inherits the shard after a
+    resize, resumes from the group's pinned start and still receives
+    everything published in between (recomputing the tail at
+    resubscribe would silently skip that window).
+
+    Resizing: the checkpoint path carries the topology (n_members), so
+    a resize starts fresh streaming checkpoints; per-shard delivery
+    then resumes from ``max(group start, last group ack)`` — acked
+    messages are not redelivered across a topology change, unacked
+    ones are (at-least-once preserved)."""
     shards = shard_names(engine, base)
     mine = assignment(shards, member, n_members)
     if not mine:
         return None
-    sub_name = f"{group}.m{member}"
+    checkpoint = os.path.join(
+        engine.root,
+        "_groups",
+        base,
+        group,
+        f"n{n_members}",
+        f"member_{member}",
+        "checkpoint",
+    )
+    fresh_topology = not os.path.exists(checkpoint)
     frames = []
     for shard in mine:
         topic = engine.prepare_topic(shard)
         s = topic.stream(max_files_per_trigger=max_files_per_trigger)
-        start = _start_offset_for(topic, sub_name, replay)
+        start = _start_offset_for(topic, group, replay)
+        if fresh_topology:
+            # inherit progress from any previous topology via the
+            # group-keyed acks (never from member-keyed state)
+            start = max(start, topic.last_ack(group) or 0)
         if start:
             s = s.filter(F.col("offset") > F.lit(int(start)))
         frames.append(
@@ -113,10 +134,6 @@ def subscribe_group(
     stream = frames[0]
     for f in frames[1:]:
         stream = stream.unionByName(f)
-
-    checkpoint = os.path.join(
-        engine.root, "_groups", base, group, f"member_{member}", "checkpoint"
-    )
 
     def deliver(batch_df: DataFrame, batch_id: int) -> None:
         if batch_fn is not None:
@@ -129,7 +146,7 @@ def subscribe_group(
             .collect()
         )
         for row in heads:
-            engine.prepare_topic(row["topic"]).ack(sub_name, int(row["head"]))
+            engine.prepare_topic(row["topic"]).ack(group, int(row["head"]))
 
     writer = (
         stream.writeStream.foreachBatch(deliver)
@@ -139,4 +156,4 @@ def subscribe_group(
     if available_now:
         writer = writer.trigger(availableNow=True)
     query = writer.start()
-    return Subscription(query, sub_name, checkpoint)
+    return Subscription(query, f"{group}.m{member}", checkpoint)

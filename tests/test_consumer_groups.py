@@ -84,7 +84,7 @@ def test_group_ack_rows_per_shard(engine):
     _drain(engine, "ak", "g4", 0, 1)
     for i in range(2):
         topic = engine.prepare_topic(f"ak.{i}")
-        assert topic.last_ack("g4.m0") == 4
+        assert topic.last_ack("g4") == 4  # acks are GROUP-keyed (Kafka contract)
 
 
 def test_redact_removes_only_matches(engine):
@@ -174,3 +174,30 @@ def test_redact_keeps_rows_where_predicate_is_null(engine):
     assert len(left) == 2
     assert not any("u-42" in m for m in left)
     assert any('"n": 3' in m or '"n":3' in m for m in left)
+
+
+def test_group_resize_does_not_lose_unacked_messages(engine):
+    """Shrinking the group re-routes shards to surviving members; a
+    message published after the old member's last ack must be
+    delivered to whoever owns the shard in the new topology (the
+    member-keyed-offset bug silently skipped it)."""
+    for i in range(2):
+        engine.prepare_topic(f"rz.{i}").publish_batch(
+            [("e", {"phase": 1, "n": j}) for j in range(2)]
+        )
+    # topology A: 2 members, shard rz.1 owned by member 1
+    _, got_a = _drain(engine, "rz", "grz", 1, 2, replay=True)
+    assert len(got_a) == 2  # rz.1's backlog
+
+    # member 1 is gone; new messages land on rz.1
+    engine.prepare_topic("rz.1").publish_batch([("e", {"phase": 2})])
+
+    # topology B: 1 member owns everything
+    _, got_b = _drain(engine, "rz", "grz", 0, 1, replay=True)
+    msgs = sorted(
+        (tpc, json.loads(m)["phase"]) for tpc, _, m in got_b
+    )
+    # rz.0 backlog (never consumed: member 0 drained it in topo A? no —
+    # member 0 in topo A owned rz.0 but never ran) + the phase-2 message
+    assert ("rz.1", 2) in msgs  # the post-resize message IS delivered
+    assert all(p != 1 or tpc == "rz.0" for tpc, p in msgs)  # rz.1 phase-1 acked, not redelivered
