@@ -301,3 +301,52 @@ def q_embed_pca_power(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.col("l") / F.lit(1e12), 6).alias("eigenvalue"),
         )
     )
+
+
+# ------------------------------------------------------- DAU/MAU ratio
+@query(
+    "q_events_dau_mau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d),
+    mu AS (
+      SELECT DISTINCT CAST(date_trunc('month', ts) AS DATE) AS m, user_id
+      FROM events),
+    mau AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS mau FROM mu GROUP BY m)
+    SELECT dau.d, dau.dau, mau.mau,
+           round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+    FROM dau JOIN mau ON CAST(date_trunc('month', dau.d) AS DATE) = mau.m
+    """,
+)
+def q_events_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the product-health ratio next to
+    the rolling WAU (q_events_rolling_wau): daily distinct actives
+    over their calendar month's distinct actives.  Both distinct sets
+    collapse map-side to (period, user) pairs before any counting, so
+    the shuffles are bounded by actives, not events; the month table
+    is a handful of rows broadcast back onto the daily series.
+    Dates come from the NTZ wall-clock ts, so the metric is identical
+    in every driver timezone (the repo's tz-proofing contract)."""
+    ev = t(spark, sf, "events")
+    du = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    mu = ev.select(
+        F.trunc("ts", "month").alias("m"), "user_id"
+    ).distinct()
+    mau = mu.groupBy("m").agg(F.count(F.lit(1)).alias("mau"))
+    return (
+        dau.join(F.broadcast(mau), F.trunc("d", "month") == F.col("m"))
+        .select(
+            "d",
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
