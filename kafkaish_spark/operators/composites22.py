@@ -350,3 +350,166 @@ def q_events_dau_mau(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------- logistic regression (2 GD)
+_LR_DIMS = 8  # features = first 8 embedding dims
+# fast sigmoid 0.5 + x/(2(1+|x|)): same elementary IEEE ops in both
+# engines (exp() is NOT correctly rounded and differs libm vs JVM)
+_SIG_SQL = "(0.5 + {x} / (2.0 * (1.0 + abs({x}))))"
+
+
+@query(
+    "q_ml_logreg_gd2",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, t.j,
+             CAST(embedding AS DOUBLE[])[CAST(t.j AS INTEGER)] AS xv,
+             label % 2 AS y
+      FROM embeddings, range(1, {_LR_DIMS + 1}) t(j)),
+    n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM x),
+    g1 AS (
+      SELECT j, CAST(SUM(CAST(round((0.5 - y) * xv * 1000000) AS BIGINT))
+                     AS BIGINT) AS g
+      FROM x GROUP BY j),
+    w1 AS (
+      SELECT j, -CAST(g AS DOUBLE) / (1000000.0 * (SELECT n FROM n)) AS w
+      FROM g1),
+    dots AS (
+      SELECT x.vec_id, ANY_VALUE(x.y) AS y,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(w1.w * x.xv ORDER BY x.j)),
+                         (a, b) -> a + b) AS dot
+      FROM x JOIN w1 ON x.j = w1.j GROUP BY x.vec_id),
+    scored AS (
+      SELECT vec_id, y, {_SIG_SQL.format(x='dot')} AS s FROM dots),
+    acc AS (
+      SELECT CAST(SUM(CASE WHEN (s >= 0.5) = (y = 1) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_correct
+      FROM scored),
+    g2 AS (
+      SELECT x.j,
+             CAST(SUM(CAST(round((sc.s - x.y) * x.xv * 1000000) AS BIGINT))
+                  AS BIGINT) AS g
+      FROM x JOIN scored sc ON x.vec_id = sc.vec_id GROUP BY x.j),
+    w2 AS (
+      SELECT g2.j,
+             w1.w - CAST(g2.g AS DOUBLE) / (1000000.0 * (SELECT n FROM n))
+               AS w
+      FROM g2 JOIN w1 ON g2.j = w1.j)
+    SELECT w2.j AS dim, round(w1.w, 6) AS w1, round(w2.w, 6) AS w2,
+           (SELECT n_correct FROM acc) AS n_correct,
+           (SELECT n FROM n) AS n_rows
+    FROM w2 JOIN w1 ON w2.j = w1.j
+    """,
+)
+def q_ml_logreg_gd2(spark: SparkSession, sf: str) -> DataFrame:
+    """TWO full-batch gradient-descent steps of logistic regression
+    (label %2 on the first 8 embedding dims), hash-checked — the
+    supervised member of the iterative family (k-means = clustering,
+    PCA = decomposition, PageRank = graph).
+
+    Two determinism moves beyond the Lloyd/PCA recipe: (1) the
+    sigmoid is the RATIONAL fast-sigmoid 0.5 + x/(2(1+|x|)) — division
+    and abs are correctly rounded IEEE ops, whereas exp() differs in
+    the last ulp between libm and the JVM, which would de-sync the
+    engines at step 2; (2) each row's per-dimension gradient
+    contribution is quantized to the micro grid BEFORE the sum, so the
+    gradient vector is an exact int64 sum in any partition order, and
+    each weight update is one division of exact integers.  Training
+    accuracy (step-1 predictions) rides along as an exact count.
+
+    Scale: per step, one broadcast of the 8-weight vector, one
+    O(rows x dims) scan, and a shuffle of 8 int64 partials — the
+    canonical data-parallel full-batch GD schedule; minibatching or
+    more steps repeat the same two stages.  This is the template for
+    any GLM trained inside the warehouse instead of exporting data."""
+    e = t(spark, sf, "embeddings")
+    x = e.select(
+        "vec_id",
+        (F.col("label") % 2).alias("y"),
+        F.posexplode(
+            F.slice(F.col("embedding").cast("array<double>"), 1, _LR_DIMS)
+        ).alias("j0", "xv"),
+    ).select("vec_id", "y", (F.col("j0") + 1).alias("j"), "xv")
+    n = x.agg(F.countDistinct("vec_id").cast("long").alias("n"))
+
+    g1 = x.groupBy("j").agg(
+        F.sum(
+            F.round((F.lit(0.5) - F.col("y")) * F.col("xv") * 1e6).cast("long")
+        )
+        .cast("long")
+        .alias("g")
+    )
+    w1 = g1.crossJoin(F.broadcast(n)).select(
+        "j",
+        (-F.col("g").cast("double") / (F.lit(1e6) * F.col("n"))).alias("w"),
+    )
+
+    def fold_sorted(key, val):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(key.alias("k"), val.alias("x")))
+                ),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dots = (
+        x.join(F.broadcast(w1), "j")
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("y").alias("y"),
+            fold_sorted(F.col("j"), F.col("w") * F.col("xv")).alias("dot"),
+        )
+    )
+    sig = F.lit(0.5) + F.col("dot") / (
+        F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("dot")))
+    )
+    scored = dots.select("vec_id", "y", sig.alias("s"))
+    acc = scored.agg(
+        F.sum(
+            F.when((F.col("s") >= 0.5) == (F.col("y") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct")
+    )
+    g2 = (
+        x.join(scored.select("vec_id", "s"), "vec_id")
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.round((F.col("s") - F.col("y")) * F.col("xv") * 1e6).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("g")
+        )
+    )
+    w2 = (
+        g2.join(w1.select(F.col("j"), F.col("w").alias("w1v")), "j")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "j",
+            "w1v",
+            (
+                F.col("w1v")
+                - F.col("g").cast("double") / (F.lit(1e6) * F.col("n"))
+            ).alias("w2v"),
+        )
+    )
+    return (
+        w2.crossJoin(F.broadcast(acc))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("j").alias("dim"),
+            F.round("w1v", 6).alias("w1"),
+            F.round("w2v", 6).alias("w2"),
+            "n_correct",
+            F.col("n").alias("n_rows"),
+        )
+    )

@@ -190,3 +190,16 @@ def test_pca_power_loadings_are_unit_norm(spark, sf_dir):
     assert abs(norm2 - 1.0) < 1e-3  # rounded loadings, unit eigvec
     eig = {r.eigenvalue for r in rows}
     assert len(eig) == 1 and eig.pop() > 0
+
+
+def test_logreg_gd2_shape_and_learning_signal(spark, sf_dir):
+    from kafkaish_spark.operators.composites22 import q_ml_logreg_gd2
+
+    rows = q_ml_logreg_gd2(spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert {r.dim for r in rows} == set(range(1, 9))
+    n = rows[0].n_rows
+    assert all(r.n_rows == n and r.n_correct == rows[0].n_correct for r in rows)
+    assert 0 <= rows[0].n_correct <= n
+    # step 2 actually moved the weights (gradient is not identically 0)
+    assert any(abs(r.w2 - r.w1) > 0 for r in rows)
