@@ -513,3 +513,132 @@ def q_ml_logreg_gd2(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n").alias("n_rows"),
         )
     )
+
+
+# --------------------------------------------------- decision stump
+_STUMP_CUTS = [5_000_000 * k for k in range(1, 10)]  # cents: 50k..450k
+
+
+@query(
+    "q_ml_stump",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS y
+      FROM orders),
+    cuts AS (SELECT unnest(ARRAY[{", ".join(str(c) for c in _STUMP_CUTS)}])
+               AS cut),
+    stats AS (
+      SELECT cut,
+             CAST(SUM(CASE WHEN c <= cut THEN y ELSE 0 END) AS BIGINT)
+               AS left_pos,
+             CAST(SUM(CASE WHEN c <= cut THEN 1 - y ELSE 0 END) AS BIGINT)
+               AS left_neg,
+             CAST(SUM(CASE WHEN c > cut THEN y ELSE 0 END) AS BIGINT)
+               AS right_pos,
+             CAST(SUM(CASE WHEN c > cut THEN 1 - y ELSE 0 END) AS BIGINT)
+               AS right_neg
+      FROM rows_ CROSS JOIN cuts GROUP BY cut),
+    scored AS (
+      SELECT cut, left_pos, left_neg, right_pos, right_neg,
+             LEAST(left_neg + right_pos, left_pos + right_neg) AS err,
+             CASE WHEN left_neg + right_pos <= left_pos + right_neg
+                  THEN 'left_is_pos' ELSE 'right_is_pos' END AS rule
+      FROM stats)
+    SELECT cut, left_pos, left_neg, right_pos, right_neg, err, rule,
+           CAST(err = (SELECT MIN(err) FROM scored) AND
+                cut = (SELECT MIN(cut) FROM scored s2
+                       WHERE s2.err = (SELECT MIN(err) FROM scored))
+                AS BIGINT) AS is_best
+    FROM scored
+    """,
+)
+def q_ml_stump(spark: SparkSession, sf: str) -> DataFrame:
+    """Decision stump (depth-1 tree / one boosting round) trained by
+    EXACT integer error minimization: label = order status 'F',
+    feature = total price in cents, candidate splits = a fixed
+    threshold grid; for each cut both orientation rules are scored by
+    misclassification count and the (min-error, min-cut) stump is
+    flagged — every number in the training procedure is an int64
+    count, so the fitted model is bit-identical on any engine and any
+    partitioning, with zero of the float ceremony the GD kernel needs.
+
+    This completes the in-warehouse supervised pair: q_ml_logreg_gd2
+    is the linear/gradient template, this is the tree/boosting one —
+    AdaBoost rounds repeat the same scan with integer sample weights
+    doubling on errors (weights stay exact ints), gradient boosting
+    swaps the count for a micro-grid residual sum.
+
+    Scale: ONE fact scan computes all 9x4 cell counts (the cut grid is
+    a broadcast literal; conditional sums partial-aggregate map-side),
+    so candidate evaluation is O(rows), not O(rows x cuts) passes —
+    the same trick a histogram-based GBDT (LightGBM) uses."""
+    o = t(spark, sf, "orders")
+    rows_ = o.select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("c"),
+        (F.col("o_orderstatus") == "F").cast("long").alias("y"),
+    )
+    cuts = spark.createDataFrame(
+        [(c,) for c in _STUMP_CUTS], "cut long"
+    )
+    stats = (
+        rows_.crossJoin(F.broadcast(cuts))
+        .groupBy("cut")
+        .agg(
+            F.sum(F.when(F.col("c") <= F.col("cut"), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("left_pos"),
+            F.sum(
+                F.when(F.col("c") <= F.col("cut"), 1 - F.col("y")).otherwise(0)
+            )
+            .cast("long")
+            .alias("left_neg"),
+            F.sum(F.when(F.col("c") > F.col("cut"), F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("right_pos"),
+            F.sum(
+                F.when(F.col("c") > F.col("cut"), 1 - F.col("y")).otherwise(0)
+            )
+            .cast("long")
+            .alias("right_neg"),
+        )
+    )
+    scored = stats.select(
+        "*",
+        F.least(
+            F.col("left_neg") + F.col("right_pos"),
+            F.col("left_pos") + F.col("right_neg"),
+        ).alias("err"),
+        F.when(
+            F.col("left_neg") + F.col("right_pos")
+            <= F.col("left_pos") + F.col("right_neg"),
+            F.lit("left_is_pos"),
+        )
+        .otherwise(F.lit("right_is_pos"))
+        .alias("rule"),
+    )
+    best = scored.agg(F.min("err").alias("best_err"))
+    best_cut = (
+        scored.crossJoin(F.broadcast(best))
+        .filter(F.col("err") == F.col("best_err"))
+        .agg(F.min("cut").alias("best_cut"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .crossJoin(F.broadcast(best_cut))
+        .select(
+            "cut",
+            "left_pos",
+            "left_neg",
+            "right_pos",
+            "right_neg",
+            "err",
+            "rule",
+            (
+                (F.col("err") == F.col("best_err"))
+                & (F.col("cut") == F.col("best_cut"))
+            )
+            .cast("long")
+            .alias("is_best"),
+        )
+    )

@@ -203,3 +203,20 @@ def test_logreg_gd2_shape_and_learning_signal(spark, sf_dir):
     assert 0 <= rows[0].n_correct <= n
     # step 2 actually moved the weights (gradient is not identically 0)
     assert any(abs(r.w2 - r.w1) > 0 for r in rows)
+
+
+def test_stump_is_best_unique_and_counts_partition(spark, sf_dir):
+    from kafkaish_spark.operators.composites22 import q_ml_stump
+    from kafkaish_spark.sources.tables import load_table
+
+    rows = q_ml_stump(spark, sf_dir).collect()
+    assert len(rows) == 9
+    assert sum(r.is_best for r in rows) == 1
+    n = load_table(spark, sf_dir, "orders").count()
+    for r in rows:
+        assert r.left_pos + r.left_neg + r.right_pos + r.right_neg == n
+        assert r.err == min(
+            r.left_neg + r.right_pos, r.left_pos + r.right_neg
+        )
+    best = next(r for r in rows if r.is_best)
+    assert best.err == min(r.err for r in rows)
