@@ -359,6 +359,60 @@ _LR_DIMS = 8  # features = first 8 embedding dims
 _SIG_SQL = "(0.5 + {x} / (2.0 * (1.0 + abs({x}))))"
 
 
+def _logreg_parts(spark: SparkSession, sf: str) -> dict:
+    """Shared step-1 logistic subtree: features x, row count n, first
+    weight vector w1, and fast-sigmoid scores per row — ONE definition
+    consumed by q_ml_logreg_gd2 (training), q_ml_auc (ranking metric)
+    and q_ml_eval_confusion-style consumers, so the feature slice /
+    sigmoid / grid rules can never drift apart."""
+    e = t(spark, sf, "embeddings")
+    x = e.select(
+        "vec_id",
+        (F.col("label") % 2).alias("y"),
+        F.posexplode(
+            F.slice(F.col("embedding").cast("array<double>"), 1, _LR_DIMS)
+        ).alias("j0", "xv"),
+    ).select("vec_id", "y", (F.col("j0") + 1).alias("j"), "xv")
+    n = x.agg(F.countDistinct("vec_id").cast("long").alias("n"))
+    g1 = x.groupBy("j").agg(
+        F.sum(
+            F.round((F.lit(0.5) - F.col("y")) * F.col("xv") * 1e6).cast("long")
+        )
+        .cast("long")
+        .alias("g")
+    )
+    w1 = g1.crossJoin(F.broadcast(n)).select(
+        "j",
+        (-F.col("g").cast("double") / (F.lit(1e6) * F.col("n"))).alias("w"),
+    )
+
+    def fold_sorted(key, val):
+        return F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(key.alias("k"), val.alias("x")))
+                ),
+                lambda s: s["x"],
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    dots = (
+        x.join(F.broadcast(w1), "j")
+        .groupBy("vec_id")
+        .agg(
+            F.any_value("y").alias("y"),
+            fold_sorted(F.col("j"), F.col("w") * F.col("xv")).alias("dot"),
+        )
+    )
+    sig = F.lit(0.5) + F.col("dot") / (
+        F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("dot")))
+    )
+    scored = dots.select("vec_id", "y", sig.alias("s"))
+    return {"x": x, "n": n, "w1": w1, "scored": scored}
+
+
 @query(
     "q_ml_logreg_gd2",
     oracle=f"""
@@ -424,52 +478,8 @@ def q_ml_logreg_gd2(spark: SparkSession, sf: str) -> DataFrame:
     canonical data-parallel full-batch GD schedule; minibatching or
     more steps repeat the same two stages.  This is the template for
     any GLM trained inside the warehouse instead of exporting data."""
-    e = t(spark, sf, "embeddings")
-    x = e.select(
-        "vec_id",
-        (F.col("label") % 2).alias("y"),
-        F.posexplode(
-            F.slice(F.col("embedding").cast("array<double>"), 1, _LR_DIMS)
-        ).alias("j0", "xv"),
-    ).select("vec_id", "y", (F.col("j0") + 1).alias("j"), "xv")
-    n = x.agg(F.countDistinct("vec_id").cast("long").alias("n"))
-
-    g1 = x.groupBy("j").agg(
-        F.sum(
-            F.round((F.lit(0.5) - F.col("y")) * F.col("xv") * 1e6).cast("long")
-        )
-        .cast("long")
-        .alias("g")
-    )
-    w1 = g1.crossJoin(F.broadcast(n)).select(
-        "j",
-        (-F.col("g").cast("double") / (F.lit(1e6) * F.col("n"))).alias("w"),
-    )
-
-    def fold_sorted(key, val):
-        return F.aggregate(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(key.alias("k"), val.alias("x")))
-                ),
-                lambda s: s["x"],
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    dots = (
-        x.join(F.broadcast(w1), "j")
-        .groupBy("vec_id")
-        .agg(
-            F.any_value("y").alias("y"),
-            fold_sorted(F.col("j"), F.col("w") * F.col("xv")).alias("dot"),
-        )
-    )
-    sig = F.lit(0.5) + F.col("dot") / (
-        F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("dot")))
-    )
-    scored = dots.select("vec_id", "y", sig.alias("s"))
+    parts = _logreg_parts(spark, sf)
+    x, n, w1, scored = parts["x"], parts["n"], parts["w1"], parts["scored"]
     acc = scored.agg(
         F.sum(
             F.when((F.col("s") >= 0.5) == (F.col("y") == 1), 1).otherwise(0)
@@ -641,4 +651,181 @@ def q_ml_stump(spark: SparkSession, sf: str) -> DataFrame:
             .cast("long")
             .alias("is_best"),
         )
+    )
+
+
+# ------------------------------------------------------------ exact AUC
+@query(
+    "q_ml_auc",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, t.j,
+             CAST(embedding AS DOUBLE[])[CAST(t.j AS INTEGER)] AS xv,
+             label % 2 AS y
+      FROM embeddings, range(1, {_LR_DIMS + 1}) t(j)),
+    n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM x),
+    g1 AS (
+      SELECT j, CAST(SUM(CAST(round((0.5 - y) * xv * 1000000) AS BIGINT))
+                     AS BIGINT) AS g
+      FROM x GROUP BY j),
+    w1 AS (
+      SELECT j, -CAST(g AS DOUBLE) / (1000000.0 * (SELECT n FROM n)) AS w
+      FROM g1),
+    dots AS (
+      SELECT x.vec_id, ANY_VALUE(x.y) AS y,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(w1.w * x.xv ORDER BY x.j)),
+                         (a, b) -> a + b) AS dot
+      FROM x JOIN w1 ON x.j = w1.j GROUP BY x.vec_id),
+    scored AS (
+      SELECT vec_id, y, {_SIG_SQL.format(x='dot')} AS s FROM dots),
+    ranked AS (
+      SELECT y, s,
+             rank() OVER (ORDER BY s) AS rk,
+             COUNT(*) OVER (PARTITION BY s) AS ties
+      FROM scored),
+    agg AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS npos,
+             CAST(SUM(1 - y) AS BIGINT) AS nneg,
+             SUM(CASE WHEN y = 1
+                      THEN rk + (ties - 1) / 2.0 ELSE 0 END) AS rank_sum
+      FROM ranked)
+    SELECT npos, nneg,
+           round((rank_sum - npos * (npos + 1) / 2.0)
+                 / (CAST(npos AS DOUBLE) * nneg), 6) AS auc
+    FROM agg
+    """,
+)
+def q_ml_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT ROC-AUC of the step-1 logistic scores via the
+    Mann-Whitney U statistic with tie-averaged ranks — the
+    threshold-free ranking metric, hash-checked because every quantity
+    stays on an exact grid: ranks and tie counts are integers, the
+    tie-averaged rank is a half-integer (exact dyadic double), and
+    the rank sum is a sum of dyadic rationals below 2^53 — every IEEE
+    addition is exact, so the sum is order-independent without any
+    sorted fold, and AUC is a final division of exact quantities.
+
+    Scale note (stated honestly in-plan): exact AUC needs a global
+    rank — one total sort of the SCORES (one double per example, not
+    the features).  At extreme scale swap in the binned approximation
+    (histogram of scores per class, trapezoid over bins — the
+    q_audit_chi2_drift machinery); this exact twin is the oracle for
+    that approximation.  Shares the step-1 subtree with
+    q_ml_logreg_gd2 via _logreg_parts."""
+    scored = _logreg_parts(spark, sf)["scored"]
+    wrk = Window.orderBy("s")
+    wties = Window.partitionBy("s")
+    ranked = scored.select(
+        "y",
+        F.rank().over(wrk).alias("rk"),
+        F.count(F.lit(1)).over(wties).alias("ties"),
+    )
+    agg = ranked.agg(
+        F.sum("y").cast("long").alias("npos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("nneg"),
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.col("rk") + (F.col("ties") - 1) / F.lit(2.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("rank_sum"),
+    )
+    return agg.select(
+        "npos",
+        "nneg",
+        F.round(
+            (F.col("rank_sum") - F.col("npos") * (F.col("npos") + 1) / F.lit(2.0))
+            / (F.col("npos").cast("double") * F.col("nneg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ----------------------------------------------- stump evaluation suite
+@query(
+    "q_ml_eval_confusion",
+    oracle=f"""
+    WITH rows_ AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             CAST(o_orderstatus = 'F' AS BIGINT) AS y
+      FROM orders),
+    cuts AS (SELECT unnest(ARRAY[{", ".join(str(c) for c in _STUMP_CUTS)}])
+               AS cut),
+    stats AS (
+      SELECT cut,
+             CAST(SUM(CASE WHEN c <= cut THEN y ELSE 0 END) AS BIGINT)
+               AS left_pos,
+             CAST(SUM(CASE WHEN c <= cut THEN 1 - y ELSE 0 END) AS BIGINT)
+               AS left_neg,
+             CAST(SUM(CASE WHEN c > cut THEN y ELSE 0 END) AS BIGINT)
+               AS right_pos,
+             CAST(SUM(CASE WHEN c > cut THEN 1 - y ELSE 0 END) AS BIGINT)
+               AS right_neg
+      FROM rows_ CROSS JOIN cuts GROUP BY cut),
+    scored AS (
+      SELECT cut, left_pos, left_neg, right_pos, right_neg,
+             LEAST(left_neg + right_pos, left_pos + right_neg) AS err,
+             CASE WHEN left_neg + right_pos <= left_pos + right_neg
+                  THEN 'left_is_pos' ELSE 'right_is_pos' END AS rule
+      FROM stats),
+    best AS (
+      SELECT * FROM scored
+      WHERE err = (SELECT MIN(err) FROM scored)
+      ORDER BY cut LIMIT 1),
+    conf AS (
+      SELECT cut, rule,
+             CASE WHEN rule = 'left_is_pos' THEN left_pos ELSE right_pos END
+               AS tp,
+             CASE WHEN rule = 'left_is_pos' THEN left_neg ELSE right_neg END
+               AS fp,
+             CASE WHEN rule = 'left_is_pos' THEN right_pos ELSE left_pos END
+               AS fn,
+             CASE WHEN rule = 'left_is_pos' THEN right_neg ELSE left_neg END
+               AS tn
+      FROM best)
+    SELECT cut, rule, tp, fp, fn, tn,
+           round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_,
+           round(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_,
+           round(2.0 * (CAST(tp AS DOUBLE) / (tp + fp))
+                     * (CAST(tp AS DOUBLE) / (tp + fn))
+                 / (CAST(tp AS DOUBLE) / (tp + fp)
+                    + CAST(tp AS DOUBLE) / (tp + fn)), 6) AS f1
+    FROM conf
+    """,
+)
+def q_ml_eval_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Evaluation suite for the fitted stump (q_ml_stump's best rule):
+    confusion matrix as exact integer counts, plus precision / recall
+    / F1 as single divisions of those counts — train and evaluate
+    without the data leaving the warehouse, every cell reproducible.
+    The confusion cells fall straight out of the stump's own 4-count
+    table (no second scan over the fact: scoring a depth-1 rule IS
+    the count table)."""
+    best = (
+        q_ml_stump(spark, sf)
+        .filter(F.col("is_best") == 1)
+        .select("cut", "rule", "left_pos", "left_neg", "right_pos", "right_neg")
+    )
+    left_is = F.col("rule") == "left_is_pos"
+    conf = best.select(
+        "cut",
+        "rule",
+        F.when(left_is, F.col("left_pos")).otherwise(F.col("right_pos")).alias("tp"),
+        F.when(left_is, F.col("left_neg")).otherwise(F.col("right_neg")).alias("fp"),
+        F.when(left_is, F.col("right_pos")).otherwise(F.col("left_pos")).alias("fn"),
+        F.when(left_is, F.col("right_neg")).otherwise(F.col("left_neg")).alias("tn"),
+    )
+    prec = F.col("tp").cast("double") / (F.col("tp") + F.col("fp"))
+    rec = F.col("tp").cast("double") / (F.col("tp") + F.col("fn"))
+    return conf.select(
+        "cut",
+        "rule",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision_"),
+        F.round(rec, 6).alias("recall_"),
+        F.round(F.lit(2.0) * prec * rec / (prec + rec), 6).alias("f1"),
     )

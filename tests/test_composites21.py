@@ -220,3 +220,26 @@ def test_stump_is_best_unique_and_counts_partition(spark, sf_dir):
         )
     best = next(r for r in rows if r.is_best)
     assert best.err == min(r.err for r in rows)
+
+
+def test_auc_bounds_and_confusion_consistency(spark, sf_dir):
+    from kafkaish_spark.operators.composites22 import (
+        q_ml_auc,
+        q_ml_eval_confusion,
+        q_ml_stump,
+    )
+
+    auc = q_ml_auc(spark, sf_dir).collect()[0]
+    assert 0.0 <= auc.auc <= 1.0
+    assert auc.npos > 0 and auc.nneg > 0
+
+    conf = q_ml_eval_confusion(spark, sf_dir).collect()
+    assert len(conf) == 1
+    c = conf[0]
+    best = next(
+        r for r in q_ml_stump(spark, sf_dir).collect() if r.is_best
+    )
+    assert c.cut == best.cut and c.rule == best.rule
+    assert c.fp + c.fn == best.err  # misclassifications == stump error
+    assert 0.0 <= c.precision_ <= 1.0 and 0.0 <= c.recall_ <= 1.0
+    assert c.f1 <= max(c.precision_, c.recall_) + 1e-9
