@@ -829,3 +829,114 @@ def q_ml_eval_confusion(spark: SparkSession, sf: str) -> DataFrame:
         F.round(rec, 6).alias("recall_"),
         F.round(F.lit(2.0) * prec * rec / (prec + rec), 6).alias("f1"),
     )
+
+
+# ------------------------------------------------- binned AUC (scale path)
+_AUC_BINS = 100
+
+
+@query(
+    "q_ml_auc_binned",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id, t.j,
+             CAST(embedding AS DOUBLE[])[CAST(t.j AS INTEGER)] AS xv,
+             label % 2 AS y
+      FROM embeddings, range(1, {_LR_DIMS + 1}) t(j)),
+    n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM x),
+    g1 AS (
+      SELECT j, CAST(SUM(CAST(round((0.5 - y) * xv * 1000000) AS BIGINT))
+                     AS BIGINT) AS g
+      FROM x GROUP BY j),
+    w1 AS (
+      SELECT j, -CAST(g AS DOUBLE) / (1000000.0 * (SELECT n FROM n)) AS w
+      FROM g1),
+    dots AS (
+      SELECT x.vec_id, ANY_VALUE(x.y) AS y,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(w1.w * x.xv ORDER BY x.j)),
+                         (a, b) -> a + b) AS dot
+      FROM x JOIN w1 ON x.j = w1.j GROUP BY x.vec_id),
+    scored AS (
+      SELECT y, {_SIG_SQL.format(x='dot')} AS s FROM dots),
+    binned AS (
+      SELECT LEAST(CAST(floor(s * {_AUC_BINS}) AS BIGINT), {_AUC_BINS - 1})
+               AS b,
+             CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(1 - y) AS BIGINT) AS neg
+      FROM scored GROUP BY 1),
+    walked AS (
+      SELECT b, pos, neg,
+             CAST(COALESCE(SUM(neg) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_neg_below
+      FROM binned),
+    agg AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS npos,
+             CAST(SUM(neg) AS BIGINT) AS nneg,
+             CAST(SUM(2 * pos * cum_neg_below + pos * neg) AS BIGINT)
+               AS twice_u
+      FROM walked)
+    SELECT npos, nneg,
+           round(CAST(twice_u AS DOUBLE)
+                 / (2.0 * CAST(npos AS DOUBLE) * nneg), 6) AS auc_binned
+    FROM agg
+    """,
+)
+def q_ml_auc_binned(spark: SparkSession, sf: str) -> DataFrame:
+    """Binned ROC-AUC — the SCALE path for q_ml_auc's exact twin: the
+    scores histogram into {_AUC_BINS} fixed bins per class (one
+    conditional-aggregate scan, no global rank/sort of examples), and
+    AUC is the trapezoid over the bin walk:
+    2*U = sum_b (2*pos_b*cum_neg_below + pos_b*neg_b) — entirely
+    int64 arithmetic (within-bin ties contribute half, kept exact by
+    carrying 2U), with ONE final division.  The cumulative window runs
+    over <= {_AUC_BINS} bin rows, not the data.
+
+    The exact twin is the oracle for this approximation in spirit;
+    here BOTH are independently hash-checked, and the pytest pins
+    |exact - binned| to the bin-width error bound.  At 100 TB this is
+    the evaluator that runs on every model refresh: one scan, KBs of
+    shuffle, deterministic output."""
+    scored = _logreg_parts(spark, sf)["scored"]
+    binned = (
+        scored.select(
+            F.least(
+                F.floor(F.col("s") * _AUC_BINS).cast("long"),
+                F.lit(_AUC_BINS - 1),
+            ).alias("b"),
+            "y",
+        )
+        .groupBy("b")
+        .agg(
+            F.sum("y").cast("long").alias("pos"),
+            F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+        )
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    walked = binned.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("long").alias(
+            "cum_neg_below"
+        ),
+    )
+    agg = walked.agg(
+        F.sum("pos").cast("long").alias("npos"),
+        F.sum("neg").cast("long").alias("nneg"),
+        F.sum(
+            2 * F.col("pos") * F.col("cum_neg_below")
+            + F.col("pos") * F.col("neg")
+        )
+        .cast("long")
+        .alias("twice_u"),
+    )
+    return agg.select(
+        "npos",
+        "nneg",
+        F.round(
+            F.col("twice_u").cast("double")
+            / (F.lit(2.0) * F.col("npos").cast("double") * F.col("nneg")),
+            6,
+        ).alias("auc_binned"),
+    )

@@ -243,3 +243,14 @@ def test_auc_bounds_and_confusion_consistency(spark, sf_dir):
     assert c.fp + c.fn == best.err  # misclassifications == stump error
     assert 0.0 <= c.precision_ <= 1.0 and 0.0 <= c.recall_ <= 1.0
     assert c.f1 <= max(c.precision_, c.recall_) + 1e-9
+
+
+def test_binned_auc_tracks_exact_auc(spark, sf_dir):
+    from kafkaish_spark.operators.composites22 import q_ml_auc, q_ml_auc_binned
+
+    exact = q_ml_auc(spark, sf_dir).collect()[0]
+    binned = q_ml_auc_binned(spark, sf_dir).collect()[0]
+    assert (binned.npos, binned.nneg) == (exact.npos, exact.nneg)
+    # binning error is bounded by the mass falling in mixed bins; with
+    # 100 bins over [0,1] the fast-sigmoid scores, 0.02 is generous
+    assert abs(binned.auc_binned - exact.auc) < 0.02
