@@ -141,6 +141,12 @@ _DRIVER_PRIORITY = (
     "q_privacy_l_diversity",      # attribute-disclosure audit
     "q_events_seasonal_anomaly",  # hour-of-day-conditioned z-scores
     "q_stream_dedup_counts",      # S8 oracle twin
+    "q_ml_logreg_gd2",            # supervised GD, rational sigmoid
+    "q_ml_stump",                 # integer-exact depth-1 tree
+    "q_ml_auc",                   # exact Mann-Whitney AUC
+    "q_ml_auc_binned",            # no-sort AUC scale path
+    "q_ml_eval_confusion",        # confusion / P / R / F1
+    "q_events_dau_mau",           # stickiness ratio
 )
 
 
