@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafkaish_spark.functions.folds import ordered_sum
 from kafkaish_spark.plans.registry import query
 from kafkaish_spark.sources.tables import load_table as t
 
@@ -259,19 +260,10 @@ def q_embed_pca_power(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.sum("p").cast("long").alias("a"))
     )
 
-    def fold_sorted(key, val):
-        return F.aggregate(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(key.alias("k"), val.alias("x")))),
-                lambda s: s["x"],
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
     u1 = A.groupBy("i").agg(F.sum("a").cast("long").cast("double").alias("u"))
     n1 = u1.agg(
-        F.sqrt(fold_sorted(F.col("i"), F.col("u") * F.col("u"))).alias("n")
+        F.sqrt(ordered_sum(F.col("i"), F.col("u") * F.col("u"))).alias("n")
     )
     v1 = u1.crossJoin(F.broadcast(n1)).select(
         F.col("i").alias("jj"), (F.col("u") / F.col("n")).alias("w")
@@ -280,17 +272,17 @@ def q_embed_pca_power(spark: SparkSession, sf: str) -> DataFrame:
         A.join(F.broadcast(v1), A.j == F.col("jj"))
         .groupBy("i")
         .agg(
-            fold_sorted(
+            ordered_sum(
                 F.col("j"), F.col("a").cast("double") * F.col("w")
             ).alias("u")
         )
     )
     n2 = u2.agg(
-        F.sqrt(fold_sorted(F.col("i"), F.col("u") * F.col("u"))).alias("n")
+        F.sqrt(ordered_sum(F.col("i"), F.col("u") * F.col("u"))).alias("n")
     )
     lam = (
         u2.join(F.broadcast(v1), u2.i == F.col("jj"))
-        .agg(fold_sorted(F.col("i"), F.col("u") * F.col("w")).alias("l"))
+        .agg(ordered_sum(F.col("i"), F.col("u") * F.col("w")).alias("l"))
     )
     return (
         u2.crossJoin(F.broadcast(n2))
@@ -358,6 +350,37 @@ _LR_DIMS = 8  # features = first 8 embedding dims
 # engines (exp() is NOT correctly rounded and differs libm vs JVM)
 _SIG_SQL = "(0.5 + {x} / (2.0 * (1.0 + abs({x}))))"
 
+# ONE definition of the step-1 logistic CTE chain, interpolated into
+# every consuming oracle (gd2 / auc / auc_binned) so the feature
+# slice, grid constant and sigmoid can never drift between them —
+# the SQL-side twin of _logreg_parts.  The WHERE guard mirrors the
+# Spark side's explicit filter: rows with NULL or short embeddings
+# are excluded identically in both engines (posexplode would silently
+# drop them on the Spark side only).
+_LOGREG_STEP1_SQL = """x AS (
+      SELECT vec_id, t.j,
+             CAST(embedding AS DOUBLE[])[CAST(t.j AS INTEGER)] AS xv,
+             label % 2 AS y
+      FROM embeddings, range(1, {d}) t(j)
+      WHERE embedding IS NOT NULL AND len(embedding) >= {dims}),
+    n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM x),
+    g1 AS (
+      SELECT j, CAST(SUM(CAST(round((0.5 - y) * xv * 1000000) AS BIGINT))
+                     AS BIGINT) AS g
+      FROM x GROUP BY j),
+    w1 AS (
+      SELECT j, -CAST(g AS DOUBLE) / (1000000.0 * (SELECT n FROM n)) AS w
+      FROM g1),
+    dots AS (
+      SELECT x.vec_id, ANY_VALUE(x.y) AS y,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(w1.w * x.xv ORDER BY x.j)),
+                         (a, b) -> a + b) AS dot
+      FROM x JOIN w1 ON x.j = w1.j GROUP BY x.vec_id),
+    scored AS (
+      SELECT vec_id, y, (0.5 + dot / (2.0 * (1.0 + abs(dot)))) AS s
+      FROM dots)"""
+
 
 def _logreg_parts(spark: SparkSession, sf: str) -> dict:
     """Shared step-1 logistic subtree: features x, row count n, first
@@ -365,7 +388,11 @@ def _logreg_parts(spark: SparkSession, sf: str) -> dict:
     consumed by q_ml_logreg_gd2 (training), q_ml_auc (ranking metric)
     and q_ml_eval_confusion-style consumers, so the feature slice /
     sigmoid / grid rules can never drift apart."""
-    e = t(spark, sf, "embeddings")
+    e = t(spark, sf, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") >= _LR_DIMS)
+    )  # mirror of the oracle fragment's WHERE: a NULL/short embedding
+    # must drop the whole ROW in both engines (posexplode alone would
+    # silently drop it on this side only)
     x = e.select(
         "vec_id",
         (F.col("label") % 2).alias("y"),
@@ -386,24 +413,13 @@ def _logreg_parts(spark: SparkSession, sf: str) -> dict:
         (-F.col("g").cast("double") / (F.lit(1e6) * F.col("n"))).alias("w"),
     )
 
-    def fold_sorted(key, val):
-        return F.aggregate(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(key.alias("k"), val.alias("x")))
-                ),
-                lambda s: s["x"],
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
 
     dots = (
         x.join(F.broadcast(w1), "j")
         .groupBy("vec_id")
         .agg(
             F.any_value("y").alias("y"),
-            fold_sorted(F.col("j"), F.col("w") * F.col("xv")).alias("dot"),
+            ordered_sum(F.col("j"), F.col("w") * F.col("xv")).alias("dot"),
         )
     )
     sig = F.lit(0.5) + F.col("dot") / (
@@ -416,27 +432,7 @@ def _logreg_parts(spark: SparkSession, sf: str) -> dict:
 @query(
     "q_ml_logreg_gd2",
     oracle=f"""
-    WITH x AS (
-      SELECT vec_id, t.j,
-             CAST(embedding AS DOUBLE[])[CAST(t.j AS INTEGER)] AS xv,
-             label % 2 AS y
-      FROM embeddings, range(1, {_LR_DIMS + 1}) t(j)),
-    n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM x),
-    g1 AS (
-      SELECT j, CAST(SUM(CAST(round((0.5 - y) * xv * 1000000) AS BIGINT))
-                     AS BIGINT) AS g
-      FROM x GROUP BY j),
-    w1 AS (
-      SELECT j, -CAST(g AS DOUBLE) / (1000000.0 * (SELECT n FROM n)) AS w
-      FROM g1),
-    dots AS (
-      SELECT x.vec_id, ANY_VALUE(x.y) AS y,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                      list(w1.w * x.xv ORDER BY x.j)),
-                         (a, b) -> a + b) AS dot
-      FROM x JOIN w1 ON x.j = w1.j GROUP BY x.vec_id),
-    scored AS (
-      SELECT vec_id, y, {_SIG_SQL.format(x='dot')} AS s FROM dots),
+    WITH {_LOGREG_STEP1_SQL.format(d=_LR_DIMS + 1, dims=_LR_DIMS)},
     acc AS (
       SELECT CAST(SUM(CASE WHEN (s >= 0.5) = (y = 1) THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_correct
@@ -528,16 +524,11 @@ def q_ml_logreg_gd2(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------- decision stump
 _STUMP_CUTS = [5_000_000 * k for k in range(1, 10)]  # cents: 50k..450k
 
-
-@query(
-    "q_ml_stump",
-    oracle=f"""
-    WITH rows_ AS (
+_STUMP_SCORED_SQL = """rows_ AS (
       SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
              CAST(o_orderstatus = 'F' AS BIGINT) AS y
       FROM orders),
-    cuts AS (SELECT unnest(ARRAY[{", ".join(str(c) for c in _STUMP_CUTS)}])
-               AS cut),
+    cuts AS (SELECT unnest(ARRAY[{cuts}]) AS cut),
     stats AS (
       SELECT cut,
              CAST(SUM(CASE WHEN c <= cut THEN y ELSE 0 END) AS BIGINT)
@@ -554,7 +545,13 @@ _STUMP_CUTS = [5_000_000 * k for k in range(1, 10)]  # cents: 50k..450k
              LEAST(left_neg + right_pos, left_pos + right_neg) AS err,
              CASE WHEN left_neg + right_pos <= left_pos + right_neg
                   THEN 'left_is_pos' ELSE 'right_is_pos' END AS rule
-      FROM stats)
+      FROM stats)"""
+
+
+@query(
+    "q_ml_stump",
+    oracle=f"""
+    WITH {_STUMP_SCORED_SQL.format(cuts=", ".join(str(c) for c in _STUMP_CUTS))}
     SELECT cut, left_pos, left_neg, right_pos, right_neg, err, rule,
            CAST(err = (SELECT MIN(err) FROM scored) AND
                 cut = (SELECT MIN(cut) FROM scored s2
@@ -658,27 +655,7 @@ def q_ml_stump(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q_ml_auc",
     oracle=f"""
-    WITH x AS (
-      SELECT vec_id, t.j,
-             CAST(embedding AS DOUBLE[])[CAST(t.j AS INTEGER)] AS xv,
-             label % 2 AS y
-      FROM embeddings, range(1, {_LR_DIMS + 1}) t(j)),
-    n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM x),
-    g1 AS (
-      SELECT j, CAST(SUM(CAST(round((0.5 - y) * xv * 1000000) AS BIGINT))
-                     AS BIGINT) AS g
-      FROM x GROUP BY j),
-    w1 AS (
-      SELECT j, -CAST(g AS DOUBLE) / (1000000.0 * (SELECT n FROM n)) AS w
-      FROM g1),
-    dots AS (
-      SELECT x.vec_id, ANY_VALUE(x.y) AS y,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                      list(w1.w * x.xv ORDER BY x.j)),
-                         (a, b) -> a + b) AS dot
-      FROM x JOIN w1 ON x.j = w1.j GROUP BY x.vec_id),
-    scored AS (
-      SELECT vec_id, y, {_SIG_SQL.format(x='dot')} AS s FROM dots),
+    WITH {_LOGREG_STEP1_SQL.format(d=_LR_DIMS + 1, dims=_LR_DIMS)},
     ranked AS (
       SELECT y, s,
              rank() OVER (ORDER BY s) AS rk,
@@ -746,29 +723,7 @@ def q_ml_auc(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q_ml_eval_confusion",
     oracle=f"""
-    WITH rows_ AS (
-      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
-             CAST(o_orderstatus = 'F' AS BIGINT) AS y
-      FROM orders),
-    cuts AS (SELECT unnest(ARRAY[{", ".join(str(c) for c in _STUMP_CUTS)}])
-               AS cut),
-    stats AS (
-      SELECT cut,
-             CAST(SUM(CASE WHEN c <= cut THEN y ELSE 0 END) AS BIGINT)
-               AS left_pos,
-             CAST(SUM(CASE WHEN c <= cut THEN 1 - y ELSE 0 END) AS BIGINT)
-               AS left_neg,
-             CAST(SUM(CASE WHEN c > cut THEN y ELSE 0 END) AS BIGINT)
-               AS right_pos,
-             CAST(SUM(CASE WHEN c > cut THEN 1 - y ELSE 0 END) AS BIGINT)
-               AS right_neg
-      FROM rows_ CROSS JOIN cuts GROUP BY cut),
-    scored AS (
-      SELECT cut, left_pos, left_neg, right_pos, right_neg,
-             LEAST(left_neg + right_pos, left_pos + right_neg) AS err,
-             CASE WHEN left_neg + right_pos <= left_pos + right_neg
-                  THEN 'left_is_pos' ELSE 'right_is_pos' END AS rule
-      FROM stats),
+    WITH {_STUMP_SCORED_SQL.format(cuts=", ".join(str(c) for c in _STUMP_CUTS))},
     best AS (
       SELECT * FROM scored
       WHERE err = (SELECT MIN(err) FROM scored)
@@ -838,27 +793,7 @@ _AUC_BINS = 100
 @query(
     "q_ml_auc_binned",
     oracle=f"""
-    WITH x AS (
-      SELECT vec_id, t.j,
-             CAST(embedding AS DOUBLE[])[CAST(t.j AS INTEGER)] AS xv,
-             label % 2 AS y
-      FROM embeddings, range(1, {_LR_DIMS + 1}) t(j)),
-    n AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM x),
-    g1 AS (
-      SELECT j, CAST(SUM(CAST(round((0.5 - y) * xv * 1000000) AS BIGINT))
-                     AS BIGINT) AS g
-      FROM x GROUP BY j),
-    w1 AS (
-      SELECT j, -CAST(g AS DOUBLE) / (1000000.0 * (SELECT n FROM n)) AS w
-      FROM g1),
-    dots AS (
-      SELECT x.vec_id, ANY_VALUE(x.y) AS y,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                                      list(w1.w * x.xv ORDER BY x.j)),
-                         (a, b) -> a + b) AS dot
-      FROM x JOIN w1 ON x.j = w1.j GROUP BY x.vec_id),
-    scored AS (
-      SELECT y, {_SIG_SQL.format(x='dot')} AS s FROM dots),
+    WITH {_LOGREG_STEP1_SQL.format(d=_LR_DIMS + 1, dims=_LR_DIMS)},
     binned AS (
       SELECT LEAST(CAST(floor(s * {_AUC_BINS}) AS BIGINT), {_AUC_BINS - 1})
                AS b,
@@ -885,17 +820,19 @@ _AUC_BINS = 100
 )
 def q_ml_auc_binned(spark: SparkSession, sf: str) -> DataFrame:
     """Binned ROC-AUC — the SCALE path for q_ml_auc's exact twin: the
-    scores histogram into {_AUC_BINS} fixed bins per class (one
+    scores histogram into 100 fixed bins per class (one
     conditional-aggregate scan, no global rank/sort of examples), and
     AUC is the trapezoid over the bin walk:
     2*U = sum_b (2*pos_b*cum_neg_below + pos_b*neg_b) — entirely
     int64 arithmetic (within-bin ties contribute half, kept exact by
     carrying 2U), with ONE final division.  The cumulative window runs
-    over <= {_AUC_BINS} bin rows, not the data.
+    over <= 100 bin rows, not the data.
 
     The exact twin is the oracle for this approximation in spirit;
-    here BOTH are independently hash-checked, and the pytest pins
-    |exact - binned| to the bin-width error bound.  At 100 TB this is
+    here BOTH are independently hash-checked, and the pytest bounds
+    |exact - binned| at 2.5x the measured binning error (step-1
+    scores concentrate near 0.5, so fixed [0,1] bins are coarse
+    there; a production evaluator would bin on score quantiles).  At 100 TB this is
     the evaluator that runs on every model refresh: one scan, KBs of
     shuffle, deterministic output."""
     scored = _logreg_parts(spark, sf)["scored"]

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafkaish_spark.functions.folds import ordered_product
 from kafkaish_spark.functions.timeutil import epoch_ms
 from kafkaish_spark.plans.registry import query
 from kafkaish_spark.sources.tables import load_table as t
@@ -117,16 +118,7 @@ def q_events_kaplan_meier(spark: SparkSession, sf: str) -> DataFrame:
         ),
     )
     a, b = factors.alias("a"), factors.alias("b")
-    km = F.aggregate(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("b.dur").alias("k"), F.col("b.f").alias("f")))
-            ),
-            lambda s: s["f"],
-        ),
-        F.lit(1.0),
-        lambda acc, x: acc * x,
-    )
+    km = ordered_product(F.col("b.dur"), F.col("b.f"))
     return (
         a.join(b, F.col("b.dur") <= F.col("a.dur"))
         .groupBy(
