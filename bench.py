@@ -73,6 +73,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # provenance: each query timed REPS times, min reported
+                # (co-tenant noise; see BASELINE.md "Noise")
+                "method": f"min-of-{REPS}",
             }
         )
     )

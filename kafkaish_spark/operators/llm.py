@@ -183,7 +183,7 @@ def q_dedup_exact_documents(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_SHINGLE_CACHE: tuple | None = None  # (sf_dir, frame) — bounded-leak guard
+_SHINGLE_CACHE: tuple | None = None  # (session_id, sf_dir, frame) — leak guard
 
 
 def _cached_raw_shingles(spark: SparkSession, sf: str) -> DataFrame:
@@ -192,17 +192,22 @@ def _cached_raw_shingles(spark: SparkSession, sf: str) -> DataFrame:
     signatures): the explode+distinct is the most expensive common
     subexpression in the dedup family, and a bench/pipeline run that
     invokes several of them would otherwise recompute it per query.
-    Keyed by sf_dir so a cache built at one scale can never serve
-    another; at most ONE copy is ever pinned (evict-before-replace),
-    so repeated runs can't accumulate storage memory.  Safe because
-    the driver's testdata tables are immutable inputs."""
+    Keyed by (SparkSession, sf_dir) so a cache built at one scale or
+    on a since-stopped session can never serve another; at most ONE
+    copy is ever pinned (evict-before-replace), so repeated runs can't
+    accumulate storage memory.  Safe because the driver's testdata
+    tables are immutable inputs."""
     global _SHINGLE_CACHE
-    if _SHINGLE_CACHE is not None and _SHINGLE_CACHE[0] == sf:
-        return _SHINGLE_CACHE[1]
+    key = (id(spark), sf)
+    if _SHINGLE_CACHE is not None and _SHINGLE_CACHE[:2] == key:
+        return _SHINGLE_CACHE[2]
     if _SHINGLE_CACHE is not None:
-        _SHINGLE_CACHE[1].unpersist(blocking=False)
+        try:
+            _SHINGLE_CACHE[2].unpersist(blocking=False)
+        except Exception:
+            pass  # evicted frame's session may already be stopped
     raw = _shingles_df(t(spark, sf, "documents")).cache()
-    _SHINGLE_CACHE = (sf, raw)
+    _SHINGLE_CACHE = (*key, raw)
     return raw
 
 

@@ -1604,23 +1604,28 @@ def q_agg_string_listagg(spark: SparkSession, sf: str) -> DataFrame:
     "q_regex_extract_all_part_nums",
     oracle="""
     SELECT p_partkey,
-           regexp_extract_all(p_name, '[a-z]+') AS words,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), ' ')
+             AS words_s,
            CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words
     FROM part
     """,
 )
 def q_regex_extract_all_part_nums(spark: SparkSession, sf: str) -> DataFrame:
-    """regexp_extract_all surface: ALL matches per row as an array (the
-    one-to-many regex shape; single-match regexp_extract is covered by
-    q_scalar_string_part_names).  Array outputs compare element-wise in
-    the oracle, and the char-class regex means both engines' regex
+    """regexp_extract_all surface: ALL matches per row (the one-to-many
+    regex shape; single-match regexp_extract is covered by
+    q_scalar_string_part_names).  The driver-facing projection is
+    SCALAR on purpose: the matches array is joined to one string
+    (``array_join``) because the driver's canonicalizer pandas-sorts
+    the result frame and list-typed cells are unhashable there — the
+    array itself is still built and length-checked, so the operator
+    surface is unchanged.  Char-class regex means both engines' regex
     dialects agree.  Pure map — codegen, no shuffle."""
     p = t(spark, sf, "part")
     # idx=0 = whole match: Spark defaults to capture group 1, DuckDB to 0
     words = F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)
     return p.select(
         "p_partkey",
-        words.alias("words"),
+        F.array_join(words, " ").alias("words_s"),
         F.size(words).cast("long").alias("n_words"),
     )
 

@@ -418,11 +418,14 @@ class Topic:
         "min_offset", "max_offset", "issues": [str, ...]}.  At 100 TB
         the cheap mode is one ranged footer read per file — the same
         cost profile as retention — so it can run on every maintenance
-        cycle; holes from ``redact`` are expected and reported as
-        issues only by ``deep`` row accounting, not invented by the
-        range checks (redact keeps per-file ranges and the suffix
-        intact only when whole ranges survive; run fsck BEFORE redact
-        or accept the documented gap issues)."""
+        cycle; holes from ``redact`` ARE reported by the cheap checks
+        too — a redact that removes rows from the middle of a commit
+        group makes that group's density check (span != rows) fire,
+        and one that removes a group's whole tail can open a suffix
+        gap.  Those issues are accurate (the log really is sparse
+        there), just expected: run fsck BEFORE redact for a clean
+        baseline, or treat post-redact density/gap issues as the
+        documented audit trail of the redaction."""
         issues: list[str] = []
         segs = self._segment_stats()
         n_rows = sum(s["num_rows"] for s in segs)
@@ -659,6 +662,19 @@ class Topic:
             run: list[dict] = []
             for s in sorted(segs, key=lambda s: s["min_off"]):
                 if s["size"] < small_bytes:
+                    # An offset GAP also breaks the run, not just an
+                    # intervening large segment in the same directory:
+                    # with caller-supplied ts, a later publish (higher
+                    # offsets) can land in an EARLIER pub_date dir, so
+                    # two small files here can be offset-non-contiguous
+                    # while the gap's rows live in another directory.
+                    # Merging across that gap would create a non-dense
+                    # commit group that overlaps the other directory's
+                    # range — tripping fsck and mis-ordering retention's
+                    # min-offset whole-group eviction.
+                    if run and s["min_off"] != run[-1]["max_off"] + 1:
+                        runs.append((d, run))
+                        run = []
                     run.append(s)
                 else:  # a large segment breaks the adjacency run
                     if run:

@@ -54,16 +54,20 @@ def test_bloom_bitmap_is_broadcast(spark, sf_dir):
 
 def test_whitening_normalizes_each_dimension(spark, sf_dir):
     """After whitening, every dimension has mean ~0 and std ~1, and
-    vector length is preserved."""
-    from kafkaish_spark.operators.composites14 import q_embed_whitening
+    vector length is preserved (the query now projects scalar
+    invariants for the driver, so the per-dimension check runs on the
+    shared whitened_dims subtree it is built from)."""
+    from kafkaish_spark.operators.composites14 import (
+        q_embed_whitening,
+        whitened_dims,
+    )
 
-    out = q_embed_whitening(spark, sf_dir)
     dims = (
-        out.select(F.posexplode("whitened").alias("pos", "w"))
+        whitened_dims(spark, sf_dir)
         .groupBy("pos")
         .agg(
-            F.avg("w").alias("mu"),
-            F.stddev_pop("w").alias("sd"),
+            F.avg("wv").alias("mu"),
+            F.stddev_pop("wv").alias("sd"),
             F.count(F.lit(1)).alias("n"),
         )
         .collect()
@@ -72,8 +76,10 @@ def test_whitening_normalizes_each_dimension(spark, sf_dir):
     for r in dims:
         assert abs(r.mu) < 1e-4, (r.pos, r.mu)
         assert abs(r.sd - 1.0) < 1e-4, (r.pos, r.sd)
-    lens = out.select(F.size("whitened").alias("k")).distinct().collect()
-    assert [r.k for r in lens] == [64]
+    lens = (
+        q_embed_whitening(spark, sf_dir).select("n_dims").distinct().collect()
+    )
+    assert [r.n_dims for r in lens] == [64]
 
 
 def test_ngram_novelty_invariants(spark, sf_dir):
@@ -238,15 +244,15 @@ def test_maha_outliers_are_top_of_full_ranking(spark, sf_dir):
     """The top-20 cut must equal the head of the full distance ranking
     (deterministic tiebreak on vec_id)."""
     from kafkaish_spark.operators.composites18 import q_embed_outliers_maha
-    from kafkaish_spark.operators.composites14 import q_embed_whitening
+    from kafkaish_spark.operators.composites14 import whitened_dims
 
     got = [(r.vec_id, r.maha) for r in q_embed_outliers_maha(spark, sf_dir).collect()]
-    wh = q_embed_whitening(spark, sf_dir).collect()
+    wh = {}
+    for r in whitened_dims(spark, sf_dir).collect():
+        wh.setdefault(r.vec_id, 0.0)
+        wh[r.vec_id] += r.wv * r.wv
     full = sorted(
-        (
-            (r.vec_id, round(sum(w * w for w in r.whitened) ** 0.5, 6))
-            for r in wh
-        ),
+        ((vec_id, round(ssq**0.5, 6)) for vec_id, ssq in wh.items()),
         key=lambda x: (-x[1], x[0]),
     )
     want = full[: len(got)]

@@ -201,3 +201,60 @@ def test_group_resize_does_not_lose_unacked_messages(engine):
     # member 0 in topo A owned rz.0 but never ran) + the phase-2 message
     assert ("rz.1", 2) in msgs  # the post-resize message IS delivered
     assert all(p != 1 or tpc == "rz.0" for tpc, p in msgs)  # rz.1 phase-1 acked, not redelivered
+
+
+def test_member_joins_mid_drain_moves_shards_without_double_delivery(engine):
+    """The Kafka rebalance analog for the batch API
+    (sources/consumer_group.py): a member JOINS while the group is
+    mid-drain — the old sole member has polled everything but committed
+    only part of its window.  After the grow, ownership of the
+    uncommitted shards moves; the committed shards must NOT be
+    redelivered to anyone, the uncommitted backlog must be delivered to
+    exactly one new owner, and the two members' deliveries must be
+    disjoint."""
+    from kafkaish_spark.sources.consumer_group import ConsumerGroup
+
+    shards = [f"jn.{i}" for i in range(4)]
+    for i, name in enumerate(shards):
+        engine.prepare_topic(name).publish_batch(
+            [("e", {"shard": i, "n": j}) for j in range(3)]
+        )
+
+    solo = ConsumerGroup(engine, "gjoin", shards, 1)
+    df, bounds = solo.poll(0)
+    assert df.count() == 12  # sole member sees the full backlog
+    # mid-drain: only half the window is processed+committed before the
+    # join (commit accepts a partial bounds dict by design)
+    solo.commit(0, {k: bounds[k] for k in ("jn.0", "jn.1")})
+
+    grown = solo.rebalance(2)
+    assign = grown.assignment()
+    # disjoint + complete ownership after the join
+    owned = [s for m in sorted(assign) for s in assign[m]]
+    assert sorted(owned) == shards
+    assert not set(assign[0]) & set(assign[1])
+
+    delivered = {}  # (topic, offset) -> member
+    for m in (0, 1):
+        df_m, bounds_m = grown.poll(m)
+        for r in df_m.collect():
+            key = (r["topic"], int(r["offset"]))
+            assert key not in delivered, f"double delivery of {key}"
+            delivered[key] = m
+        grown.commit(m, bounds_m)
+
+    topics_delivered = {t for t, _ in delivered}
+    # committed shards stay committed across the rebalance...
+    assert topics_delivered == {"jn.2", "jn.3"}
+    # ...and the moved backlog arrives complete at its single new owner
+    per_shard = {}
+    for (t, _off), m in delivered.items():
+        per_shard.setdefault(t, set()).add(m)
+    assert all(len(ms) == 1 for ms in per_shard.values())
+    assert sum(1 for t, _ in delivered if t == "jn.2") == 3
+    assert sum(1 for t, _ in delivered if t == "jn.3") == 3
+
+    # steady state: nothing left anywhere
+    for m in (0, 1):
+        df_m, _ = grown.poll(m)
+        assert df_m.count() == 0

@@ -73,9 +73,13 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
     assert set(out.columns) == {"doc_id", "mime", "n_bytes", "sha256", "width", "height"}
     assert 16 <= r["width"] < 80 and 16 <= r["height"] < 80
     assert len(r["sha256"]) == 64
-    # the real-decode path is explicitly stubbed
-    with pytest.raises(NotImplementedError):
-        next(decode_media_batches(iter([]), _real=True))
+    # without PIL the real-decode path is an explicit, loud stub; with
+    # PIL it auto-enables (HAS_PIL probe) and this guard is moot
+    from kafkaish_spark.operators.multimodal import HAS_PIL
+
+    if not HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            next(decode_media_batches(iter([]), _real=True))
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -351,9 +355,11 @@ def test_quantize_int8_bounds_and_reconstruction(spark, sf_dir):
         .collect()
     }
     for r in rows:
-        assert all(-127 <= q <= 127 for q in r.qvec)
+        qvec = [int(s) for s in r.qvec_s.split(" ")]
+        assert sum(qvec) == r.sum_q
+        assert all(-127 <= q <= 127 for q in qvec)
         step = r.scale / 127 if r.scale else 0
-        for q, x in zip(r.qvec, orig[r.vec_id]):
+        for q, x in zip(qvec, orig[r.vec_id]):
             assert abs(q * step - x) <= step / 2 + 1e-9
 
 

@@ -1,0 +1,73 @@
+"""Registry-wide contracts every registered query must satisfy.
+
+The driver's correctness gate canonicalizes each result frame with a
+pandas sort over ALL columns; list-, map-, and struct-typed cells are
+unhashable/unsortable there and turn a value-correct query into a red
+``err`` row (round-2 verdict item 1).  These tests make that class of
+regression impossible to reintroduce: every query's FINAL schema must
+be scalar-only, and every bench-flagged query's physical plan must be
+free of non-broadcast cartesian products (round-2 verdict item 4).
+
+Schema inspection is analysis-only (no job runs): building the
+DataFrame triggers the analyzer, not execution, so the full 250+ query
+sweep stays cheap.  Queries whose *construction* runs bounded
+driver-side probes (hot-shingle LIMIT collects, BPE argmax) execute
+those tiny jobs at the test sf — that is their documented design.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+
+def _registry():
+    from kafkaish_spark.plans.registry import all_queries
+
+    return all_queries()
+
+
+def test_no_container_typed_driver_outputs(spark, sf_dir):
+    """No registered query may emit a top-level array/map/struct column:
+    the driver's pandas canonicalizer cannot hash or sort such cells."""
+    bad: list[tuple[str, str, str]] = []
+    errors: list[tuple[str, str]] = []
+    for name, spec in _registry().items():
+        try:
+            schema = spec.fn(spark, sf_dir).schema
+        except Exception as ex:  # noqa: BLE001 — collect, report all at once
+            errors.append((name, f"{type(ex).__name__}: {ex}"))
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not errors, f"queries failed to build: {errors}"
+    assert not bad, (
+        "container-typed driver-facing columns (scalarize via array_join "
+        f"or per-row invariants): {bad}"
+    )
+
+
+def test_bench_queries_have_no_cartesian_products(spark, sf_dir):
+    """No bench-flagged query's physical plan may contain a
+    CartesianProduct (non-broadcast cross join): at 100 TB an
+    accidental all-pairs plan in the headline set is the one mistake
+    the wall-clock gate would punish hardest.  Broadcast nested-loop
+    joins against literal/scalar frames are fine — those are the
+    broadcast-k-centroid / broadcast-scalar patterns."""
+    offenders = []
+    for name, spec in _registry().items():
+        if not spec.bench:
+            continue
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in bench plans: {offenders}"
+
+
+def test_bench_set_contains_scale_path_kernels():
+    """The headline set must keep wall-clock tracking on the iterative
+    vector-state and no-sort-AUC scale paths (round-2 verdict item 3)."""
+    bench = {n for n, s in _registry().items() if s.bench}
+    assert "q_embed_kmeans_lloyd2" in bench
+    assert "q_ml_auc_binned" in bench
