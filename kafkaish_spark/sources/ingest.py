@@ -1,0 +1,261 @@
+"""Raw-text ingestion connectors: JSONL and CSV -> DataFrame, with the
+corrupt-record hygiene a crawl-scale pipeline needs on day one.
+
+The reference consumes only its own MongoDB collections; a training-data
+pipeline's raw inputs are JSON-lines and CSV drops long before they are
+parquet.  These helpers wrap ``spark.read.json`` / ``spark.read.csv``
+with the contracts that matter at 100 TB:
+
+- **Explicit schema, always.**  Schema inference is a FULL extra pass
+  over the data before the real read (2x I/O on the largest files the
+  pipeline will ever touch, since raw text predates columnar pruning);
+  every entry point here requires a DDL schema string.
+- **PERMISSIVE + corrupt-record column.**  A bad line must become an
+  auditable row, not a dead executor: malformed records land in
+  ``_corrupt_record`` and flow to a quarantine count, so ingest is
+  all-or-something rather than all-or-nothing.  (DROPMALFORMED silently
+  shrinks the corpus — the one thing a data pipeline must never do.)
+- **Text formats split by line**, so a 1 TB JSONL file still reads with
+  full parallelism (``spark.sql.files.maxPartitionBytes`` chunks it);
+  only multiLine CSV degrades to one task per file, which is why the
+  CSV writer here never emits embedded newlines unescaped.
+
+Round-trip queries (documents -> JSONL/CSV -> DataFrame -> exact
+aggregate vs the parquet-native oracle) prove losslessness end-to-end, and
+the corrupt-line audit proves the quarantine path with a deterministic
+10% fault injection.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+# Scratch space for the round-trip fixtures: inside the repo (the
+# testdata tree is read-only) and gitignored.  Keyed by sf basename so
+# scales never cross; rewritten with mode=overwrite so reruns are
+# idempotent.
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    "ingest",
+)
+
+
+def _scratch(sf: str, kind: str) -> str:
+    return os.path.join(_SCRATCH, os.path.basename(sf.rstrip("/")), kind)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str | None = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines -> DataFrame with an explicit schema (never inferred;
+    see module docstring) and PERMISSIVE corrupt-record capture: rows
+    that fail to parse come back with every data column null and the
+    raw line in ``corrupt_col`` for quarantine accounting."""
+    reader = spark.read
+    if corrupt_col is not None:
+        schema = f"{schema}, {corrupt_col} string"
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    return reader.schema(schema).json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    corrupt_col: str | None = "_corrupt_record",
+) -> DataFrame:
+    """CSV -> DataFrame: explicit schema, RFC-4180 quoting (quote-doubling
+    escape, so quoted fields round-trip), PERMISSIVE corrupt capture.
+    No multiLine: embedded newlines must be escaped upstream, because
+    multiLine CSV cannot split inside a file — one task per file is the
+    difference between minutes and a day at 100 TB."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("quote", '"')
+        .option("escape", '"')
+    )
+    if corrupt_col is not None:
+        schema = f"{schema}, {corrupt_col} string"
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    return reader.schema(schema).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """DataFrame -> JSON-lines, one object per line (Spark's json sink),
+    overwrite mode.  JSON string escaping makes this lossless for any
+    text content including newlines and quotes."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """DataFrame -> CSV with RFC-4180 quote-doubling so quotes/commas
+    round-trip through read_csv."""
+    (
+        df.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+# The fidelity fingerprint both round-trip queries aggregate on each
+# side of the write/read cycle: counts and exact integer sums that pin
+# key columns AND text content (length sum + first-char codepoint sum —
+# a one-char corruption anywhere moves at least one of them).
+def _fingerprint(df: DataFrame, key: str) -> DataFrame:
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum(F.ascii(F.substring("text", 1, 1)).cast("long")).alias(
+            "sum_first_cp"
+        ),
+        F.sum("n_chars").alias("sum_n_chars"),
+    )
+
+
+_FINGERPRINT_SQL = """
+    SELECT {key},
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(doc_id) AS sum_doc_id,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(ascii(substring(text, 1, 1))) AS BIGINT) AS sum_first_cp,
+           SUM(n_chars) AS sum_n_chars
+    FROM documents GROUP BY {key}
+"""
+
+
+@query(
+    "q_ingest_jsonl_roundtrip",
+    oracle=_FINGERPRINT_SQL.format(key="lang"),
+)
+def q_ingest_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> JSONL on disk -> read_jsonl -> per-lang fidelity
+    fingerprint; the oracle computes the same fingerprint straight from
+    the parquet table, so a match proves the JSONL cycle is lossless
+    (and that no line was quarantined: corrupt rows would null the data
+    columns and shift every sum).  The write is a real multi-file
+    Spark json sink, the read a schema-explicit line-split scan — the
+    exact shape of a crawl-dump ingest at scale."""
+    d = t(spark, sf, "documents")
+    path = _scratch(sf, "jsonl")
+    write_jsonl(d, path)
+    back = read_jsonl(spark, path, DOCS_SCHEMA)
+    return _fingerprint(back.filter(F.col("_corrupt_record").isNull()), "lang")
+
+
+@query(
+    "q_ingest_csv_roundtrip",
+    oracle=_FINGERPRINT_SQL.format(key="source"),
+)
+def q_ingest_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> CSV (RFC-4180 quoting) -> read_csv -> per-source
+    fidelity fingerprint vs the parquet oracle.  CSV is the lossy-est
+    common raw format (quoting, empty-vs-null ambiguity), which is why
+    the fingerprint sums text content, not just row counts."""
+    d = t(spark, sf, "documents")
+    path = _scratch(sf, "csv")
+    write_csv(d, path)
+    back = read_csv(spark, path, DOCS_SCHEMA)
+    return _fingerprint(
+        back.filter(F.col("_corrupt_record").isNull()), "source"
+    )
+
+
+@query(
+    "q_ingest_corrupt_jsonl_audit",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_parsed,
+           SUM(CASE WHEN doc_id % 10 <> 0 THEN n_chars END) AS sum_n_chars
+    FROM documents
+    """,
+)
+def q_ingest_corrupt_jsonl_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The quarantine path, fault-injected: every doc_id % 10 == 0 line
+    is written as deliberately broken JSON, the rest as valid objects;
+    PERMISSIVE read must route EXACTLY the broken lines to
+    ``_corrupt_record`` (nothing lost, nothing extra) and parse the
+    rest intact.  The oracle derives the same counts from the clean
+    table, so any parser drift (a good line rejected, a bad one
+    half-parsed) mismatches.  This is the ingest property that keeps a
+    100 TB crawl load all-or-something: malformed input becomes an
+    audited row count, never a job failure or a silent drop."""
+    d = t(spark, sf, "documents")
+    line = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.lit('{"broken": '), F.col("doc_id").cast("string")),
+    ).otherwise(F.to_json(F.struct("doc_id", "lang", "n_chars")))
+    path = _scratch(sf, "jsonl_corrupt")
+    d.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = read_jsonl(spark, path, "doc_id long, lang string, n_chars long")
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.sum(bad.cast("long")).alias("n_quarantined"),
+        F.sum((~bad).cast("long")).alias("n_parsed"),
+        F.sum(F.when(~bad, F.col("n_chars"))).alias("sum_n_chars"),
+    )
+
+
+@query(
+    "q_ingest_schema_evolution",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_source,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT)
+             AS sum_n_chars_new,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+    FROM documents
+    """,
+)
+def q_ingest_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema evolution across ingest batches — the other thing raw
+    drops do besides corrupt lines: batch 1 (even doc_ids) was written
+    BEFORE the pipeline tracked source/n_chars, batch 2 (odd) after.
+    ``mergeSchema`` unions the parquet footers so old rows surface the
+    new columns as nulls instead of failing the read, and the audit
+    counts exactly how much of the corpus predates each column (the
+    backfill planning number).
+
+    Scale note: mergeSchema reconciles FOOTERS (one ranged read per
+    file), not data; the scan itself still prunes columns per file.
+    Keep it off for stable tables — footer reconciliation over a
+    100 TB file census is pure driver latency when schemas never
+    drifted — and turn it on per-read exactly when a drift window is
+    known, like here."""
+    d = t(spark, sf, "documents")
+    base = _scratch(sf, "evolution")
+    old = d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", "lang")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    old.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+    new.write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "batch=1"), os.path.join(base, "batch=2")
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("source").isNull().cast("long")).alias("n_missing_source"),
+        F.sum("n_chars").alias("sum_n_chars_new"),
+        F.sum(F.length("text")).alias("sum_chars"),
+    )

@@ -537,3 +537,49 @@ def test_compact_small_multi_file_output_passes_fsck(engine):
     report = topic.fsck(deep=True)
     assert report["ok"], report["issues"]
     assert report["n_rows"] == 10
+
+
+def test_compact_small_breaks_runs_on_offset_gaps_across_directories(engine):
+    """Caller-supplied ts lets a LATER publish (higher offsets) land in
+    an EARLIER pub_date directory, so one directory can hold small
+    files that are offset-NON-contiguous while the gap's rows live in
+    another directory.  compact_small must break its merge runs at the
+    gap: merging across it would mint a non-dense commit group that
+    overlaps the other directory's range — failing fsck on a healthy
+    log and making retention's min-offset whole-group eviction evict
+    the newest rows first."""
+    import pyarrow.parquet as pq
+
+    topic = engine.prepare_topic("t_smallcompact_gap", partitioned=True)
+
+    def pub(day, n):
+        df = engine.spark.createDataFrame(
+            [("e", f"{day}/{i}", f"2024-01-0{day} 12:00:00") for i in range(n)],
+            "event string, message string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        topic.publish_df(df, target_files=1)
+
+    pub(1, 1)  # offset 1       -> pub_date=2024-01-01
+    pub(1, 1)  # offset 2       -> pub_date=2024-01-01
+    pub(2, 2)  # offsets 3-4    -> pub_date=2024-01-02
+    pub(1, 1)  # offset 5       -> pub_date=2024-01-01  (gap after 2!)
+    pub(1, 1)  # offset 6       -> pub_date=2024-01-01
+
+    content_before = sorted(
+        (r["offset"], r["message"]) for r in topic.log().collect()
+    )
+    removed = topic.compact_small(small_bytes=1 << 20, target_files=1)
+    # [1][2] merge and [5][6] merge; neither may swallow the 3-4 gap
+    assert removed == 2
+
+    report = topic.fsck(deep=True)
+    assert report["ok"], report["issues"]
+    # every post-compact file is internally dense (no file spans 2..5)
+    for s in topic._segment_stats():
+        meta = pq.ParquetFile(s["path"]).metadata
+        assert s["max_off"] - s["min_off"] + 1 == meta.num_rows, s
+
+    content_after = sorted(
+        (r["offset"], r["message"]) for r in topic.log().collect()
+    )
+    assert content_after == content_before
