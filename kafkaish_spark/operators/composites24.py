@@ -1,0 +1,205 @@
+"""Training-order kernels: the operators that decide WHAT ORDER a
+100 TB corpus reaches the trainer in.
+
+The reference has no notion of corpus ordering (its single topic is
+insertion-ordered, src/topic.js:81); a training pipeline needs three
+deterministic ordering primitives — global shuffle, source interleave,
+and token-budget truncation — and each must run WITHOUT a
+single-partition global window (the naive ROW_NUMBER() OVER (ORDER BY
+...) plan funnels the whole corpus through one task).  The kernels
+here use the classic two-phase distributed ranking instead: bucket by
+key prefix, rank within buckets in parallel, then add a broadcast
+prefix-sum of bucket sizes.  Oracles state the SAME ordering as one
+plain window, so the driver proves the distributed plan equals the
+naive semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+_SEED = "seed42:"
+_N_BUCKETS = 256
+
+
+def _shuffle_key(col):
+    """Deterministic per-doc shuffle key: md5 over a seeded string.
+    Changing the seed literal reshuffles the entire corpus; the same
+    seed replays the same order on any cluster size (no RNG state,
+    no partition dependence)."""
+    return F.md5(F.concat(F.lit(_SEED), col.cast("string")))
+
+
+@query(
+    "q_train_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           md5('{_SEED}' || CAST(doc_id AS VARCHAR)) AS skey,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('{_SEED}' || CAST(doc_id AS VARCHAR))) AS BIGINT)
+             AS shuffle_rank
+    FROM documents
+    """,
+)
+def q_train_global_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global corpus shuffle with a SCALABLE total rank.
+
+    Training wants the corpus in seeded-pseudorandom order; the naive
+    rank (one global window) is a single-task sort at 100 TB.  This is
+    the two-phase plan instead: (1) bucket each doc by its key's first
+    byte (256 buckets — hex keys sort identically to their byte
+    order), (2) rank WITHIN each bucket in parallel (window partitioned
+    by bucket), (3) add each bucket's starting position from a
+    256-row prefix-sum computed over the bucket histogram and broadcast
+    back.  Total cross-cluster data motion: one shuffle of (bucket,
+    key) pairs + 256 histogram rows; no task ever sees more than
+    ~1/256th of the corpus.  The oracle is the naive one-window rank,
+    so equality proves the decomposition is exact — every doc gets the
+    same rank the global sort would give it."""
+    d = t(spark, sf, "documents")
+    keyed = d.select(
+        "doc_id",
+        _shuffle_key(F.col("doc_id")).alias("skey"),
+    ).withColumn(
+        "bucket", F.conv(F.substring("skey", 1, 2), 16, 10).cast("int")
+    )
+    hist = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # 256-row frame: the prefix sum is a window over a broadcast-scale
+    # table, not over the corpus
+    w_prefix = (
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = hist.select(
+        "bucket",
+        F.coalesce(F.sum("n").over(w_prefix), F.lit(0)).alias("offset0"),
+    )
+    w_bucket = Window.partitionBy("bucket").orderBy("skey")
+    return (
+        keyed.withColumn("r_in_bucket", F.row_number().over(w_bucket))
+        .join(F.broadcast(prefix), "bucket")
+        .select(
+            "doc_id",
+            "skey",
+            (F.col("offset0") + F.col("r_in_bucket"))
+            .cast("long")
+            .alias("shuffle_rank"),
+        )
+    )
+
+
+@query(
+    "q_train_interleave_sources",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('{_SEED}' || CAST(doc_id AS VARCHAR)))
+               AS r_in_source,
+             DENSE_RANK() OVER (ORDER BY source) AS src_idx,
+             (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources
+      FROM documents)
+    SELECT doc_id, source,
+           CAST((r_in_source - 1) * n_sources + src_idx AS BIGINT)
+             AS position
+    FROM ranked
+    """,
+)
+def q_train_interleave_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-robin source interleave: the dataloader order that keeps
+    every training window mixture-faithful (source A, B, C, A, B, C
+    ...) instead of concatenating sources (all of A, then all of B —
+    the ordering that makes early training see one distribution).
+    Within each source, docs arrive in seeded-shuffle order.
+
+    position = (rank_within_source - 1) * n_sources + source_index is
+    a pure per-source window (parallel across sources) plus two
+    broadcast scalars — no global window, no cross-source shuffle; ties
+    to the same interleave a round-robin multiplexer would emit.
+    Sparse tails are harmlessly sparse: when a source runs out, its
+    slots go unused (positions stay unique and order-preserving)."""
+    d = t(spark, sf, "documents")
+    w_src = Window.partitionBy("source").orderBy(_shuffle_key(F.col("doc_id")))
+    src_idx = F.dense_rank().over(Window.orderBy("source"))
+    n_sources = d.select(F.countDistinct("source")).first()[0]
+    ranked = d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w_src).alias("r_in_source"),
+    ).withColumn("src_idx", src_idx)
+    return ranked.select(
+        "doc_id",
+        "source",
+        ((F.col("r_in_source") - 1) * F.lit(n_sources) + F.col("src_idx"))
+        .cast("long")
+        .alias("position"),
+    )
+
+
+_TOKEN_BUDGET_PER_SOURCE = 2000  # whitespace tokens each source may contribute
+
+
+@query(
+    "q_train_token_budget_subsample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5('{_SEED}' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY skey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM toks)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_taken,
+           SUM(n_tokens) AS tokens_taken
+    FROM cum
+    WHERE cum_tokens <= {_TOKEN_BUDGET_PER_SOURCE}
+    GROUP BY source
+    """,
+)
+def q_train_token_budget_subsample(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget truncation: each source contributes docs in
+    seeded-shuffle order until its token budget is spent (the mixture
+    enforcement step after q_corpus_mixture_weights decides budgets).
+    Deterministic — same seed, same docs — and reproducible across
+    reruns/cluster sizes, unlike sample() which moves with
+    partitioning.
+
+    One per-source running-sum window (parallel across sources; at
+    100 TB each source's cumsum is its own partition chain) and a
+    filter; docs are never globally sorted.  The cutoff is exclusive
+    of the doc that would cross the budget — the conservative variant
+    that never overshoots (greedy-with-overshoot is the same plan with
+    cum - n_tokens < budget)."""
+    d = t(spark, sf, "documents")
+    n_tokens = (
+        F.size(F.split(F.col("text"), " ", -1)).cast("long").alias("n_tokens")
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        n_tokens,
+        _shuffle_key(F.col("doc_id")).alias("skey"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("skey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w_cum))
+    return (
+        cum.filter(F.col("cum_tokens") <= _TOKEN_BUDGET_PER_SOURCE)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_taken"),
+            F.sum("n_tokens").alias("tokens_taken"),
+        )
+    )
