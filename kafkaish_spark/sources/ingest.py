@@ -259,3 +259,28 @@ def q_ingest_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_chars").alias("sum_n_chars_new"),
         F.sum(F.length("text")).alias("sum_chars"),
     )
+
+
+def stream_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    max_files_per_trigger: int | None = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Streaming JSONL directory tail: the landing-zone pattern where a
+    crawler keeps dropping .json files and the pipeline ingests them
+    incrementally (file-source checkpointing makes each file
+    exactly-once per query).  Same contracts as read_jsonl — explicit
+    schema, PERMISSIVE corrupt capture — so a batch backfill and the
+    live tail PARSE IDENTICALLY, which is what makes replay + live
+    produce one consistent table.  ``max_files_per_trigger`` is the
+    backpressure knob: a backlog of thousands of files drains in
+    bounded micro-batches instead of one giant first batch."""
+    reader = (
+        spark.readStream.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    return reader.schema(f"{schema}, {corrupt_col} string").json(path)

@@ -88,3 +88,53 @@ def test_ingest_readers_require_explicit_schema(spark):
     for fn in (read_jsonl, read_csv):
         p = inspect.signature(fn).parameters["schema"]
         assert p.default is inspect.Parameter.empty
+
+
+def test_stream_jsonl_quarantines_and_drains_in_bounded_batches(
+    spark, tmp_path
+):
+    """The streaming tail must (a) parse good lines and quarantine bad
+    ones exactly like the batch reader, (b) respect the
+    maxFilesPerTrigger backpressure bound, and (c) pick up files
+    appearing between runs exactly once (file-source checkpoint)."""
+    from kafkaish_spark.sources.ingest import stream_jsonl
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    for i in range(4):
+        lines = [f'{{"doc_id": {i * 10 + j}, "text": "d{i}"}}' for j in range(3)]
+        if i == 2:
+            lines.append("{broken line")
+        (src / f"drop-{i}.json").write_text("\n".join(lines) + "\n")
+
+    got, batches = [], []
+
+    def sink(df, bid):
+        rows = df.collect()
+        batches.append(len(rows))
+        got.extend(rows)
+
+    def drain():
+        q = (
+            stream_jsonl(spark, str(src), "doc_id long, text string",
+                         max_files_per_trigger=1)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert len(batches) >= 4  # 1-file micro-batches, not one big gulp
+    good = [r.doc_id for r in got if r._corrupt_record is None]
+    bad = [r for r in got if r._corrupt_record is not None]
+    assert sorted(good) == sorted(i * 10 + j for i in range(4) for j in range(3))
+    assert len(bad) == 1 and bad[0]._corrupt_record == "{broken line"
+
+    # a file landing later is ingested exactly once on the next drain
+    (src / "drop-late.json").write_text('{"doc_id": 99, "text": "late"}\n')
+    got.clear()
+    batches.clear()
+    drain()
+    assert [r.doc_id for r in got] == [99]
