@@ -41,6 +41,33 @@ def _dist(a, b):
     )
 
 
+_VEC_CACHE: tuple | None = None  # (session_id, sf_dir, frame) — leak guard
+
+
+def _cached_vecs(spark: SparkSession, sf: str) -> DataFrame:
+    """The (vec_id, v: array<double>) working set, persisted across the
+    multiple passes an iterative kernel makes (two E-steps + an M-step
+    here — MLlib caches its feature set across Lloyd rounds for the
+    same reason).  Session+sf keyed, evict-before-replace, at most one
+    copy pinned (the llm shingle-cache contract)."""
+    global _VEC_CACHE
+    key = (id(spark), sf)
+    if _VEC_CACHE is not None and _VEC_CACHE[:2] == key:
+        return _VEC_CACHE[2]
+    if _VEC_CACHE is not None:
+        try:
+            _VEC_CACHE[2].unpersist(blocking=False)
+        except Exception:
+            pass  # evicted frame's session may already be stopped
+    frame = (
+        t(spark, sf, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()
+    )
+    _VEC_CACHE = (*key, frame)
+    return frame
+
+
 @query(
     "q_embed_kmeans_lloyd2",
     oracle=f"""
@@ -107,31 +134,48 @@ def q_embed_kmeans_lloyd2(spark: SparkSession, sf: str) -> DataFrame:
     distances before summing.  This extends the PageRank ordered-fold
     contract from scalar to VECTOR state.
 
-    Scale: per round, assignment is a broadcast of k centroids against
-    a partitioned scan (shuffle-free; per-vector argmin via group-
-    limit), and the M-step is one shuffle of (cluster, dim) partial
-    sums — Lloyd's canonical Pregel-free formulation.  More rounds =
-    the same two stages repeated; k scales to thousands before the
-    broadcast matters."""
-    e = t(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    Scale: per round, the k x d centroid state is COLLECTED (bounded:
+    k*d doubles — the "broadcast k x d state" of the iterative-vector
+    recipe) and inlined into a per-row argmin projection, so the
+    E-step is completely shuffle-free: no N x k expansion ever crosses
+    the wire (the earlier window formulation shuffled N x k rows on
+    vec_id per round — fine at k=8 locally, quadratic waste at 10^9
+    vectors).  The M-step is one shuffle of (cluster, dim) integer
+    partial sums — Lloyd's canonical Pregel-free formulation.  More
+    rounds = the same two stages repeated; k scales to thousands
+    before the literal state matters."""
+    e = _cached_vecs(spark, sf)
     c0 = e.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
 
-    def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-        d = vecs.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "v", "cid", _dist(F.col("v"), F.col("cv")).alias("dist")
+    def assign(vecs: DataFrame, cent_rows: list) -> DataFrame:
+        # argmin over an inlined (dist, cid) struct array: struct
+        # comparison is lexicographic, so array_min reproduces the
+        # (rounded dist, cid) tie-break of the window formulation and
+        # of the oracle's row_number ordering, row-locally.
+        scored = F.array(
+            *[
+                F.struct(
+                    _dist(
+                        F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in r["cv"]]),
+                    ).alias("dist"),
+                    F.lit(int(r["cid"])).cast("long").alias("cid"),
+                )
+                for r in sorted(cent_rows, key=lambda r: r["cid"])
+            ]
         )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", F.col("cid").alias("cluster"), "dist")
+        best = F.array_min(scored)
+        return vecs.select(
+            "vec_id",
+            "v",
+            best["cid"].alias("cluster"),
+            best["dist"].alias("dist"),
         )
 
-    a1 = assign(e, c0)
+    c0_rows_list = c0.collect()
+    a1 = assign(e, c0_rows_list)
     dims = a1.select(
         "cluster", F.posexplode("v").alias("i", "val")
     ).select(
@@ -159,13 +203,20 @@ def q_embed_kmeans_lloyd2(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("cv")
     ).select(F.col("cluster").alias("cid"), "cv")
 
-    a2 = assign(e, c1)
-    mv = c0.alias("z").join(
-        c1.alias("o"), F.col("z.cid") == F.col("o.cid")
-    ).select(
-        F.col("z.cid").alias("cluster"),
-        _dist(F.col("z.cv"), F.col("o.cv")).alias("movement"),
-    )
+    c0_rows = {int(r["cid"]): list(r["cv"]) for r in c0_rows_list}
+    c1_rows = c1.collect()
+    a2 = assign(e, c1_rows)
+    # movement from the already-collected states (re-materializing c1
+    # here would recompute the whole M-step subtree in the final DAG);
+    # createDataFrame re-embeds the exact same doubles, and _dist is
+    # the same Spark fold the join formulation evaluated.
+    mv = spark.createDataFrame(
+        [
+            (int(r["cid"]), c0_rows[int(r["cid"])], list(r["cv"]))
+            for r in c1_rows
+        ],
+        "cluster long, zv array<double>, ov array<double>",
+    ).select("cluster", _dist(F.col("zv"), F.col("ov")).alias("movement"))
     return (
         a2.groupBy("cluster")
         .agg(
