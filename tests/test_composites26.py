@@ -1,0 +1,93 @@
+"""Corpus-quality gates round 3 (composites26): vocab OOV and the
+compression-ratio repetition filter."""
+
+import zlib
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def test_vocab_oov_matches_bruteforce(spark, sf_dir):
+    from kafkaish_spark.operators.composites26 import _VOCAB_K, q_text_vocab_oov
+    from kafkaish_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    counts = Counter()
+    for r in docs:
+        counts.update(r.text.split(" "))
+    vocab = {
+        term
+        for term, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :_VOCAB_K
+        ]
+    }
+    got = {r.doc_id: r for r in q_text_vocab_oov(spark, sf_dir).collect()}
+    assert set(got) == {r.doc_id for r in docs}
+    for r in docs:
+        toks = r.text.split(" ")
+        n_oov = sum(1 for w in toks if w not in vocab)
+        g = got[r.doc_id]
+        assert (g.n_tokens, g.n_oov) == (len(toks), n_oov), r.doc_id
+        assert abs(g.oov_rate - round(n_oov / len(toks), 6)) < 1e-9
+
+
+def test_vocab_join_is_broadcast(spark, sf_dir):
+    from kafkaish_spark.operators.composites26 import q_text_vocab_oov
+
+    plan = (
+        q_text_vocab_oov(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_compression_ratio_matches_direct_zlib(spark, sf_dir):
+    from kafkaish_spark.operators.composites26 import (
+        _RATIO_DROP,
+        _ZLIB_LEVEL,
+        q_text_compression_ratio,
+    )
+    from kafkaish_spark.sources.tables import load_table
+
+    got = {
+        r.doc_id: r
+        for r in q_text_compression_ratio(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    assert set(got) == {r.doc_id for r in docs}
+    n_drop = 0
+    for r in docs:
+        raw = r.text.encode("utf-8")
+        comp = len(zlib.compress(raw, _ZLIB_LEVEL))
+        g = got[r.doc_id]
+        assert (g.raw_bytes, g.compressed_bytes) == (len(raw), comp), r.doc_id
+        assert abs(g.ratio - round(comp / len(raw), 6)) < 1e-9
+        assert g.verdict == ("drop" if g.ratio < _RATIO_DROP else "keep")
+        n_drop += g.verdict == "drop"
+    # the synthetic corpus embeds repetitive near-dup docs: the gate
+    # must actually fire on some of them, and not on everything
+    assert 0 < n_drop < len(docs)
+
+
+def test_compression_kernel_flags_synthetic_spam(spark):
+    """A hand-built repetitive doc must be dropped, a diverse one kept."""
+    from kafkaish_spark.operators.composites26 import _compression_batches
+
+    import pandas as pd
+
+    import hashlib
+
+    spam = "buy now " * 200
+    prose = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(100)
+    )
+    out = pd.concat(
+        _compression_batches(
+            iter([pd.DataFrame({"doc_id": [1, 2], "text": [spam, prose]})])
+        )
+    ).set_index("doc_id")
+    assert out.loc[1, "verdict"] == "drop"
+    assert out.loc[2, "verdict"] == "keep"
