@@ -10,6 +10,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafkaish_spark.operators.llm import (
+    _PAIR_CTES_SQL,
+    _cached_raw_shingles,
+    _drop_hot_shingles,
+)
 from kafkaish_spark.plans.registry import query
 from kafkaish_spark.sources.tables import load_table as t
 
@@ -132,3 +137,78 @@ def q_text_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id long, raw_bytes long, compressed_bytes long, "
         "ratio double, verdict string",
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_PAIR_CTES_SQL}
+    SELECT CASE WHEN na.n < nb.n THEN doc_a
+                WHEN nb.n < na.n THEN doc_b
+                ELSE doc_b END AS contained_doc,
+           CASE WHEN na.n < nb.n THEN doc_b
+                WHEN nb.n < na.n THEN doc_a
+                ELSE doc_a END AS container_doc,
+           CAST(LEAST(na.n, nb.n) AS BIGINT) AS n_contained,
+           CAST(GREATEST(na.n, nb.n) AS BIGINT) AS n_container
+    FROM common
+    JOIN counts na ON na.doc_id = doc_a
+    JOIN counts nb ON nb.doc_id = doc_b
+    WHERE c = LEAST(na.n, nb.n)
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-containment dedup: doc X is contained in doc Y when every
+    one of X's (DF-capped) distinct 3-grams also occurs in Y — the
+    quote-farm / subset-spam case Jaccard misses (a short doc inside a
+    long one has LOW Jaccard but adds zero new content).  Containment
+    test: common-shingle count == the smaller doc's shingle count.
+    Ties (identical shingle sets) mark the higher doc_id as contained,
+    the keep-first convention of the exact-dedup family.
+
+    Reuses the near-dup family's shared machinery end to end — cached
+    raw shingles, the hot-shingle DF cap bounding the worst join
+    group, the same inverted pair join — so the scale properties are
+    the ones already measured for q_dedup_ngram_jaccard, and the extra
+    cost of ALSO screening for containment in a dedup pass is one more
+    aggregate over the same pair frame."""
+    sh = _drop_hot_shingles(_cached_raw_shingles(spark, sf))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = counts.alias("na")
+    nb = counts.alias("nb")
+    j = common.join(na, F.col("doc_a") == F.col("na.doc_id")).join(
+        nb, F.col("doc_b") == F.col("nb.doc_id")
+    )
+    small = F.least(F.col("na.n"), F.col("nb.n"))
+    contained = (
+        F.when(F.col("na.n") < F.col("nb.n"), F.col("doc_a"))
+        .when(F.col("nb.n") < F.col("na.n"), F.col("doc_b"))
+        .otherwise(F.col("doc_b"))
+    )
+    return (
+        j.filter(F.col("c") == small)
+        .select(
+            contained.alias("contained_doc"),
+            (F.col("doc_a") + F.col("doc_b") - contained).alias(
+                "container_doc"
+            ),
+            small.cast("long").alias("n_contained"),
+            F.greatest(F.col("na.n"), F.col("nb.n"))
+            .cast("long")
+            .alias("n_container"),
+        )
+    )
+

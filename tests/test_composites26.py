@@ -91,3 +91,36 @@ def test_compression_kernel_flags_synthetic_spam(spark):
     ).set_index("doc_id")
     assert out.loc[1, "verdict"] == "drop"
     assert out.loc[2, "verdict"] == "keep"
+
+
+def test_containment_flags_a_planted_subset_doc(spark, sf_dir):
+    """Brute-force cross-check on the real corpus: containment pairs
+    are exactly the (capped-)shingle-subset pairs, with the smaller
+    (or higher-id on ties) doc marked contained."""
+    from kafkaish_spark.operators.composites26 import q_dedup_containment
+    from kafkaish_spark.operators.llm import (
+        _cached_raw_shingles,
+        _drop_hot_shingles,
+    )
+
+    sh = _drop_hot_shingles(_cached_raw_shingles(spark, sf_dir)).collect()
+    sets = {}
+    for r in sh:
+        sets.setdefault(r.doc_id, set()).add(r.shingle)
+    want = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0 or inter != min(len(sets[a]), len(sets[b])):
+                continue
+            if len(sets[a]) < len(sets[b]):
+                want.add((a, b, len(sets[a]), len(sets[b])))
+            else:  # smaller-or-tie: b contained (keep-first on ties)
+                want.add((b, a, len(sets[b]), len(sets[a])))
+    got = {
+        (r.contained_doc, r.container_doc, r.n_contained, r.n_container)
+        for r in q_dedup_containment(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "corpus should include at least one containment pair"
