@@ -138,3 +138,36 @@ def test_stream_jsonl_quarantines_and_drains_in_bounded_batches(
     batches.clear()
     drain()
     assert [r.doc_id for r in got] == [99]
+
+
+def test_jsonl_roundtrip_property(spark, tmp_path):
+    """Property: ANY list of unicode strings survives the JSONL
+    write/read cycle byte-exact.  One Spark roundtrip over a
+    hypothesis-generated adversarial batch (control chars, quotes,
+    backslashes, unicode, empty-adjacent strings) rather than one per
+    example — Spark jobs are too slow for per-example fuzzing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkaish_spark.sources.ingest import read_jsonl, write_jsonl
+
+    collected = []
+
+    @settings(max_examples=30, deadline=None, database=None)
+    @given(st.text(max_size=120))
+    def gather(s):
+        collected.append(s)
+
+    gather()
+    texts = [s for s in dict.fromkeys(collected)]  # dedupe, keep order
+    rows = [(i, s) for i, s in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "fuzz")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, "doc_id long, text string").cache()
+    try:
+        assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+        got = {r.doc_id: r.text for r in back.collect()}
+    finally:
+        back.unpersist()
+    assert got == dict(enumerate(texts))
