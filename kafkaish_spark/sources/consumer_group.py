@@ -50,28 +50,34 @@ class ConsumerGroup:
         self.group = group
         self.shards = sorted(shards)
         self.n_members = n_members
+        # set by rebalance(sticky=True): the previous member count the
+        # sticky assignor minimizes movement against
+        self._prev_members: int | None = None
 
     # -- assignment ----------------------------------------------------
 
     def assignment(self) -> dict[int, list[str]]:
         """member id -> shard names; deterministic, disjoint, complete
-        (round-robin over the sorted shard list).  Delegates to the ONE
-        group assignor (streaming.groups.assignment) so batch and
-        streaming members of the same logical group can never disagree
-        about shard ownership."""
-        from kafkaish_spark.streaming.groups import assignment as _assign
-
-        return {
-            m: _assign(self.shards, m, self.n_members)
-            for m in range(self.n_members)
-        }
+        (round-robin over the sorted shard list, or the sticky map
+        after rebalance(sticky=True)).  Delegates to the ONE group
+        assignor family (streaming.groups) so batch and streaming
+        members of the same logical group can never disagree about
+        shard ownership."""
+        return {m: self.assigned(m) for m in range(self.n_members)}
 
     def assigned(self, member_id: int) -> list[str]:
-        from kafkaish_spark.streaming.groups import assignment as _assign
+        from kafkaish_spark.streaming.groups import (
+            assignment as _assign,
+            sticky_assignment as _sticky,
+        )
 
         if not 0 <= member_id < self.n_members:
             raise ValueError(
                 f"member_id {member_id} out of range for group of {self.n_members}"
+            )
+        if self._prev_members is not None:
+            return _sticky(
+                self.shards, member_id, self._prev_members, self.n_members
             )
         return _assign(self.shards, member_id, self.n_members)
 
@@ -124,11 +130,20 @@ class ConsumerGroup:
 
     # -- rebalancing ---------------------------------------------------
 
-    def rebalance(self, n_members: int) -> "ConsumerGroup":
+    def rebalance(self, n_members: int, sticky: bool = False) -> "ConsumerGroup":
         """New group view with a different member count.  Offsets are
         keyed (group, shard), so the new members resume exactly where
-        the group left off on every shard."""
-        return ConsumerGroup(self.engine, self.group, self.shards, n_members)
+        the group left off on every shard.
+
+        ``sticky=True`` returns a view whose assignment keeps shards
+        with their previous owners wherever balance allows (the Kafka
+        CooperativeStickyAssignor analog, streaming.groups
+        .sticky_assignment) — fewest revocations, warm members keep
+        their working sets.  Default stays the stateless modulo map."""
+        g = ConsumerGroup(self.engine, self.group, self.shards, n_members)
+        if sticky:
+            g._prev_members = self.n_members
+        return g
 
     def lag(self) -> DataFrame:
         """Per-shard lag of this group vs each shard's tail."""

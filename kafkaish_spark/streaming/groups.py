@@ -157,3 +157,43 @@ def subscribe_group(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     return Subscription(query, f"{group}.m{member}", checkpoint)
+
+
+def sticky_assignment(
+    shards: list[str], member: int, n_old: int, n_new: int
+) -> list[str]:
+    """Cooperative-sticky rebalance (the Kafka
+    CooperativeStickyAssignor analog): moving from an ``n_old``-member
+    modulo topology to ``n_new`` members, keep every shard with its
+    old owner unless balance forces a move, and hand only the excess
+    to the members with spare capacity.  Deterministic from shared
+    inputs — like ``assignment``, members compute it independently and
+    can never disagree — and movement-minimal under the balance
+    constraint (sizes differ by at most 1), so a resize revokes the
+    fewest possible shards (each revocation = one shard's worth of
+    re-fetched state somewhere).
+
+    Offsets are keyed (group, shard), so WHO owns a shard after the
+    move is delivery-irrelevant; what stickiness buys is locality —
+    warm file-listing caches and in-flight work on the surviving
+    members are not thrown away wholesale the way a pure modulo
+    re-map does (resizing 4 -> 5 members re-maps ~80% of shards under
+    modulo; sticky moves exactly the ~20% it must)."""
+    if not 0 <= member < n_new:
+        raise ValueError(f"member must be in [0, {n_new}), got {member}")
+    n_shards = len(shards)
+    base, extra = divmod(n_shards, n_new)
+    cap = {m: base + (1 if m < extra else 0) for m in range(n_new)}
+    owner: dict[int, int] = {}
+    deferred: list[int] = []
+    for i in range(n_shards):
+        old = i % n_old
+        if old < n_new and cap[old] > 0:
+            owner[i] = old
+            cap[old] -= 1
+        else:
+            deferred.append(i)
+    free = [m for m in range(n_new) for _ in range(cap[m])]
+    for i, m in zip(deferred, sorted(free)):
+        owner[i] = m
+    return [s for i, s in enumerate(shards) if owner[i] == member]

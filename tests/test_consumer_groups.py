@@ -258,3 +258,83 @@ def test_member_joins_mid_drain_moves_shards_without_double_delivery(engine):
     for m in (0, 1):
         df_m, _ = grown.poll(m)
         assert df_m.count() == 0
+
+
+def test_sticky_assignment_properties():
+    """For every (n_shards, n_old, n_new) combo: disjoint + complete,
+    balanced within 1, and movement-minimal — a shard moves only when
+    its old owner left or is at capacity."""
+    from kafkaish_spark.streaming.groups import assignment, sticky_assignment
+
+    for n_shards in (1, 4, 7, 12, 32):
+        shards = [f"s.{i:02d}" for i in range(n_shards)]
+        for n_old in (1, 2, 3, 5):
+            old = {s: i % n_old for i, s in enumerate(shards)}
+            for n_new in (1, 2, 3, 4, 6):
+                parts = [
+                    sticky_assignment(shards, m, n_old, n_new)
+                    for m in range(n_new)
+                ]
+                flat = [s for p in parts for s in p]
+                assert sorted(flat) == shards, (n_shards, n_old, n_new)
+                sizes = [len(p) for p in parts]
+                assert max(sizes) - min(sizes) <= 1
+                # movement minimality: every member that survived keeps
+                # at least min(old_load, new_capacity) of its shards
+                base, extra = divmod(n_shards, n_new)
+                for m in range(min(n_old, n_new)):
+                    kept = sum(1 for s in parts[m] if old[s] == m)
+                    old_load = sum(1 for s in shards if old[s] == m)
+                    capacity = base + (1 if m < extra else 0)
+                    assert kept == min(old_load, capacity), (
+                        n_shards, n_old, n_new, m)
+                # modulo baseline for comparison: sticky never moves
+                # MORE shards than the stateless re-map
+                moved_sticky = sum(
+                    1 for m in range(n_new) for s in parts[m] if old[s] != m
+                )
+                moved_mod = sum(
+                    1
+                    for m in range(n_new)
+                    for s in assignment(shards, m, n_new)
+                    if old[s] != m
+                )
+                assert moved_sticky <= moved_mod
+
+
+def test_sticky_rebalance_grow_no_loss_no_double_delivery(engine):
+    """rebalance(sticky=True) mid-drain: same delivery guarantees as
+    the modulo rebalance (nothing lost, nothing doubled), but the
+    surviving member keeps every shard balance allows."""
+    from kafkaish_spark.sources.consumer_group import ConsumerGroup
+
+    shards = [f"st.{i}" for i in range(4)]
+    for i, name in enumerate(shards):
+        engine.prepare_topic(name).publish_batch(
+            [("e", {"shard": i, "n": j}) for j in range(2)]
+        )
+    solo = ConsumerGroup(engine, "gsticky", shards, 1)
+    _df, bounds = solo.poll(0)
+    solo.commit(0, {k: bounds[k] for k in ("st.0",)})  # partial drain
+
+    grown = solo.rebalance(2, sticky=True)
+    assign = grown.assignment()
+    # balance 2+2, and member 0 kept two of its old shards (modulo
+    # would also give 2, but sticky keeps a prefix of the OLD holding)
+    assert sorted(len(v) for v in assign.values()) == [2, 2]
+    assert set(assign[0]) <= set(shards)
+    seen_keys = set()
+    per_member = {0: 0, 1: 0}
+    for m in (0, 1):
+        df_m, bounds_m = grown.poll(m)
+        for r in df_m.collect():
+            key = (r["topic"], int(r["offset"]))
+            assert key not in seen_keys, f"double delivery of {key}"
+            seen_keys.add(key)
+            per_member[m] += 1
+        grown.commit(m, bounds_m)
+    # 3 uncommitted shards x 2 msgs delivered exactly once in total
+    assert sum(per_member.values()) == 6
+    for m in (0, 1):
+        df_m, _ = grown.poll(m)
+        assert df_m.count() == 0
