@@ -151,3 +151,105 @@ def q_rollup_hourly_events(spark: SparkSession, sf: str) -> DataFrame:
         materialize_hourly(spark, sf, rebuild=True)
         out = serve_hourly(spark, sf)
     return out
+
+
+DAY_MS = 86_400_000
+WEEK_MS = 604_800_000
+
+
+@query(
+    "q_rollup_cascade",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST((epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS BIGINT) AS hms,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {dsum_sql('value')} AS vs
+      FROM events GROUP BY 1, 2),
+    hq AS (
+      SELECT hms, event_type, n,
+             CAST(round(vs * 1000000) AS BIGINT) AS vq
+      FROM h),
+    d AS (
+      SELECT CAST((hms // {DAY_MS}) * {DAY_MS} AS BIGINT) AS pms,
+             event_type,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(vq) AS BIGINT) AS vq
+      FROM hq GROUP BY 1, 2),
+    w AS (
+      SELECT CAST((pms // {WEEK_MS}) * {WEEK_MS} AS BIGINT) AS pms,
+             event_type,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(vq) AS BIGINT) AS vq
+      FROM d GROUP BY 1, 2)
+    SELECT 'day' AS level, pms AS period_start_ms, event_type,
+           n AS n_events, vq AS value_micro
+    FROM d
+    UNION ALL
+    SELECT 'week' AS level, pms AS period_start_ms, event_type,
+           n AS n_events, vq AS value_micro
+    FROM w
+    """,
+)
+def q_rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-resolution rollup CASCADE: day buckets computed FROM the
+    materialized hourly rollup and week buckets FROM the day level —
+    never from raw events.  This is the continuous-aggregate hierarchy
+    (Timescale's rollup-on-rollup): at 100 TB the hourly table is
+    ~|hours| x |types| rows, so every coarser resolution costs an
+    aggregate over the PREVIOUS rollup, independent of raw volume, and
+    adding a resolution never re-scans history.
+
+    Correctness across the hops is the subtle part: hourly value sums
+    are exact-decimal (dsum) doubles, but RE-summing doubles upward
+    would be partition-order-dependent — so the cascade re-quantizes
+    each hourly sum onto the 1e-6 integer grid once and every level
+    above sums exact int64 (associative, engine-identical).  The
+    oracle states the identical two-hop pipeline from raw events;
+    agreement proves the materialized hourly base == a full recompute
+    AND the upward hops are exact."""
+    hourly = serve_hourly(spark, sf).select(
+        "window_start_ms",
+        "event_type",
+        F.col("n_events").cast("long").alias("n"),
+        F.round(F.col("value_sum") * 1e6).cast("long").alias("vq"),
+    )
+    day = (
+        hourly.groupBy(
+            ((F.col("window_start_ms") / DAY_MS).cast("long") * DAY_MS).alias(
+                "period_start_ms"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("vq").cast("long").alias("value_micro"),
+        )
+    )
+    week = (
+        day.groupBy(
+            (
+                (F.col("period_start_ms") / WEEK_MS).cast("long") * WEEK_MS
+            ).alias("period_start_ms"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("value_micro").cast("long").alias("value_micro"),
+        )
+    )
+    return day.select(
+        F.lit("day").alias("level"),
+        "period_start_ms",
+        "event_type",
+        "n_events",
+        "value_micro",
+    ).unionByName(
+        week.select(
+            F.lit("week").alias("level"),
+            "period_start_ms",
+            "event_type",
+            "n_events",
+            "value_micro",
+        )
+    )
