@@ -212,3 +212,102 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
+
+
+@query(
+    "q_privacy_t_closeness",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+             o_orderstatus AS s,
+             CAST(COUNT(*) AS BIGINT) AS a
+      FROM orders GROUP BY 1, 2, 3),
+    groups AS (
+      SELECT o_orderpriority, yr, CAST(SUM(a) AS BIGINT) AS ng
+      FROM cells GROUP BY 1, 2),
+    global AS (
+      SELECT s, CAST(SUM(a) AS BIGINT) AS b FROM cells GROUP BY s),
+    n AS (SELECT CAST(SUM(b) AS BIGINT) AS n FROM global),
+    terms AS (
+      SELECT g.o_orderpriority, g.yr, g.ng,
+             abs(COALESCE(c.a, 0) * (SELECT n FROM n) - gl.b * g.ng)
+               AS num
+      FROM groups g
+      CROSS JOIN global gl
+      LEFT JOIN cells c ON c.o_orderpriority = g.o_orderpriority
+                       AND c.yr = g.yr AND c.s = gl.s)
+    SELECT o_orderpriority, yr, ng AS n_rows,
+           round(CAST(SUM(num) AS DOUBLE)
+                 / (2.0 * ng * (SELECT n FROM n)), 6) AS tv_dist,
+           CAST(CAST(SUM(num) AS DOUBLE)
+                / (2.0 * ng * (SELECT n FROM n)) <= 0.2 AS BIGINT) AS close
+    FROM terms GROUP BY 1, 2, 3
+    """,
+)
+def q_privacy_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy ladder after
+    q_privacy_k_anonymity (re-identification) and q_privacy_l_diversity
+    (attribute disclosure): a QI group whose SENSITIVE-VALUE
+    DISTRIBUTION diverges from the global one leaks information even
+    when it is diverse (if 90% of one (priority, year) cell's orders
+    are status 'F' vs 25% globally, membership in the cell IS a status
+    signal).  Distance = total variation between the group's and the
+    global status distribution; close iff TV <= t = 0.2.
+
+    Exactness: TV = sum |a*N - b*ng| / (2*ng*N) keeps the numerator in
+    int64 (counts cross-multiplied — no per-class float divisions to
+    accumulate) and spends ONE IEEE division per group at the end.
+    Plan: one (QI, status) cell aggregate, a ~|statuses|-row broadcast
+    of the global distribution onto the QI groups, regroup — at 100 TB
+    the only full-data pass is the first partial-aggregated cell
+    count."""
+    o = t(spark, sf, "orders")
+    cells = (
+        o.select(
+            "o_orderpriority",
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("o_orderstatus").alias("s"),
+        )
+        .groupBy("o_orderpriority", "yr", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("a"))
+    )
+    groups = cells.groupBy("o_orderpriority", "yr").agg(
+        F.sum("a").cast("long").alias("ng")
+    )
+    glob = cells.groupBy("s").agg(F.sum("a").cast("long").alias("b"))
+    n_total = int(glob.agg(F.sum("b")).first()[0])
+    terms = (
+        groups.crossJoin(F.broadcast(glob))
+        .join(
+            cells,
+            ["o_orderpriority", "yr", "s"],
+            "left",
+        )
+        .select(
+            "o_orderpriority",
+            "yr",
+            "ng",
+            F.abs(
+                F.coalesce(F.col("a"), F.lit(0)) * F.lit(n_total)
+                - F.col("b") * F.col("ng")
+            ).alias("num"),
+        )
+    )
+    tv = F.sum("num").cast("double") / (
+        F.lit(2.0) * F.col("ng") * F.lit(float(n_total))
+    )
+    return (
+        terms.groupBy("o_orderpriority", "yr", "ng")
+        .agg(
+            F.round(tv, 6).alias("tv_dist"),
+            (tv <= 0.2).cast("long").alias("close"),
+        )
+        .select(
+            "o_orderpriority",
+            "yr",
+            F.col("ng").alias("n_rows"),
+            "tv_dist",
+            "close",
+        )
+    )

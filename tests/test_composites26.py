@@ -124,3 +124,35 @@ def test_containment_flags_a_planted_subset_doc(spark, sf_dir):
     }
     assert got == want
     assert want, "corpus should include at least one containment pair"
+
+
+def test_t_closeness_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    from kafkaish_spark.operators.composites26 import q_privacy_t_closeness
+    from kafkaish_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.year("o_orderdate").alias("yr"), "o_orderstatus"
+    ).collect()
+    glob = Counter(r.o_orderstatus for r in rows)
+    n = len(rows)
+    by_group = {}
+    for r in rows:
+        by_group.setdefault((r.o_orderpriority, r.yr), Counter())[
+            r.o_orderstatus
+        ] += 1
+    got = {
+        (r.o_orderpriority, r.yr): r
+        for r in q_privacy_t_closeness(spark, sf_dir).collect()
+    }
+    assert set(got) == set(by_group)
+    for key, cnt in by_group.items():
+        ng = sum(cnt.values())
+        num = sum(abs(cnt.get(s, 0) * n - b * ng) for s, b in glob.items())
+        tv = round(num / (2.0 * ng * n), 6)
+        g = got[key]
+        assert g.n_rows == ng
+        assert abs(g.tv_dist - tv) < 1e-9, key
+        assert g.close == (1 if tv <= 0.2 else 0)
+        assert 0.0 <= g.tv_dist <= 1.0
