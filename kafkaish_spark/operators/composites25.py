@@ -328,3 +328,106 @@ def q_graph_triangle_count(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+_MRL_DIMS = 16  # truncation length for the matryoshka comparison
+
+
+@query(
+    "q_retrieval_matryoshka_overlap",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe,
+             array_slice(embedding, 1, {_MRL_DIMS}) AS qe16,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS qn,
+             sqrt({_DOT_SQL.format(
+                 a=f'array_slice(embedding, 1, {_MRL_DIMS})',
+                 b=f'array_slice(embedding, 1, {_MRL_DIMS})')}) AS qn16
+      FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    pairs AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             round({_DOT_SQL.format(a='qe', b='e.embedding')}
+                   / (qn * sqrt({_DOT_SQL.format(
+                       a='e.embedding', b='e.embedding')})), 6) AS cf,
+             round({_DOT_SQL.format(
+                 a='qe16', b=f'array_slice(e.embedding, 1, {_MRL_DIMS})')}
+                   / (qn16 * sqrt({_DOT_SQL.format(
+                       a=f'array_slice(e.embedding, 1, {_MRL_DIMS})',
+                       b=f'array_slice(e.embedding, 1, {_MRL_DIMS})')})), 6)
+               AS ct
+      FROM q, embeddings e WHERE e.vec_id <> query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cf DESC, neighbor_id) AS rf,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ct DESC, neighbor_id) AS rt
+      FROM pairs)
+    SELECT query_id,
+           CAST(SUM(CASE WHEN rf <= {_K} AND rt <= {_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS overlap_at10,
+           round(CAST(SUM(CASE WHEN rf <= {_K} AND rt <= {_K}
+                               THEN 1 ELSE 0 END) AS DOUBLE) / {_K}, 6)
+             AS overlap_frac
+    FROM ranked GROUP BY query_id
+    """,
+)
+def q_retrieval_matryoshka_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka-truncation eval: how much of the FULL-precision
+    top-10 survives when vectors are truncated to their first
+    {_MRL_DIMS} dims — the decision metric for serving MRL embeddings
+    at a fraction of the index size/bandwidth (a high overlap says the
+    short prefix is retrieval-sufficient; a collapse says this
+    embedding wasn't matryoshka-trained).  Same broadcast-queries /
+    streamed-candidates plan as the other eval kernels, with BOTH
+    rankings computed in one pass over the pair stream (two windows on
+    the same shuffle key, so the second ranking is free of extra data
+    motion).  Overlap is an integer; the fraction is one division."""
+    e = t(spark, sf, "embeddings")
+    tr = lambda c: F.slice(c, 1, _MRL_DIMS)  # noqa: E731
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        tr(F.col("embedding")).alias("qe16"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("ne"),
+            )
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_sim(F.col("qe"), F.col("ne")), 6).alias("cf"),
+            F.round(
+                cosine_sim(F.col("qe16"), tr(F.col("ne"))), 6
+            ).alias("ct"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cf").desc(), F.col("neighbor_id")
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("ct").desc(), F.col("neighbor_id")
+    )
+    both = (
+        (F.col("rf") <= _K) & (F.col("rt") <= _K)
+    ).cast("long")
+    return (
+        pairs.select(
+            "query_id",
+            F.row_number().over(wf).alias("rf"),
+            F.row_number().over(wt).alias("rt"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(both).alias("overlap_at10"),
+            F.round(F.sum(both).cast("double") / _K, 6).alias(
+                "overlap_frac"
+            ),
+        )
+    )

@@ -93,3 +93,23 @@ def test_calibration_bins_partition_the_scored_rows(spark, sf_dir):
         # mean predicted prob must live inside the bin's value range
         # (1e-6 slack for the micro-grid quantization)
         assert r.bin / 10 - 1e-6 <= r.mean_pred <= (r.bin + 1) / 10 + 1e-6
+
+
+def test_matryoshka_overlap_bounds_and_self_consistency(spark, sf_dir):
+    """Overlap is in [0, 10]; truncating to the FULL width must give
+    overlap 10 for every query (sanity of the two-ranking machinery)."""
+    from kafkaish_spark.operators import composites25 as c25
+
+    rows = c25.q_retrieval_matryoshka_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.overlap_at10 <= c25._K
+        assert abs(r.overlap_frac - round(r.overlap_at10 / c25._K, 6)) < 1e-9
+    # monkeypatch-free self check: rebuild with _MRL_DIMS = 64 (full)
+    orig = c25._MRL_DIMS
+    try:
+        c25._MRL_DIMS = 64
+        full = c25.q_retrieval_matryoshka_overlap(spark, sf_dir).collect()
+    finally:
+        c25._MRL_DIMS = orig
+    assert all(r.overlap_at10 == c25._K for r in full)
