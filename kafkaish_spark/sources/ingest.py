@@ -284,3 +284,38 @@ def stream_jsonl(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     return reader.schema(f"{schema}, {corrupt_col} string").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """DataFrame -> ORC (the other columnar interchange format a lake
+    inherits from Hive-era producers), overwrite mode."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """ORC -> DataFrame with an explicit schema — same no-inference
+    contract as the text readers (ORC carries its own schema, but
+    pinning one makes producer drift a loud analysis error instead of
+    a silent column-type change downstream).
+
+    Avro note: ``spark-avro`` is an external module and its jar is not
+    in this container, so Avro stays unsupported here — environmental,
+    like the PIL-gated JPEG tier (multimodal.HAS_PIL)."""
+    return spark.read.schema(schema).orc(path)
+
+
+@query(
+    "q_ingest_orc_roundtrip",
+    oracle=_FINGERPRINT_SQL.format(key="lang"),
+)
+def q_ingest_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> ORC -> read_orc -> per-lang fidelity fingerprint vs
+    the parquet oracle: the cross-columnar-format path (parquet-born
+    corpus served to an ORC-expecting consumer, or vice versa).
+    Columnar-to-columnar is lossless by construction; the fingerprint
+    guards the ENGINE plumbing (predicate/column pruning paths differ
+    between the two readers) rather than the encoding."""
+    d = t(spark, sf, "documents")
+    path = _scratch(sf, "orc")
+    write_orc(d, path)
+    return _fingerprint(read_orc(spark, path, DOCS_SCHEMA), "lang")

@@ -171,3 +171,15 @@ def test_jsonl_roundtrip_property(spark, tmp_path):
     finally:
         back.unpersist()
     assert got == dict(enumerate(texts))
+
+
+def test_orc_roundtrip_binary_exact(spark, tmp_path):
+    from kafkaish_spark.sources.ingest import read_orc, write_orc
+
+    rows = TRICKY + [(6, "line\nbreak\tand tab", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "orc")
+    write_orc(df, path)
+    back = read_orc(spark, path, "doc_id long, text string, lang string")
+    got = {r.doc_id: (r.text, r.lang) for r in back.collect()}
+    assert got == {i: (t, lg) for i, t, lg in rows}
