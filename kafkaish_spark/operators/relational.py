@@ -2224,3 +2224,94 @@ def q_outliers_above_p95(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("p95"))
         .select("o_orderkey", "c_nationkey", "o_totalprice", "p95")
     )
+
+
+# ---------------------------------------------------------------- R10c (nearest as-of)
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH v AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    ranked AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             v.event_id AS view_id,
+             CAST(epoch_ms(p.ts) - epoch_ms(v.ts) AS BIGINT) AS gap_ms,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_ms(p.ts) - epoch_ms(v.ts)),
+                        CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END,
+                        CASE WHEN v.ts <= p.ts THEN -v.event_id
+                             ELSE v.event_id END) AS rn
+      FROM p JOIN v ON p.user_id = v.user_id)
+    SELECT purchase_id, user_id, view_id, gap_ms FROM ranked WHERE rn = 1
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """NEAREST as-of join — the sensor-alignment semantics (closest
+    reading in EITHER direction), completing the as-of family next to
+    backward (q_join_asof_event_order) and forward
+    (q_join_asof_forward).  Ties prefer the backward candidate (the
+    value that was already known at event time — the causal choice),
+    then the backward-latest / forward-earliest view id.
+
+    Scale shape: the naive plan is the pairwise join the oracle states
+    (quadratic in a hot user's history).  This side computes BOTH
+    directional candidates in ONE union-timeline pass — two window
+    frames over the same (user_id, ts, kind, id) sort, so Spark plans
+    one shuffle + one sort and reuses them for both windows — then a
+    row-local argmin picks the winner.  Linear state per user at any
+    scale."""
+    ev = t(spark, sf, "events")
+    # views sort BEFORE purchases at equal ts (kind 0 < 1): same-ts
+    # views land in the backward frame (<=) and out of the forward one
+    both = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("kind"),
+        F.when(
+            F.col("event_type") == "view",
+            F.struct(
+                epoch_ms(F.col("ts")).cast("long").alias("v_ts_ms"),
+                F.col("event_id").alias("view_id"),
+            ),
+        ).alias("vkey"),
+    )
+    order = [F.col("ts"), F.col("kind"), F.col("event_id")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    cand = (
+        both.withColumn("back", F.max("vkey").over(wb))
+        .withColumn("fwd", F.min("vkey").over(wf))
+        .filter(F.col("kind") == 1)
+    )
+    p_ms = epoch_ms(F.col("ts")).cast("long")
+    back_gap = p_ms - F.col("back.v_ts_ms")   # >= 0
+    fwd_gap = F.col("fwd.v_ts_ms") - p_ms     # > 0
+    take_back = F.col("back").isNotNull() & (
+        F.col("fwd").isNull() | (back_gap <= fwd_gap)
+    )
+    return (
+        cand.filter(F.col("back").isNotNull() | F.col("fwd").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.when(take_back, F.col("back.view_id"))
+            .otherwise(F.col("fwd.view_id"))
+            .alias("view_id"),
+            F.when(take_back, back_gap)
+            .otherwise(-fwd_gap)
+            .cast("long")
+            .alias("gap_ms"),
+        )
+    )
