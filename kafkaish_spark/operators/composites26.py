@@ -311,3 +311,51 @@ def q_privacy_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
             "close",
         )
     )
+
+
+@query(
+    "q_events_ohlc_hourly",
+    oracle="""
+    SELECT CAST((epoch_ms(ts) // 3600000) * 3600000 AS BIGINT) AS hour_ms,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           min_by(value, epoch_ms(ts) * 1000000 + event_id) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           max_by(value, epoch_ms(ts) * 1000000 + event_id) AS close
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_ohlc_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """OHLC downsampling: per (hour, event_type), the opening value
+    (earliest event, event_id tiebreak), high, low, and closing value —
+    the canonical time-series reduction for charting/monitoring a
+    metric stream without shipping raw points (and the financial
+    candlestick shape).  One partial-aggregated shuffle: min_by/max_by
+    carry (key, arg) pairs map-side, so the full stream never moves.
+    All four outputs are PICKED or compared values, never arithmetic —
+    hash-exact with no grid tricks needed."""
+    ev = t(spark, sf, "events")
+    from kafkaish_spark.functions.timeutil import epoch_ms
+
+    # composite (ts, event_id) key packed into one int64 (ms ~1.7e12 x
+    # 1e6 + id < 2^63): DuckDB's min_by/max_by take only scalar keys
+    key = epoch_ms(F.col("ts")).cast("long") * F.lit(1000000) + F.col(
+        "event_id"
+    )
+    return (
+        ev.groupBy(
+            ((epoch_ms(F.col("ts")) / 3600000).cast("long") * 3600000).alias(
+                "hour_ms"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+        )
+    )
