@@ -71,3 +71,29 @@ def test_bench_set_contains_scale_path_kernels():
     bench = {n for n, s in _registry().items() if s.bench}
     assert "q_embed_kmeans_lloyd2" in bench
     assert "q_ml_auc_binned" in bench
+
+
+def test_every_oracle_sql_binds_in_duckdb(sf_dir):
+    """EXPLAIN every registered oracle against the test views: catches
+    SQL typos, dialect slips, and schema drift at pytest speed instead
+    of at the driver's correctness gate.  Planning only — no query
+    executes."""
+    import duckdb
+
+    from kafkaish_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.execute(
+            f"CREATE VIEW {tname} AS "
+            f"SELECT * FROM '{sf_dir}/{tname}.parquet'"
+        )
+    errors = []
+    for name, spec in _registry().items():
+        if spec.oracle is None:
+            continue
+        try:
+            con.execute("EXPLAIN " + spec.oracle)
+        except Exception as ex:  # noqa: BLE001 — collect all failures
+            errors.append((name, f"{type(ex).__name__}: {ex}"))
+    assert not errors, errors
