@@ -117,20 +117,28 @@ def q_train_interleave_sources(spark: SparkSession, sf: str) -> DataFrame:
     Within each source, docs arrive in seeded-shuffle order.
 
     position = (rank_within_source - 1) * n_sources + source_index is
-    a pure per-source window (parallel across sources) plus two
-    broadcast scalars — no global window, no cross-source shuffle; ties
-    to the same interleave a round-robin multiplexer would emit.
+    a pure per-source window (parallel across sources) plus a
+    broadcast source-index table — no corpus-scale global window, no
+    cross-source shuffle; ties to the same interleave a round-robin
+    multiplexer would emit.  The source indices themselves come from
+    ranking the DISTINCT-source frame (|sources| rows — the one
+    single-partition window in the plan runs over that tiny table,
+    never the corpus; plan-asserted in tests/test_composites24.py).
     Sparse tails are harmlessly sparse: when a source runs out, its
     slots go unused (positions stay unique and order-preserving)."""
     d = t(spark, sf, "documents")
     w_src = Window.partitionBy("source").orderBy(_shuffle_key(F.col("doc_id")))
-    src_idx = F.dense_rank().over(Window.orderBy("source"))
     n_sources = d.select(F.countDistinct("source")).first()[0]
+    src_rank = (
+        d.select("source")
+        .distinct()
+        .withColumn("src_idx", F.dense_rank().over(Window.orderBy("source")))
+    )
     ranked = d.select(
         "doc_id",
         "source",
         F.row_number().over(w_src).alias("r_in_source"),
-    ).withColumn("src_idx", src_idx)
+    ).join(F.broadcast(src_rank), "source")
     return ranked.select(
         "doc_id",
         "source",

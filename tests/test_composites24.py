@@ -96,3 +96,24 @@ def test_token_budget_never_overshoots_and_is_maximal(spark, sf_dir):
             assert src not in taken
         else:
             assert taken[src] == (n_docs, cum), src
+
+
+def test_interleave_has_no_corpus_scale_single_partition_window(spark, sf_dir):
+    """The source-index ranking must run over the distinct-source
+    frame, not the corpus: the per-source ranking shuffles by source
+    and at most one tiny SinglePartition exchange exists."""
+    from kafkaish_spark.operators.composites24 import (
+        q_train_interleave_sources,
+    )
+
+    plan = (
+        q_train_interleave_sources(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(source" in plan, plan
+    assert plan.count("SinglePartition") <= 1, plan
+    # the single-partition window must sit above an aggregate (the
+    # distinct), not the raw scan: a distinct appears before it
+    assert "HashAggregate" in plan, plan
