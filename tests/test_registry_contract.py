@@ -97,3 +97,56 @@ def test_every_oracle_sql_binds_in_duckdb(sf_dir):
         except Exception as ex:  # noqa: BLE001 — collect all failures
             errors.append((name, f"{type(ex).__name__}: {ex}"))
     assert not errors, errors
+
+
+# Queries whose SinglePartition exchange over a non-aggregated child is
+# a DOCUMENTED oracle-twin / audit-scale formulation with a named scale
+# path in its docstring (global ntile over collapsed or audit-scale
+# input, exact-AUC global rank with the binned twin, per-entity
+# quintiles, skyline over a dimension).  Anything NOT in this list that
+# funnels un-aggregated rows into one task is a new scale bug — the
+# class that hid in q_train_interleave_sources until round 3.
+_DOCUMENTED_GLOBAL_ORDER = frozenset(
+    {
+        "q_agg_equidepth_histogram",   # global ntile; approx-cut scale path noted
+        "q_events_lateness_audit",     # global arrival frontier; per-shard path noted
+        "q_ml_auc",                    # exact twin of q_ml_auc_binned (scale path)
+        "q_rfm_segmentation",          # quintiles over per-customer aggregates
+        "q_skyline_parts",             # skyline over the part dimension
+    }
+)
+
+
+def test_no_undocumented_corpus_scale_single_partition(spark, sf_dir):
+    """Every SinglePartition exchange must sit above a (partial)
+    aggregate — the final merge of partial states, which moves
+    #partitions rows — unless the query is in the documented
+    global-ordering whitelist.  A SinglePartition whose child is a raw
+    Project/Scan funnels the corpus through ONE task at 100 TB."""
+    offenders = []
+    for name, spec in _registry().items():
+        if name in _DOCUMENTED_GLOBAL_ORDER:
+            continue
+        try:
+            plan = (
+                spec.fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception:  # build failures are the schema test's job
+            continue
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            if not any(
+                k in child
+                for k in ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+            ):
+                offenders.append((name, child.strip()[:80]))
+    assert not offenders, (
+        "undocumented corpus-scale SinglePartition exchanges: "
+        f"{offenders}"
+    )
