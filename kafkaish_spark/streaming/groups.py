@@ -75,6 +75,7 @@ def subscribe_group(
     replay: bool = True,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    prev_members: int | None = None,
 ) -> Subscription | None:
     """Join consumer group ``group`` as ``member`` of ``n_members``
     over the shards of ``base``.
@@ -100,9 +101,19 @@ def subscribe_group(
     a resize starts fresh streaming checkpoints; per-shard delivery
     then resumes from ``max(group start, last group ack)`` — acked
     messages are not redelivered across a topology change, unacked
-    ones are (at-least-once preserved)."""
+    ones are (at-least-once preserved).
+
+    ``prev_members`` switches the assignor to the cooperative-sticky
+    map (``sticky_assignment``) against that previous topology —
+    shards stay with surviving members wherever balance allows, so a
+    resize revokes the fewest streams.  Every member of the new
+    topology must pass the SAME prev_members (it is part of the
+    checkpoint key) or assignments would overlap."""
     shards = shard_names(engine, base)
-    mine = assignment(shards, member, n_members)
+    if prev_members is not None:
+        mine = sticky_assignment(shards, member, prev_members, n_members)
+    else:
+        mine = assignment(shards, member, n_members)
     if not mine:
         return None
     checkpoint = os.path.join(
@@ -110,7 +121,9 @@ def subscribe_group(
         "_groups",
         base,
         group,
-        f"n{n_members}",
+        f"n{n_members}"
+        if prev_members is None
+        else f"n{n_members}s{prev_members}",
         f"member_{member}",
         "checkpoint",
     )

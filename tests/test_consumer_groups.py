@@ -338,3 +338,35 @@ def test_sticky_rebalance_grow_no_loss_no_double_delivery(engine):
     for m in (0, 1):
         df_m, _ = grown.poll(m)
         assert df_m.count() == 0
+
+
+def test_streaming_group_sticky_resize_keeps_guarantees(engine):
+    """Streaming group resize with the sticky assignor: disjoint +
+    complete coverage in the new topology, no loss of unacked
+    messages, no redelivery of acked ones (offsets are group-keyed, so
+    the assignor choice is delivery-neutral — stickiness only changes
+    WHO reads a shard)."""
+    for i in range(4):
+        engine.prepare_topic(f"sg.{i}").publish_batch(
+            [("e", {"shard": i, "phase": 1})]
+        )
+    # topology A: 2 members drain everything
+    _, a0 = _drain(engine, "sg", "gss", 0, 2, replay=True)
+    _, a1 = _drain(engine, "sg", "gss", 1, 2, replay=True)
+    assert len(a0) + len(a1) == 4
+
+    # new messages land, then the group grows 2 -> 3 with sticky map
+    for i in range(4):
+        engine.prepare_topic(f"sg.{i}").publish_batch(
+            [("e", {"shard": i, "phase": 2})]
+        )
+    got = []
+    for m in range(3):
+        _, g = _drain(
+            engine, "sg", "gss", m, 3, replay=True, prev_members=2
+        )
+        got.extend(g)
+    msgs = sorted(json.loads(msg)["shard"] for _, _, msg in got)
+    phases = {json.loads(msg)["phase"] for _, _, msg in got}
+    assert msgs == [0, 1, 2, 3]  # each phase-2 message exactly once
+    assert phases == {2}  # phase-1 acks survive the sticky resize
