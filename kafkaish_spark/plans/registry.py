@@ -146,6 +146,15 @@ _DRIVER_CHECKED = _DRIVER_CHECKED_R1 | _DRIVER_CHECKED_R2
 # the four queries whose outputs were scalarized this round (the r2
 # err + the three latent array-typed outputs the verdict flagged) and
 # the two flagship kernels ADVICE said were missing from the window.
+#
+# ROUND-4 ROTATION NOTE: after CORRECTNESS_r03 lands, move this block
+# into _DRIVER_CHECKED_R3 and front-load (a) the 18 round-3 additions
+# (q_ingest_*, q_train_*, q_retrieval_*, q_ml_calibration_bins,
+# q_graph_triangle_count, q_text_vocab_oov, q_dedup_containment,
+# q_rollup_cascade, q_privacy_t_closeness, q_join_asof_nearest,
+# q_events_ohlc_hourly) and (b) the next ~32 never-checked oracle
+# queries from the remaining pool (TPC-H Q4/Q6/Q7/Q8/Q12/Q14/Q15/Q19/
+# Q21, scalar sweeps, markov/feature/audit families...).
 _DRIVER_PRIORITY = (
     "q_regex_extract_all_part_nums",   # r2 err, now scalarized
     "q_embed_whitening",               # scalarized this round
