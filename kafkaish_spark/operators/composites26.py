@@ -520,3 +520,63 @@ def q_embed_hubness(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("q_embed_hubness_ann", oracle=None)
+def q_embed_hubness_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """The SCALE path of q_embed_hubness: the same in-degree
+    aggregation over the LSH candidate edges instead of the all-pairs
+    graph — the "only the pair generator swaps" property.  Each vector
+    ranks only its same-bucket candidates (sublinear), takes its
+    top-k, and in-degrees are counted identically.  Out-degree can
+    fall below k in sparse buckets, so the exact invariant weakens to
+    sum(in_degree) <= k*n.
+
+    Honest caveat, measured: on THIS synthetic corpus (near-uniform
+    vectors, max pairwise cosine ~0.48) the ANN hub RANKING correlates
+    weakly with the exact one — 6-bit hyperplane buckets over
+    clusterless data have low neighbor recall, consistent with
+    q_sim_ann_lsh's recall band on the same vectors.  That is the
+    diagnostic working as intended (it measures what the index will
+    actually serve); on corpora with real cluster structure — where
+    ANN indexes are used at all — bucket-local hubs track global
+    hubs.  pytest pins the structural invariants, not a rank
+    correlation this data cannot support.  Rows-only: the hyperplane
+    signatures are engine-specific."""
+    from kafkaish_spark.functions.vectors import cosine_sim
+    from kafkaish_spark.operators.llm import _lsh_bucketed
+
+    buck = _lsh_bucketed(spark, sf)
+    a = buck.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+    )
+    b = buck.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("eb"),
+        "bucket",
+    )
+    cos = F.round(cosine_sim(F.col("ea"), F.col("eb")), 6)
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("dst"))
+    edges = (
+        a.join(b, ["bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HUB_K)
+        .select("src", "dst")
+    )
+    indeg = edges.groupBy(F.col("dst").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_degree")
+    )
+    return (
+        buck.select("vec_id")
+        .join(indeg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("in_degree"), F.lit(0)).cast("long").alias(
+                "in_degree"
+            ),
+        )
+    )

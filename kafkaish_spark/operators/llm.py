@@ -522,13 +522,11 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- M3c ANN scale path (rows-only)
-@query("q_sim_ann_lsh", oracle=None)
-def q_sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed approximate NN (random-hyperplane signs over 16
-    deterministic pseudo-planes -> bucket join -> exact cosine within
-    bucket).  Sublinear candidate generation — the 100 TB similarity
-    path.  Plane construction is engine-specific => rows-only; pytest
-    checks recall vs the brute-force baseline."""
+def _lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, embedding, label, bucket): the ONE random-hyperplane
+    bucket assignment shared by q_sim_ann_lsh (pair generation) and
+    q_embed_hubness_ann (kNN-graph aggregation over the same candidate
+    edges), so the signature scheme can never drift between them."""
     NBITS = 6  # 64 buckets — sized so buckets average a handful of
     # vectors at this corpus size; at 100 TB raise NBITS with corpus
     e = t(spark, sf, "embeddings")
@@ -549,7 +547,17 @@ def q_sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         sig = sig + F.when(plane_dot(F.col("embedding"), p) > 0, F.lit(1 << i)).otherwise(0)
-    buck = e.select("vec_id", "embedding", "label", sig.alias("bucket"))
+    return e.select("vec_id", "embedding", "label", sig.alias("bucket"))
+
+
+@query("q_sim_ann_lsh", oracle=None)
+def q_sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate NN (random-hyperplane signs over 16
+    deterministic pseudo-planes -> bucket join -> exact cosine within
+    bucket).  Sublinear candidate generation — the 100 TB similarity
+    path.  Plane construction is engine-specific => rows-only; pytest
+    checks recall vs the brute-force baseline."""
+    buck = _lsh_bucketed(spark, sf)
     a, b = buck.alias("a"), buck.alias("b")
     cand = a.join(
         b,

@@ -189,3 +189,21 @@ def test_hubness_in_degree_sums_to_k_times_n(spark, sf_dir):
     assert all(r.in_degree >= 0 for r in rows)
     # hubness exists: the max in-degree exceeds the mean (k)
     assert max(r.in_degree for r in rows) > _HUB_K
+
+
+def test_hubness_ann_structural_invariants(spark, sf_dir):
+    """ANN hubness: every vector has a row, out-degree <= k caps the
+    in-degree sum at k*n, and dense buckets (> k members) contribute
+    exactly k per member, so the sum is strictly positive."""
+    from kafkaish_spark.operators.composites26 import (
+        _HUB_K,
+        q_embed_hubness_ann,
+    )
+    from kafkaish_spark.sources.tables import load_table
+
+    rows = q_embed_hubness_ann(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    total = sum(r.in_degree for r in rows)
+    assert 0 < total <= _HUB_K * n
+    assert all(r.in_degree >= 0 for r in rows)
