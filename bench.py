@@ -74,8 +74,11 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 # provenance: each query timed REPS times, min reported
-                # (co-tenant noise; see BASELINE.md "Noise")
+                # (co-tenant noise; see BASELINE.md "Noise"); n_queries
+                # makes cross-round totals self-describing (the set
+                # grew 15 -> 17 in round 3)
                 "method": f"min-of-{REPS}",
+                "n_queries": len(timings),
             }
         )
     )
