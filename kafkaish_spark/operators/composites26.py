@@ -580,3 +580,77 @@ def q_embed_hubness_ann(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_orders_max_open",
+    oracle="""
+    WITH intervals AS (
+      SELECT o.o_orderkey, o.o_orderdate AS start_d,
+             MAX(l.l_shipdate) AS end_d
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate),
+    deltas AS (
+      SELECT start_d AS d, CAST(COUNT(*) AS BIGINT) AS delta
+      FROM intervals GROUP BY start_d
+      UNION ALL
+      SELECT end_d AS d, CAST(-COUNT(*) AS BIGINT) AS delta
+      FROM intervals GROUP BY end_d),
+    byday AS (
+      SELECT d, CAST(SUM(delta) AS BIGINT) AS delta FROM deltas GROUP BY d),
+    running AS (
+      SELECT d,
+             CAST(SUM(delta) OVER (ORDER BY d
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+      FROM byday)
+    SELECT CAST(EXTRACT(year FROM d) AS BIGINT) AS yr,
+           CAST(EXTRACT(month FROM d) AS BIGINT) AS mo,
+           CAST(MAX(open_orders) AS BIGINT) AS peak_open
+    FROM running GROUP BY 1, 2
+    """,
+)
+def q_orders_max_open(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval-concurrency sweep: the monthly PEAK number of
+    simultaneously open orders — open from order date until the last
+    line ships (exclusive: the -1 lands on the final ship day).  The
+    +1/-1 delta prefix-sum that answers every "max concurrent
+    sessions / open tickets / active connections" question without an
+    interval-x-day join.
+
+    Scale shape: the naive per-day interval join is |days| x |open
+    intervals|; this derives each order's interval with one
+    partial-agg shuffle (max ship date per order), collapses to
+    per-day NET deltas (second partial agg), and runs the running sum
+    over the DAY table — thousands of rows at any corpus size, the
+    collapsed-aggregate global window of SCALE.md §8 (the exchange
+    feeding it carries aggregated rows, which is what the
+    SinglePartition contract test admits)."""
+    o = t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    intervals = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("end_d"))
+        .select(F.col("o_orderdate").alias("start_d"), "end_d")
+    )
+    deltas = (
+        intervals.groupBy(F.col("start_d").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("delta"))
+        .unionByName(
+            intervals.groupBy(F.col("end_d").alias("d")).agg(
+                (-F.count(F.lit(1))).cast("long").alias("delta")
+            )
+        )
+    )
+    byday = deltas.groupBy("d").agg(F.sum("delta").cast("long").alias("delta"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    running = byday.select(
+        "d", F.sum("delta").over(w).cast("long").alias("open_orders")
+    )
+    return (
+        running.groupBy(
+            F.year("d").cast("long").alias("yr"),
+            F.month("d").cast("long").alias("mo"),
+        )
+        .agg(F.max("open_orders").cast("long").alias("peak_open"))
+    )
