@@ -654,3 +654,104 @@ def q_orders_max_open(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.max("open_orders").cast("long").alias("peak_open"))
     )
+
+
+@query(
+    "q_events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS vq
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(SUM(vq) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY event_type),
+    cum AS (
+      SELECT d.event_type, d.d, t.n,
+             CAST(SUM(d.vq) OVER (PARTITION BY d.event_type ORDER BY d.d
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumq,
+             CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.d)
+                  AS BIGINT) AS k,
+             t.total
+      FROM daily d JOIN tot t ON d.event_type = t.event_type),
+    s AS (
+      SELECT event_type, d, n,
+             n * cumq - k * total AS s_scaled
+      FROM cum),
+    best AS (
+      SELECT event_type, d, n, s_scaled,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(s_scaled) DESC, d) AS rn
+      FROM s)
+    SELECT event_type, d AS cp_day, s_scaled AS cusum_scaled,
+           n AS n_days
+    FROM best WHERE rn = 1
+    """,
+)
+def q_events_cusum_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM changepoint detection per event type: the day where the
+    cumulative deviation of daily value totals from their overall mean
+    peaks in magnitude — the classic single-changepoint estimator for
+    "when did this metric's level shift?" (deployment regressions,
+    upstream data changes).
+
+    Exactness: the textbook statistic S_d = cum(d) - k*mean mixes a
+    float mean into every row; scaling by n gives n*cum(d) - k*total —
+    pure int64 on the 1e-6 value grid, so the argmax (|S| desc, day
+    tiebreak) is engine-identical with no float anywhere.  Plan: one
+    partial-agg shuffle to (type, day) totals, a |types|-row broadcast
+    of the grand totals, per-type ordered windows over collapsed day
+    rows (thousands per type at any corpus size) — never a
+    corpus-scale window."""
+    ev = t(spark, sf, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            F.round(F.col("value") * 1e6).cast("long").alias("vq"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("vq").cast("long").alias("vq"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("vq").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rn = Window.partitionBy("event_type").orderBy("d")
+    cum = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        F.sum("vq").over(w_cum).cast("long").alias("cumq"),
+        F.row_number().over(w_rn).cast("long").alias("k"),
+        "total",
+    )
+    s = cum.select(
+        "event_type",
+        "d",
+        "n",
+        (F.col("n") * F.col("cumq") - F.col("k") * F.col("total")).alias(
+            "s_scaled"
+        ),
+    )
+    w_best = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s_scaled")).desc(), "d"
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("cp_day"),
+            "s_scaled",
+            F.col("n").alias("n_days"),
+        )
+        .withColumnRenamed("s_scaled", "cusum_scaled")
+    )
