@@ -207,3 +207,68 @@ def test_hubness_ann_structural_invariants(spark, sf_dir):
     total = sum(r.in_degree for r in rows)
     assert 0 < total <= _HUB_K * n
     assert all(r.in_degree >= 0 for r in rows)
+
+
+def test_max_open_matches_bruteforce_sweep(spark, sf_dir):
+    from collections import defaultdict
+
+    from kafkaish_spark.operators.composites26 import q_orders_max_open
+    from kafkaish_spark.sources.tables import load_table
+
+    o = {r.o_orderkey: r.o_orderdate for r in load_table(
+        spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").collect()}
+    last_ship = {}
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect():
+        cur = last_ship.get(r.l_orderkey)
+        last_ship[r.l_orderkey] = max(cur, r.l_shipdate) if cur else r.l_shipdate
+    delta = defaultdict(int)
+    for k, end in last_ship.items():
+        delta[o[k]] += 1
+        delta[end] -= 1
+    run, peak = 0, defaultdict(int)
+    for d in sorted(delta):
+        run += delta[d]
+        key = (d.year, d.month)
+        peak[key] = max(peak[key], run)
+    got = {
+        (r.yr, r.mo): r.peak_open
+        for r in q_orders_max_open(spark, sf_dir).collect()
+    }
+    assert got == dict(peak)
+
+
+def test_cusum_changepoint_is_the_argmax(spark, sf_dir):
+    from collections import defaultdict
+
+    from kafkaish_spark.operators.composites26 import (
+        q_events_cusum_changepoint,
+    )
+    from kafkaish_spark.sources.tables import load_table
+
+    daily = defaultdict(int)
+    for r in load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect():
+        daily[(r.event_type, r.ts.date())] += round(r.value * 1e6)
+    by_type = defaultdict(list)
+    for (et, d), vq in daily.items():
+        by_type[et].append((d, vq))
+    want = {}
+    for et, rows in by_type.items():
+        rows.sort()
+        total = sum(v for _, v in rows)
+        n = len(rows)
+        cum, best = 0, None
+        for k, (d, vq) in enumerate(rows, start=1):
+            cum += vq
+            s = n * cum - k * total
+            if best is None or abs(s) > abs(best[1]):
+                best = (d, s)
+        want[et] = (best[0], best[1], n)
+    got = {
+        r.event_type: (r.cp_day, r.cusum_scaled, r.n_days)
+        for r in q_events_cusum_changepoint(spark, sf_dir).collect()
+    }
+    assert got == want
