@@ -200,7 +200,7 @@ def whitened_dims(spark: SparkSession, sf: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_dims,
            MAX(CASE WHEN pos = 0 THEN wv END) AS w1,
            MAX(CASE WHEN pos = 1 THEN wv END) AS w2,
-           SUM(CAST(round(wv * 1000000) AS BIGINT)) AS sum_q
+           CAST(SUM(CAST(round(wv * 1000000) AS BIGINT)) AS BIGINT) AS sum_q
     FROM w GROUP BY vec_id
     """,
 )

@@ -460,8 +460,8 @@ def q_embed_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY sentence)
     SELECT s.doc_id,
            COUNT(*) AS n_sents,
-           SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
-             AS n_dup_sents,
+           CAST(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_sents,
            round(SUM(CASE WHEN f.first_doc < s.doc_id THEN 1.0 ELSE 0 END)
                  / COUNT(*), 6) AS dup_frac,
            CASE WHEN SUM(CASE WHEN f.first_doc < s.doc_id THEN 1.0 ELSE 0 END)

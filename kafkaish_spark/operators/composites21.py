@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkaish_spark.plans.registry import query
+from kafkaish_spark.session import session_token
 from kafkaish_spark.sources.tables import load_table as t
 
 
@@ -102,7 +103,7 @@ def _cached_ss_summaries(spark, sf: str, build):
     return (or unpersist) a frame on a dead session — with
     evict-before-replace (the llm shingle-cache pattern)."""
     global _SS_CACHE
-    key = (id(spark), sf)
+    key = (session_token(spark), sf)
     if _SS_CACHE is not None and _SS_CACHE[:2] == key:
         return _SS_CACHE[2]
     if _SS_CACHE is not None:

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from kafkaish_spark.functions.folds import ordered_sum
 from kafkaish_spark.plans.registry import query
+from kafkaish_spark.session import session_token
 from kafkaish_spark.sources.tables import load_table as t
 
 _K = 8
@@ -51,7 +52,7 @@ def _cached_vecs(spark: SparkSession, sf: str) -> DataFrame:
     same reason).  Session+sf keyed, evict-before-replace, at most one
     copy pinned (the llm shingle-cache contract)."""
     global _VEC_CACHE
-    key = (id(spark), sf)
+    key = (session_token(spark), sf)
     if _VEC_CACHE is not None and _VEC_CACHE[:2] == key:
         return _VEC_CACHE[2]
     if _VEC_CACHE is not None:
@@ -450,7 +451,7 @@ def _logreg_parts(spark: SparkSession, sf: str) -> dict:
     the repo's session+sf-keyed single-slot cache (the shingle-cache
     contract: evict-before-replace, at most one copy pinned)."""
     global _LR_CACHE
-    key = (id(spark), sf)
+    key = (session_token(spark), sf)
     if _LR_CACHE is not None and _LR_CACHE[:2] == key:
         return _LR_CACHE[2]
     if _LR_CACHE is not None:

@@ -167,7 +167,7 @@ _TOKEN_BUDGET_PER_SOURCE = 2000  # whitespace tokens each source may contribute
       FROM toks)
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs_taken,
-           SUM(n_tokens) AS tokens_taken
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_taken
     FROM cum
     WHERE cum_tokens <= {_TOKEN_BUDGET_PER_SOURCE}
     GROUP BY source

@@ -74,7 +74,8 @@ _IDCG_CASE_SQL = "CASE LEAST(n_same, 10) " + " ".join(
                AS first_hit_rank
       FROM ranked WHERE rn <= {_K} GROUP BY query_id)
     SELECT query_id, n_same, hits_at10,
-           round(CAST(hits_at10 AS DOUBLE) / n_same, 6) AS recall_at10,
+           round(CAST(hits_at10 AS DOUBLE) / nullif(n_same, 0), 6)
+             AS recall_at10,
            round(COALESCE(1.0 / first_hit_rank, 0.0), 6) AS mrr,
            round(CAST(dcg_micro AS DOUBLE) / nullif({_IDCG_CASE_SQL}, 0), 6)
              AS ndcg_at10
@@ -153,9 +154,14 @@ def q_retrieval_eval_topk(spark: SparkSession, sf: str) -> DataFrame:
         "query_id",
         "n_same",
         "hits_at10",
-        F.round(
-            F.col("hits_at10").cast("double") / F.col("n_same"), 6
-        ).alias("recall_at10"),
+        # nullif twin of the oracle: a query whose label is unique in
+        # the corpus (n_same = 0) must yield NULL on both engines, not
+        # Spark-NULL vs DuckDB IEEE 0/0 = nan (round-3 ADVICE item 2)
+        F.when(F.col("n_same") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(F.col("hits_at10").cast("double") / F.col("n_same"), 6)
+        )
+        .alias("recall_at10"),
         F.round(
             F.coalesce(
                 F.lit(1.0) / F.col("first_hit_rank"), F.lit(0.0)

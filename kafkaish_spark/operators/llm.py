@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from kafkaish_spark.functions.vectors import cosine_sim
 from kafkaish_spark.plans.registry import query
+from kafkaish_spark.session import session_token
 from kafkaish_spark.sources.tables import load_table as t
 
 # ------------------------------------------------------------------ helpers
@@ -198,7 +199,7 @@ def _cached_raw_shingles(spark: SparkSession, sf: str) -> DataFrame:
     accumulate storage memory.  Safe because the driver's testdata
     tables are immutable inputs."""
     global _SHINGLE_CACHE
-    key = (id(spark), sf)
+    key = (session_token(spark), sf)
     if _SHINGLE_CACHE is not None and _SHINGLE_CACHE[:2] == key:
         return _SHINGLE_CACHE[2]
     if _SHINGLE_CACHE is not None:

@@ -125,6 +125,23 @@ def serve_hourly(
     return closed.unionByName(_agg(tail))
 
 
+def serve_hourly_verified(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialize + serve, with the stale-rollup self-heal: a rollup
+    left over from OLDER/regenerated testdata would disagree with raw;
+    one cheap count() catches it and forces a rebuild.  Every read path
+    that consumes the hourly rollup (direct serve AND the day/week
+    cascade) must come through here so a stale base can never silently
+    skew a derived level (round-3 ADVICE item 4)."""
+    materialize_hourly(spark, sf)
+    out = serve_hourly(spark, sf)
+    ev = t(spark, sf, "events")
+    total = out.agg(F.sum("n_events").alias("n")).first()["n"] or 0
+    if total != ev.count():
+        materialize_hourly(spark, sf, rebuild=True)
+        out = serve_hourly(spark, sf)
+    return out
+
+
 @query(
     "q_rollup_hourly_events",
     oracle=f"""
@@ -141,16 +158,7 @@ def q_rollup_hourly_events(spark: SparkSession, sf: str) -> DataFrame:
     tail.  Oracle is the full recompute — the two must agree exactly,
     which holds because hourly buckets partition the rows, so each
     (bucket, type) group is summed in exactly one pass on one side."""
-    materialize_hourly(spark, sf)
-    out = serve_hourly(spark, sf)
-    # self-heal: a rollup left over from OLDER testdata would disagree
-    # with raw; one cheap count() catches it and forces a rebuild
-    ev = t(spark, sf, "events")
-    total = out.agg(F.sum("n_events").alias("n")).first()["n"] or 0
-    if total != ev.count():
-        materialize_hourly(spark, sf, rebuild=True)
-        out = serve_hourly(spark, sf)
-    return out
+    return serve_hourly_verified(spark, sf)
 
 
 DAY_MS = 86_400_000
@@ -208,7 +216,7 @@ def q_rollup_cascade(spark: SparkSession, sf: str) -> DataFrame:
     oracle states the identical two-hop pipeline from raw events;
     agreement proves the materialized hourly base == a full recompute
     AND the upward hops are exact."""
-    hourly = serve_hourly(spark, sf).select(
+    hourly = serve_hourly_verified(spark, sf).select(
         "window_start_ms",
         "event_type",
         F.col("n_events").cast("long").alias("n"),

@@ -45,3 +45,13 @@ def get_spark(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
         )
     return builder.getOrCreate()
+
+
+def session_token(spark: SparkSession) -> tuple[str, int]:
+    """Stable identity for cache keys.  ``id(spark)`` is unsafe: after
+    a stopped session is garbage-collected, CPython can hand the same
+    id to a NEW session, silently serving a cached frame bound to the
+    dead one (round-3 ADVICE item 5).  (applicationId, startTime) is
+    unique per JVM application instance and never recycled."""
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)

@@ -50,9 +50,12 @@ class ConsumerGroup:
         self.group = group
         self.shards = sorted(shards)
         self.n_members = n_members
-        # set by rebalance(sticky=True): the previous member count the
-        # sticky assignor minimizes movement against
-        self._prev_members: int | None = None
+        # set by rebalance(sticky=True): the ACTUAL previous ownership
+        # map (shard index -> old member) the sticky assignor minimizes
+        # movement against.  Carrying real owners (not the old member
+        # COUNT) keeps stickiness exact across chained sticky resizes,
+        # where the old topology is no longer the modulo map.
+        self._prev_owner: list[int] | None = None
 
     # -- assignment ----------------------------------------------------
 
@@ -68,18 +71,27 @@ class ConsumerGroup:
     def assigned(self, member_id: int) -> list[str]:
         from kafkaish_spark.streaming.groups import (
             assignment as _assign,
-            sticky_assignment as _sticky,
+            sticky_assignment_from as _sticky_from,
         )
 
         if not 0 <= member_id < self.n_members:
             raise ValueError(
                 f"member_id {member_id} out of range for group of {self.n_members}"
             )
-        if self._prev_members is not None:
-            return _sticky(
-                self.shards, member_id, self._prev_members, self.n_members
+        if self._prev_owner is not None:
+            return _sticky_from(
+                self.shards, member_id, self._prev_owner, self.n_members
             )
         return _assign(self.shards, member_id, self.n_members)
+
+    def _owner_map(self) -> list[int]:
+        """shard index -> owning member under THIS view's assignment
+        (modulo or sticky alike) — what the next sticky rebalance
+        minimizes movement against."""
+        by_shard = {
+            s: m for m, names in self.assignment().items() for s in names
+        }
+        return [by_shard[s] for s in self.shards]
 
     # -- consumption ---------------------------------------------------
 
@@ -138,11 +150,15 @@ class ConsumerGroup:
         ``sticky=True`` returns a view whose assignment keeps shards
         with their previous owners wherever balance allows (the Kafka
         CooperativeStickyAssignor analog, streaming.groups
-        .sticky_assignment) — fewest revocations, warm members keep
-        their working sets.  Default stays the stateless modulo map."""
+        .sticky_assignment_from) — fewest revocations, warm members
+        keep their working sets.  The previous ownership handed to the
+        assignor is this view's ACTUAL owner map, so chained sticky
+        resizes (sticky on top of sticky) stay movement-minimal
+        against who really owned each shard, not against the stale
+        modulo topology.  Default stays the stateless modulo map."""
         g = ConsumerGroup(self.engine, self.group, self.shards, n_members)
         if sticky:
-            g._prev_members = self.n_members
+            g._prev_owner = self._owner_map()
         return g
 
     def lag(self) -> DataFrame:

@@ -72,18 +72,55 @@ def read_jsonl(
     return reader.schema(schema).json(path)
 
 
+# Line-break encoding for the CSV path.  multiLine CSV cannot split
+# inside a file (one task per file at 100 TB), so embedded newlines are
+# percent-encoded on write and decoded on read instead: % -> %25,
+# \n -> %0A, \r -> %0D.  Exactly reversible: in encoded text every '%'
+# starts one of %25/%0A/%0D, and the ones starting %0A/%0D are
+# precisely the encoded line breaks (a literal "%0A" in the source
+# becomes "%250A", which contains no '%' directly before "0A"), so
+# decoding %0A/%0D first and %25 last reconstructs the original
+# byte-for-byte.
+
+
+def _encode_linebreaks(col):
+    c = F.regexp_replace(col, "%", "%25")
+    c = F.regexp_replace(c, "\n", "%0A")
+    return F.regexp_replace(c, "\r", "%0D")
+
+
+def _decode_linebreaks(col):
+    c = F.regexp_replace(col, "%0A", "\n")
+    c = F.regexp_replace(c, "%0D", "\r")
+    return F.regexp_replace(c, "%25", "%")
+
+
+def _map_string_cols(df: DataFrame, fn, skip: tuple = ()) -> DataFrame:
+    cols = []
+    for f in df.schema.fields:
+        if f.dataType.simpleString() == "string" and f.name not in skip:
+            cols.append(fn(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
     schema: str,
     header: bool = True,
     corrupt_col: str | None = "_corrupt_record",
+    decode_linebreaks: bool = False,
 ) -> DataFrame:
     """CSV -> DataFrame: explicit schema, RFC-4180 quoting (quote-doubling
     escape, so quoted fields round-trip), PERMISSIVE corrupt capture.
-    No multiLine: embedded newlines must be escaped upstream, because
-    multiLine CSV cannot split inside a file — one task per file is the
-    difference between minutes and a day at 100 TB."""
+    No multiLine: multiLine CSV cannot split inside a file — one task
+    per file is the difference between minutes and a day at 100 TB.
+    Set ``decode_linebreaks=True`` when the data was written by
+    ``write_csv`` (which percent-encodes embedded line breaks) to get
+    the original text back byte-for-byte; leave it False for external
+    CSV drops, whose literal %0A sequences must survive untouched."""
     reader = (
         spark.read.option("header", str(header).lower())
         .option("quote", '"')
@@ -94,7 +131,12 @@ def read_csv(
         reader = reader.option("mode", "PERMISSIVE").option(
             "columnNameOfCorruptRecord", corrupt_col
         )
-    return reader.schema(schema).csv(path)
+    out = reader.schema(schema).csv(path)
+    if decode_linebreaks:
+        out = _map_string_cols(
+            out, _decode_linebreaks, skip=(corrupt_col,) if corrupt_col else ()
+        )
+    return out
 
 
 def write_jsonl(df: DataFrame, path: str) -> None:
@@ -104,9 +146,19 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
-def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+def write_csv(
+    df: DataFrame, path: str, header: bool = True,
+    encode_linebreaks: bool = True,
+) -> None:
     """DataFrame -> CSV with RFC-4180 quote-doubling so quotes/commas
-    round-trip through read_csv."""
+    round-trip through read_csv, and (by default) percent-encoded line
+    breaks in every string column so newline-bearing text survives the
+    single-line read path too — Spark's writer would otherwise quote
+    raw newlines, which a multiLine=false reader routes to
+    ``_corrupt_record`` (round-3 ADVICE item 3).  Pair with
+    ``read_csv(..., decode_linebreaks=True)`` for a lossless cycle."""
+    if encode_linebreaks:
+        df = _map_string_cols(df, _encode_linebreaks)
     (
         df.write.mode("overwrite")
         .option("header", str(header).lower())
@@ -135,10 +187,10 @@ def _fingerprint(df: DataFrame, key: str) -> DataFrame:
 _FINGERPRINT_SQL = """
     SELECT {key},
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(doc_id) AS sum_doc_id,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
            CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
            CAST(SUM(ascii(substring(text, 1, 1))) AS BIGINT) AS sum_first_cp,
-           SUM(n_chars) AS sum_n_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
     FROM documents GROUP BY {key}
 """
 
@@ -174,7 +226,7 @@ def q_ingest_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     d = t(spark, sf, "documents")
     path = _scratch(sf, "csv")
     write_csv(d, path)
-    back = read_csv(spark, path, DOCS_SCHEMA)
+    back = read_csv(spark, path, DOCS_SCHEMA, decode_linebreaks=True)
     return _fingerprint(
         back.filter(F.col("_corrupt_record").isNull()), "source"
     )
@@ -187,7 +239,8 @@ def q_ingest_csv_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
              AS n_quarantined,
            CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_parsed,
-           SUM(CASE WHEN doc_id % 10 <> 0 THEN n_chars END) AS sum_n_chars
+           CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN n_chars END) AS BIGINT)
+             AS sum_n_chars
     FROM documents
     """,
 )

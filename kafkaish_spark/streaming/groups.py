@@ -191,17 +191,47 @@ def sticky_assignment(
     warm file-listing caches and in-flight work on the surviving
     members are not thrown away wholesale the way a pure modulo
     re-map does (resizing 4 -> 5 members re-maps ~80% of shards under
-    modulo; sticky moves exactly the ~20% it must)."""
+    modulo; sticky moves exactly the ~20% it must).
+
+    This function models the PREVIOUS topology as the modulo map — the
+    single-hop case.  When the previous topology was itself sticky
+    (a chained resize), the actual owners differ from ``i % n_old``;
+    pass the real ownership through ``sticky_assignment_from`` instead
+    (the batch ConsumerGroup does this automatically by carrying its
+    full owner map across rebalances)."""
+    if not 0 <= member < n_new:
+        raise ValueError(f"member must be in [0, {n_new}), got {member}")
+    prev_owner = [i % n_old for i in range(len(shards))]
+    return sticky_assignment_from(shards, member, prev_owner, n_new)
+
+
+def sticky_assignment_from(
+    shards: list[str], member: int, prev_owner: list[int], n_new: int
+) -> list[str]:
+    """Sticky rebalance against an EXPLICIT previous ownership map
+    (``prev_owner[i]`` = member that owned shard i before the resize).
+    This is the general form that stays movement-minimal across CHAINED
+    sticky resizes: modeling the old topology as modulo (as the
+    single-hop ``sticky_assignment`` does) silently degrades the
+    minimal-movement property after a second resize, because the
+    modulo map is no longer who actually owns what (round-3 ADVICE
+    item 1).  Same determinism contract: every member computes the map
+    independently from shared inputs; sizes differ by at most 1; a
+    shard moves only when its old owner is gone or over capacity."""
     if not 0 <= member < n_new:
         raise ValueError(f"member must be in [0, {n_new}), got {member}")
     n_shards = len(shards)
+    if len(prev_owner) != n_shards:
+        raise ValueError(
+            f"prev_owner covers {len(prev_owner)} shards, expected {n_shards}"
+        )
     base, extra = divmod(n_shards, n_new)
     cap = {m: base + (1 if m < extra else 0) for m in range(n_new)}
     owner: dict[int, int] = {}
     deferred: list[int] = []
     for i in range(n_shards):
-        old = i % n_old
-        if old < n_new and cap[old] > 0:
+        old = prev_owner[i]
+        if 0 <= old < n_new and cap[old] > 0:
             owner[i] = old
             cap[old] -= 1
         else:

@@ -302,6 +302,67 @@ def test_sticky_assignment_properties():
                 assert moved_sticky <= moved_mod
 
 
+def test_chained_sticky_rebalance_tracks_actual_owners():
+    """sticky-on-sticky (round-3 ADVICE item 1): the second resize must
+    minimize movement against the ACTUAL owners produced by the first
+    sticky resize, not against the stale modulo topology.  For every
+    chain, the composed assignment stays disjoint/complete/balanced and
+    each surviving member keeps min(current_load, new_capacity) of its
+    CURRENT shards."""
+    from kafkaish_spark.streaming.groups import (
+        sticky_assignment,
+        sticky_assignment_from,
+    )
+
+    for n_shards in (4, 7, 12, 32):
+        shards = [f"s.{i:02d}" for i in range(n_shards)]
+        for n0, n1, n2 in [(4, 3, 5), (2, 5, 3), (5, 4, 2), (3, 4, 6)]:
+            # hop 1: modulo n0 -> sticky n1 (the single-hop form)
+            hop1 = [sticky_assignment(shards, m, n0, n1) for m in range(n1)]
+            own1 = {s: m for m, p in enumerate(hop1) for s in p}
+            # hop 2: sticky n1 -> n2 against the REAL hop-1 owners
+            prev = [own1[s] for s in shards]
+            hop2 = [
+                sticky_assignment_from(shards, m, prev, n2)
+                for m in range(n2)
+            ]
+            flat = [s for p in hop2 for s in p]
+            assert sorted(flat) == shards, (n_shards, n0, n1, n2)
+            sizes = [len(p) for p in hop2]
+            assert max(sizes) - min(sizes) <= 1
+            base, extra = divmod(n_shards, n2)
+            for m in range(min(n1, n2)):
+                kept = sum(1 for s in hop2[m] if own1[s] == m)
+                load = sum(1 for s in shards if own1[s] == m)
+                capacity = base + (1 if m < extra else 0)
+                assert kept == min(load, capacity), (n_shards, n0, n1, n2, m)
+
+
+def test_consumer_group_chained_sticky_uses_owner_map(engine):
+    """ConsumerGroup.rebalance(sticky=True) twice: the second hop's
+    stickiness is computed against the first hop's actual assignment
+    (carried via _prev_owner), so every member keeps the capacity-
+    allowed share of the shards it REALLY owned."""
+    from kafkaish_spark.sources.consumer_group import ConsumerGroup
+
+    shards = [f"cg.{i}" for i in range(12)]
+    for s in shards:
+        engine.prepare_topic(s)
+    g0 = ConsumerGroup(engine, "chain", shards, 4)
+    g1 = g0.rebalance(3, sticky=True)
+    own1 = {s: m for m, p in g1.assignment().items() for s in p}
+    g2 = g1.rebalance(5, sticky=True)
+    a2 = g2.assignment()
+    flat = sorted(s for p in a2.values() for s in p)
+    assert flat == sorted(shards)
+    base, extra = divmod(len(shards), 5)
+    for m in range(3):  # members surviving hop 2
+        kept = sum(1 for s in a2[m] if own1[s] == m)
+        load = sum(1 for s in shards if own1[s] == m)
+        capacity = base + (1 if m < extra else 0)
+        assert kept == min(load, capacity), (m, a2[m])
+
+
 def test_sticky_rebalance_grow_no_loss_no_double_delivery(engine):
     """rebalance(sticky=True) mid-drain: same delivery guarantees as
     the modulo rebalance (nothing lost, nothing doubled), but the

@@ -52,6 +52,35 @@ def test_csv_roundtrip_rfc4180_quoting(spark, tmp_path):
     assert got == want
 
 
+def test_csv_roundtrip_preserves_newlines_via_percent_encoding(spark, tmp_path):
+    """write_csv percent-encodes embedded line breaks (multiLine stays
+    off, so files still split) and read_csv(decode_linebreaks=True)
+    restores the original byte-for-byte — including text that contains
+    LITERAL '%0A'/'%25' sequences, which the % -> %25 step disambiguates
+    (round-3 ADVICE item 3)."""
+    from kafkaish_spark.sources.ingest import read_csv, write_csv
+
+    rows = TRICKY + [
+        (6, "line\nbreak\tand tab", "en"),
+        (7, "crlf\r\nline", "en"),
+        (8, "literal %0A percent %25 and %", "de"),
+        (9, "trailing newline\n", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "cs_nl")
+    write_csv(df, path)
+    back = read_csv(
+        spark, path, "doc_id long, text string, lang string",
+        decode_linebreaks=True,
+    ).cache()
+    try:
+        assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 0
+        got = {r.doc_id: (r.text or "", r.lang) for r in back.collect()}
+        assert got == {i: (t, lg) for i, t, lg in rows}
+    finally:
+        back.unpersist()
+
+
 def test_jsonl_corrupt_lines_quarantine_exactly(spark, tmp_path):
     from kafkaish_spark.sources.ingest import read_jsonl
 

@@ -99,6 +99,125 @@ def test_every_oracle_sql_binds_in_duckdb(sf_dir):
     assert not errors, errors
 
 
+def test_no_hugeint_typed_oracle_outputs(sf_dir):
+    """DESCRIBE every registered oracle: no output column may be
+    HUGEINT/UHUGEINT-typed.  DuckDB widens SUM(INTEGER/BIGINT) to
+    HUGEINT, which lands in pandas as float64/object while Spark emits
+    int64 — the driver's value-hash is dtype-sensitive, so a
+    value-correct query hash-mismatches (round-3 verdict item 1: 2 red
+    rows + 5 latent copies, all this one bug).  Fix at the SQL level
+    with CAST(SUM(...) AS BIGINT)."""
+    import duckdb
+
+    from kafkaish_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.execute(
+            f"CREATE VIEW {tname} AS "
+            f"SELECT * FROM '{sf_dir}/{tname}.parquet'"
+        )
+    offenders = []
+    for name, spec in _registry().items():
+        if spec.oracle is None:
+            continue
+        try:
+            desc = con.execute(f"DESCRIBE ({spec.oracle})").fetchall()
+        except Exception:  # binding failures are the EXPLAIN test's job
+            continue
+        for col, typ, *_ in desc:
+            if "HUGEINT" in typ.upper():
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        "HUGEINT-typed oracle columns (wrap in CAST(... AS BIGINT)): "
+        f"{offenders}"
+    )
+
+
+def test_oracle_spark_dtype_kinds_match(spark, sf_dir):
+    """Every oracle column's DuckDB type must land in the same pandas
+    dtype KIND (int / float / decimal / string / bool / date / ts) as
+    the Spark column it is compared against: the driver's value-hash is
+    dtype-sensitive, so a kind split (e.g. DuckDB HUGEINT -> float64 vs
+    Spark int64) reds out a value-correct query.  Schema-level only
+    (DESCRIBE + analyzer), no job runs.  Width differences within a
+    kind (int32 vs int64) hash identically in pandas and are allowed."""
+    import duckdb
+
+    from kafkaish_spark.sources.tables import TABLES
+
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.execute(
+            f"CREATE VIEW {tname} AS "
+            f"SELECT * FROM '{sf_dir}/{tname}.parquet'"
+        )
+    offenders = []
+    for name, spec in _registry().items():
+        if spec.oracle is None:
+            continue
+        try:
+            duck = {
+                c: _duck_kind(ty)
+                for c, ty, *_ in con.execute(
+                    f"DESCRIBE ({spec.oracle})"
+                ).fetchall()
+            }
+            sprk = {
+                f.name: _spark_kind(f.dataType.simpleString())
+                for f in spec.fn(spark, sf_dir).schema.fields
+            }
+        except Exception:  # binding/build failures belong to other tests
+            continue
+        for col, dk in duck.items():
+            sk = sprk.get(col)
+            if sk is not None and dk != sk:
+                offenders.append((name, col, f"duck={dk}", f"spark={sk}"))
+    assert not offenders, f"oracle/Spark dtype-kind splits: {offenders}"
+
+
+def _duck_kind(t: str) -> str:
+    t = t.upper()
+    if "HUGEINT" in t:
+        return "!hugeint"
+    if t in (
+        "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+        "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+    ):
+        return "i"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "f"
+    if t.startswith("DECIMAL"):
+        return "dec"
+    if t == "VARCHAR":
+        return "s"
+    if t == "BOOLEAN":
+        return "b"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    return "?" + t
+
+
+def _spark_kind(t: str) -> str:
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if t in ("float", "double"):
+        return "f"
+    if t.startswith("decimal"):
+        return "dec"
+    if t == "string":
+        return "s"
+    if t == "boolean":
+        return "b"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "ts"
+    return "?" + t
+
+
 # Queries whose SinglePartition exchange over a non-aggregated child is
 # a DOCUMENTED oracle-twin / audit-scale formulation with a named scale
 # path in its docstring (global ntile over collapsed or audit-scale

@@ -25,6 +25,70 @@ from kafkaish_spark.session import get_spark
 from kafkaish_spark.sources.tables import TABLES
 
 
+# --- dtype-kind gate (round-3 verdict item 2) -------------------------
+# The driver's value-hash is dtype-sensitive: a DuckDB column that lands
+# in pandas as a different KIND than the Spark column (e.g. HUGEINT ->
+# float64 vs Spark int64) hash-mismatches even when every value is
+# equal.  Width differences within a kind (int32 vs int64) hash the
+# same.  This gate reproduces that failure mode locally so "green here,
+# red at the driver" is impossible for the dtype class.
+
+def _duck_kind(t):
+    t = t.upper()
+    if "HUGEINT" in t:
+        return "!hugeint"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "i"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "f"
+    if t.startswith("DECIMAL"):
+        return "dec"
+    if t == "VARCHAR":
+        return "s"
+    if t == "BOOLEAN":
+        return "b"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP"):
+        return "ts"
+    return "?" + t
+
+
+def _spark_kind(t):
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "i"
+    if t in ("float", "double"):
+        return "f"
+    if t.startswith("decimal"):
+        return "dec"
+    if t == "string":
+        return "s"
+    if t == "boolean":
+        return "b"
+    if t == "date":
+        return "date"
+    if t.startswith("timestamp"):
+        return "ts"
+    return "?" + t
+
+
+def dtype_kind_mismatches(con, oracle_sql, sdf):
+    duck = {
+        c: _duck_kind(ty)
+        for c, ty, *_ in con.execute(f"DESCRIBE ({oracle_sql})").fetchall()
+    }
+    sprk = {
+        f.name: _spark_kind(f.dataType.simpleString())
+        for f in sdf.schema.fields
+    }
+    return [
+        f"dtype-kind {col}: duck={dk} spark={sprk[col]}"
+        for col, dk in duck.items()
+        if col in sprk and dk != sprk[col]
+    ]
+
+
 def normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -105,6 +169,13 @@ def main():
             continue
         ok = True
         msgs = []
+        try:
+            kind_bad = dtype_kind_mismatches(con, spec.oracle, sdf)
+        except Exception:
+            kind_bad = []
+        if kind_bad:
+            ok = False
+            msgs.extend(kind_bad)
         if sorted(scols) != sorted(ocols):
             ok = False
             msgs.append(f"schema {sorted(scols)} vs {sorted(ocols)}")
