@@ -72,6 +72,7 @@ def _load_all() -> None:
     import kafkaish_spark.operators.composites24  # noqa: F401
     import kafkaish_spark.operators.composites25  # noqa: F401
     import kafkaish_spark.operators.composites26  # noqa: F401
+    import kafkaish_spark.operators.composites27  # noqa: F401
     import kafkaish_spark.sources.ingest  # noqa: F401
 
 
