@@ -898,36 +898,95 @@ def q_sim_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- M2c (edit distance)
+_LEV_K = 2  # max edit distance; FastSS deletion depth must equal it
+
+
+def _delete1(col):
+    """All strings obtained by deleting exactly one character — a
+    transform over sequence(1, len), fully JVM-side (no UDF)."""
+    return F.expr(
+        f"transform(sequence(1, length({col})), i -> "
+        f"concat(substring({col}, 1, i - 1), "
+        f"substring({col}, i + 1, length({col}))))"
+    )
+
+
+def lev_variant_blocks(names: DataFrame, col: str = "name") -> DataFrame:
+    """FastSS / SymSpell deletion neighborhood D<=2: for each name, the
+    distinct set of strings reachable by deleting up to ``_LEV_K``
+    characters.  Completeness theorem (Bocek et al., FastSS): if
+    lev(a, b) <= k then D<=k(a) and D<=k(b) intersect — take any
+    optimal alignment and delete from each side the characters that
+    alignment does not match (subs+dels <= k on one side, subs+ins <= k
+    on the other); both collapse to the same matched subsequence.  So
+    joining on the variant string generates a candidate superset, and
+    one exact levenshtein pass keeps the true pairs.  The variant is a
+    HIGH-cardinality block key — its distinct count grows with the
+    dictionary, unlike attribute keys (brand: 25 values forever), so
+    block sizes stay bounded as the corpus scales (round-3 verdict
+    item 4)."""
+    d1 = names.select(
+        col, F.explode(_delete1(col)).alias("v1")
+    )
+    d2 = d1.select(col, F.explode(_delete1("v1")).alias("v"))
+    return (
+        names.select(col, F.col(col).alias("v"))
+        .unionByName(d1.select(col, F.col("v1").alias("v")))
+        .unionByName(d2)
+        .distinct()
+    )
+
+
 @query(
     "q_dedup_levenshtein_parts",
-    oracle="""
-    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+    oracle=f"""
+    WITH names AS (SELECT DISTINCT p_name FROM part),
+    canon AS (SELECT p_name, MIN(p_partkey) AS pk FROM part GROUP BY p_name)
+    SELECT ca.pk AS part_a, cb.pk AS part_b,
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
-    FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    JOIN canon ca ON ca.p_name = a.p_name
+    JOIN canon cb ON cb.p_name = b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_K}
     """,
 )
 def q_dedup_levenshtein_parts(spark: SparkSession, sf: str) -> DataFrame:
-    """Edit-distance near-dup pairs, blocked by brand so the quadratic
-    stays within small same-brand groups (the blocking-key pattern every
-    scale dedup uses — never all-pairs across the corpus).  levenshtein
-    is the same integer metric in both engines."""
-    p = t(spark, sf, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    """Edit-distance near-dup pairs over the DISTINCT-name dictionary,
+    candidate-generated by FastSS deletion-neighborhood blocking and
+    verified with exact levenshtein <= {_LEV_K}.
+
+    Two scale properties the old brand-blocked formulation lacked:
+    (1) the quadratic runs on the name DICTIONARY (grows sublinearly
+    with rows — doubling the corpus with the same vocabulary adds ZERO
+    pairs; pytest pins this), and (2) the block key is the deletion
+    variant, whose cardinality grows with the dictionary instead of
+    being pinned at 25 brands — block sizes stay bounded as data
+    scales.  The oracle states the naive all-dictionary-pairs truth;
+    agreement proves the FastSS candidate set is complete, not just
+    plausible.  Output pairs are canonical (min-partkey per name), so
+    result size tracks dictionary density, never row count."""
+    p = t(spark, sf, "part").select("p_partkey", F.col("p_name").alias("name"))
+    names = p.select("name").distinct()
+    canon = p.groupBy("name").agg(F.min("p_partkey").alias("pk"))
+    blocks = lev_variant_blocks(names)
+    a = blocks.select(F.col("name").alias("name_a"), "v")
+    b = blocks.select(F.col("name").alias("name_b"), "v")
+    cand = (
+        a.join(b, ["v"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    pairs = cand.select("name_a", "name_b", dist.cast("long").alias("edit_dist")).filter(
+        F.col("edit_dist") <= _LEV_K
+    )
+    ca = canon.select(F.col("name").alias("name_a"), F.col("pk").alias("part_a"))
+    cb = canon.select(F.col("name").alias("name_b"), F.col("pk").alias("part_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.p_brand") == F.col("b.p_brand"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
-        )
-        .select(
-            F.col("a.p_partkey").alias("part_a"),
-            F.col("b.p_partkey").alias("part_b"),
-            dist.cast("long").alias("edit_dist"),
-        )
-        .filter(F.col("edit_dist") <= 8)
+        pairs.join(F.broadcast(ca), "name_a")
+        .join(F.broadcast(cb), "name_b")
+        .select("part_a", "part_b", "edit_dist")
     )
 
 
