@@ -36,6 +36,9 @@ def _shuffle_key(col):
 
 @query(
     "q_train_global_shuffle",
+    bench=True,  # the training-order family's headline kernel: the
+    # shape a 100 TB training-data user runs nightly (r3 verdict 8);
+    # shuffle budget plan-asserted in tests/test_composites24.py
     oracle=f"""
     SELECT doc_id,
            md5('{_SEED}' || CAST(doc_id AS VARCHAR)) AS skey,

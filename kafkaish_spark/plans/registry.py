@@ -139,74 +139,107 @@ _DRIVER_CHECKED_R2 = frozenset(
     }
 )
 
-_DRIVER_CHECKED = _DRIVER_CHECKED_R1 | _DRIVER_CHECKED_R2
+# Round-3 window: all 50 sampled in CORRECTNESS_r03.json — 48 green,
+# 2 hash-fails that were oracle HUGEINT type bugs (fixed round 4 with
+# the dtype-kind contract gate); q_dedup_levenshtein_parts was green
+# but its semantics changed round 4 (FastSS dictionary blocking), so
+# it re-enters the round-4 window for a fresh row.
+_DRIVER_CHECKED_R3 = frozenset(
+    {
+        "q_regex_extract_all_part_nums", "q_embed_whitening",
+        "q_embed_quantize_int8", "q_array_set_functions",
+        "q_events_kaplan_meier", "q_ts_mase", "q_events_pattern_match",
+        "q_graph_pagerank", "q_events_funnel", "q_events_cohort_retention",
+        "q_agg_percentile_disc", "q_agg_weighted_median",
+        "q_agg_equidepth_histogram", "q_tpch_q3_shipping_priority",
+        "q_tpch_q10_returned_items", "q_tpch_q17_small_quantity",
+        "q_tpch_q18_large_orders", "q_events_hourly_gapfill",
+        "q_events_hourly_locf", "q_dedup_cc_clusters",
+        "q_dedup_embedding_cosine", "q_dedup_sentence_level",
+        "q_dedup_levenshtein_parts", "q_dedup_substring_runs",
+        "q_dedup_semantic_clustered", "q_dedup_prefix_filter",
+        "q_text_quality", "q_text_fingerprint", "q_text_bpe_token_stats",
+        "q_text_tfidf_top_terms", "q_text_winnow_fingerprints",
+        "q_embed_centroids", "q_embed_normalize", "q_embed_kmeans_assign",
+        "q_embed_outliers_maha", "q_embed_pq_codes", "q_sim_hard_negatives",
+        "q_sample_stratified", "q_sample_weighted", "q_sample_domain_cap",
+        "q_decontaminate_ngram", "q_corpus_prep_report",
+        "q_corpus_mixture_weights", "q_pack_sequences",
+        "q_events_sessionize", "q_events_attribution_last_touch",
+        "q_graph_copurchase_sim", "q_udtf_sentence_split",
+        "q_udf_map_in_arrow_tokens", "q_udaf_arrow_regression",
+    }
+)
 
-# Round-3 window: the next 50 never-driver-checked oracle queries
-# (135 remained unchecked after r1+r2's cumulative 100), front-loaded
-# so the driver's 50-query sample maximizes new coverage.  Leads with
-# the four queries whose outputs were scalarized this round (the r2
-# err + the three latent array-typed outputs the verdict flagged) and
-# the two flagship kernels ADVICE said were missing from the window.
+_DRIVER_CHECKED = _DRIVER_CHECKED_R1 | _DRIVER_CHECKED_R2 | _DRIVER_CHECKED_R3
+
+# Round-4 window: (a) the five NEW TPC-H partsupp-family shapes and
+# the re-semanticized FastSS levenshtein dedup (all need first rows),
+# (b) the 21 round-3 additions that predate any driver window
+# (ingest/train/retrieval/eval + late r3 kernels), then (c) the next
+# never-checked pool slice the r3 verdict named: the remaining TPC-H
+# shapes and the scalar-sweep / markov / feature / audit families.
+# Cumulative distinct driver-checked after this window: ~199.
 #
-# ROUND-4 ROTATION NOTE: after CORRECTNESS_r03 lands, move this block
-# into _DRIVER_CHECKED_R3 and front-load (a) the 18 round-3 additions
-# (q_ingest_*, q_train_*, q_retrieval_*, q_ml_calibration_bins,
-# q_graph_triangle_count, q_text_vocab_oov, q_dedup_containment,
-# q_rollup_cascade, q_privacy_t_closeness, q_join_asof_nearest,
-# q_events_ohlc_hourly) and (b) the next ~32 never-checked oracle
-# queries from the remaining pool (TPC-H Q4/Q6/Q7/Q8/Q12/Q14/Q15/Q19/
-# Q21, scalar sweeps, markov/feature/audit families...).
+# ROUND-5 ROTATION NOTE: after CORRECTNESS_r04 lands, fold this block
+# into _DRIVER_CHECKED_R4 and front-load the remaining ~58 never-
+# checked oracle queries (events/ts analytics, text-LM family,
+# window/join sweeps, layout/sql-surface singles).
 _DRIVER_PRIORITY = (
-    "q_regex_extract_all_part_nums",   # r2 err, now scalarized
-    "q_embed_whitening",               # scalarized this round
-    "q_embed_quantize_int8",           # scalarized this round
-    "q_array_set_functions",           # scalarized this round
-    "q_events_kaplan_meier",           # ADVICE item 3
-    "q_ts_mase",                       # ADVICE item 3
-    "q_events_pattern_match",          # regex-over-sequence funnel
-    "q_graph_pagerank",                # iterative graph kernel
-    "q_events_funnel",                 # ordered multi-step conversion
-    "q_events_cohort_retention",       # cohort triangle
-    "q_agg_percentile_disc",           # percentile family
-    "q_agg_weighted_median",           # percentile family
-    "q_agg_equidepth_histogram",       # percentile family
-    "q_tpch_q3_shipping_priority",
-    "q_tpch_q10_returned_items",
-    "q_tpch_q17_small_quantity",
-    "q_tpch_q18_large_orders",
-    "q_events_hourly_gapfill",         # spine fill
-    "q_events_hourly_locf",            # last-obs-carried-forward
-    "q_dedup_cc_clusters",             # connected components
-    "q_dedup_embedding_cosine",        # near-dup via cosine
-    "q_dedup_sentence_level",          # sub-document dedup
-    "q_dedup_levenshtein_parts",       # edit-distance dedup
-    "q_dedup_substring_runs",          # suffix-run dedup
-    "q_dedup_semantic_clustered",      # cluster-then-dedup
-    "q_dedup_prefix_filter",           # PPJoin prefix filter
-    "q_text_quality",                  # Gopher-style quality gates
-    "q_text_fingerprint",              # rolling-hash fingerprint
-    "q_text_bpe_token_stats",          # BPE-ish token counting
-    "q_text_tfidf_top_terms",          # TF-IDF
-    "q_text_winnow_fingerprints",      # winnowing
-    "q_embed_centroids",               # exact int-grid centroids
-    "q_embed_normalize",               # L2 normalize invariants
-    "q_embed_kmeans_assign",           # E-step assignment
-    "q_embed_outliers_maha",           # Mahalanobis outliers
-    "q_embed_pq_codes",                # product quantization
-    "q_sim_hard_negatives",            # hard-negative mining
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_sample_domain_cap",
-    "q_decontaminate_ngram",           # benchmark decontamination
-    "q_corpus_prep_report",            # one-DAG corpus prep
-    "q_corpus_mixture_weights",
-    "q_pack_sequences",                # sequence packing
-    "q_events_sessionize",
-    "q_events_attribution_last_touch",
-    "q_graph_copurchase_sim",
-    "q_udtf_sentence_split",           # UDTF surface
-    "q_udf_map_in_arrow_tokens",       # mapInArrow surface
-    "q_udaf_arrow_regression",         # applyInArrow UDAF
+    # -- new this round: first driver rows needed
+    "q_tpch_q2_min_cost_supplier",     # correlated min-cost supplier
+    "q_tpch_q9_product_profit",        # profit by nation x year
+    "q_tpch_q11_important_stock",      # HAVING vs global scalar
+    "q_tpch_q16_supplier_cnt",         # NOT IN + count-distinct
+    "q_tpch_q20_promotion_suppliers",  # double-nested IN chain
+    "q_dedup_levenshtein_parts",       # FastSS rework (fresh semantics)
+    # -- round-3 additions, never driver-checked
+    "q_ingest_jsonl_roundtrip",
+    "q_ingest_csv_roundtrip",
+    "q_ingest_corrupt_jsonl_audit",
+    "q_ingest_schema_evolution",
+    "q_ingest_orc_roundtrip",
+    "q_train_global_shuffle",
+    "q_train_interleave_sources",
+    "q_train_token_budget_subsample",
+    "q_retrieval_eval_topk",
+    "q_retrieval_matryoshka_overlap",
+    "q_ml_calibration_bins",
+    "q_graph_triangle_count",
+    "q_text_vocab_oov",
+    "q_dedup_containment",
+    "q_rollup_cascade",
+    "q_privacy_t_closeness",
+    "q_join_asof_nearest",
+    "q_events_ohlc_hourly",
+    "q_corpus_source_drift",
+    "q_embed_hubness",
+    "q_orders_max_open",
+    "q_events_cusum_changepoint",
+    # -- remaining TPC-H shapes (implemented r2/r3, never windowed)
+    "q_tpch_q4_order_priority",
+    "q_tpch_q5_local_supplier",
+    "q_tpch_q6_forecast_revenue",
+    "q_tpch_q7_nation_volume",
+    "q_tpch_q8_market_share",
+    "q_tpch_q12_priority_class",
+    "q_tpch_q14_promo_revenue",
+    "q_tpch_q15_top_supplier",
+    "q_tpch_q19_disjunctive",
+    "q_tpch_q21_waiting_suppliers",
+    # -- scalar sweeps + markov/feature/audit families (r3 verdict)
+    "q_scalar_string_sweep",
+    "q_scalar_datetime_sweep",
+    "q_scalar_null_functions",
+    "q_scalar_try_functions",
+    "q_events_markov_transitions",
+    "q_feature_trailing_orders",
+    "q_audit_referential_integrity",
+    "q_audit_expectations",
+    "q_profile_columns",
+    "q_agg_bitmap_distinct",
+    "q_rfm_segmentation",
+    "q_sql_group_by_all",
 )
 
 

@@ -349,12 +349,75 @@ def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """ORC -> DataFrame with an explicit schema — same no-inference
     contract as the text readers (ORC carries its own schema, but
     pinning one makes producer drift a loud analysis error instead of
-    a silent column-type change downstream).
-
-    Avro note: ``spark-avro`` is an external module and its jar is not
-    in this container, so Avro stays unsupported here — environmental,
-    like the PIL-gated JPEG tier (multimodal.HAS_PIL)."""
+    a silent column-type change downstream)."""
     return spark.read.schema(schema).orc(path)
+
+
+# --- Avro (jar-gated) -------------------------------------------------
+# ``spark-avro`` is an EXTERNAL Spark module: the core avro-*.jar files
+# ship with pyspark, but the DataSource (org.apache.spark.sql.avro)
+# does not.  Bootstrap on any cluster with either
+#   spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-ver>
+# or by dropping spark-avro_2.13-<spark-ver>.jar into $SPARK_HOME/jars
+# (or pointing SPARK_GRAFT_AVRO_JAR at it).  Availability is probed at
+# import so the Avro round-trip query registers only when it can run —
+# environmental gating, like the PIL-gated JPEG tier (multimodal
+# .HAS_PIL).
+
+def _spark_avro_available() -> bool:
+    import glob
+
+    import pyspark
+
+    jar_dir = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    if glob.glob(os.path.join(jar_dir, "spark-avro_*.jar")):
+        return True
+    extra = os.environ.get("SPARK_GRAFT_AVRO_JAR")
+    return bool(extra) and os.path.exists(extra)
+
+
+HAS_SPARK_AVRO = _spark_avro_available()
+
+AVRO_BOOTSTRAP = (
+    "spark-avro is an external module; add it with "
+    "`spark-submit --packages org.apache.spark:spark-avro_2.13:<spark-version>` "
+    "or place spark-avro_2.13-<spark-version>.jar in $SPARK_HOME/jars "
+    "(or set SPARK_GRAFT_AVRO_JAR to its path)"
+)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    """DataFrame -> Avro (the row-oriented interchange format Kafka
+    ecosystems emit), overwrite mode.  Raises with the exact bootstrap
+    invocation when the spark-avro datasource jar is absent."""
+    if not HAS_SPARK_AVRO:
+        raise RuntimeError(AVRO_BOOTSTRAP)
+    df.write.mode("overwrite").format("avro").save(path)
+
+
+def read_avro(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Avro -> DataFrame with an explicit schema (same no-inference
+    contract as every reader here)."""
+    if not HAS_SPARK_AVRO:
+        raise RuntimeError(AVRO_BOOTSTRAP)
+    return spark.read.schema(schema).format("avro").load(path)
+
+
+if HAS_SPARK_AVRO:
+
+    @query(
+        "q_ingest_avro_roundtrip",
+        oracle=_FINGERPRINT_SQL.format(key="lang"),
+    )
+    def q_ingest_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+        """documents -> Avro -> read_avro -> per-lang fidelity
+        fingerprint vs the parquet oracle: the row-format leg of the
+        interchange matrix (JSONL/CSV/ORC/Avro).  Registered only when
+        the spark-avro jar is present (see AVRO_BOOTSTRAP)."""
+        d = t(spark, sf, "documents")
+        path = _scratch(sf, "avro")
+        write_avro(d, path)
+        return _fingerprint(read_avro(spark, path, DOCS_SCHEMA), "lang")
 
 
 @query(

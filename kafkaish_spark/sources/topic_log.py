@@ -120,6 +120,10 @@ class Topic:
         self.log_dir = os.path.join(self.root, "log")
         self.sub_dir = os.path.join(self.root, "_subscribers")
         self.retention_bytes = retention_bytes
+        # mirrors the reference's per-topic closed flag
+        # (src/topic.js:14 sets it false at construction); Engine
+        # .prepare_topic recreates a handle whose flag is set
+        self.closed = False
         # Auto-detect the layout of a pre-existing log in BOTH
         # directions: a fresh Engine must not misread a partitioned
         # topic as flat, and requesting partitioned=True over an
@@ -921,8 +925,13 @@ class Topic:
         return df
 
     def close(self) -> None:
-        """No-op for the batch handle (ref closes its tail cursor,
-        src/topic.js:20-24); streaming subscriptions own their queries."""
+        """Mark the handle closed (ref closes its tail cursor,
+        src/topic.js:20-24; streaming subscriptions here own their
+        queries, so there is no cursor to tear down).  The durable log
+        is untouched — a later ``prepare_topic`` returns a FRESH handle
+        over the same directory, mirroring the reference's
+        recreate-when-closed memoization (src/connection.js:40-50)."""
+        self.closed = True
 
 
 class Engine:
@@ -944,7 +953,12 @@ class Engine:
         retention_bytes: int | None = None,
         partitioned: bool = False,
     ) -> Topic:
-        if name not in self._topics:
+        # recreate-when-closed, exactly the reference's memoization:
+        # `if (!this.topics[name] || this.topics[name].closed)` builds
+        # a new Topic, else the cached handle is returned
+        # (src/connection.js:40-50)
+        cached = self._topics.get(name)
+        if cached is None or cached.closed:
             self._topics[name] = Topic(
                 self.spark, self.root, name, retention_bytes, partitioned
             )

@@ -212,3 +212,27 @@ def test_orc_roundtrip_binary_exact(spark, tmp_path):
     back = read_orc(spark, path, "doc_id long, text string, lang string")
     got = {r.doc_id: (r.text, r.lang) for r in back.collect()}
     assert got == {i: (t, lg) for i, t, lg in rows}
+
+
+def test_avro_roundtrip_or_documented_bootstrap(spark, tmp_path):
+    """Avro is jar-gated: with spark-avro present the tricky-row
+    round-trip must be lossless; without it, this test SKIPS with the
+    exact --packages bootstrap so the gap is environmental, never
+    silent."""
+    import pytest
+
+    from kafkaish_spark.sources import ingest
+
+    if not ingest.HAS_SPARK_AVRO:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            ingest.write_avro(_tricky_df(spark), str(tmp_path / "av"))
+        pytest.skip(f"spark-avro jar absent: {ingest.AVRO_BOOTSTRAP}")
+    rows = TRICKY + [(6, "line\nbreak\tand tab", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "av")
+    ingest.write_avro(df, path)
+    back = ingest.read_avro(
+        spark, path, "doc_id long, text string, lang string"
+    )
+    got = {r.doc_id: (r.text, r.lang) for r in back.collect()}
+    assert got == {i: (t, lg) for i, t, lg in rows}

@@ -583,3 +583,25 @@ def test_compact_small_breaks_runs_on_offset_gaps_across_directories(engine):
         (r["offset"], r["message"]) for r in topic.log().collect()
     )
     assert content_after == content_before
+
+
+def test_prepare_topic_memoizes_and_recreates_when_closed(engine):
+    """L3 memoization parity with the reference (src/connection.js:40-50):
+    prepare_topic returns the SAME handle while open, and builds a
+    FRESH handle once the cached one is closed — with the durable log
+    (offsets, acks) fully intact underneath."""
+    t1 = engine.prepare_topic("memo")
+    assert engine.prepare_topic("memo") is t1  # memoized while open
+    t1.publish("ev", {"n": 1})
+    t1.publish("ev", {"n": 2})
+    t1.ack("grp", 1)
+    t1.close()
+    assert t1.closed
+    t2 = engine.prepare_topic("memo")
+    assert t2 is not t1  # recreate-when-closed
+    assert not t2.closed
+    # same durable state through the new handle
+    assert t2.latest() == 2
+    assert t2.last_ack("grp") == 1
+    # and the new handle is memoized again
+    assert engine.prepare_topic("memo") is t2

@@ -67,10 +67,12 @@ def test_bench_queries_have_no_cartesian_products(spark, sf_dir):
 
 def test_bench_set_contains_scale_path_kernels():
     """The headline set must keep wall-clock tracking on the iterative
-    vector-state and no-sort-AUC scale paths (round-2 verdict item 3)."""
+    vector-state and no-sort-AUC scale paths (round-2 verdict item 3)
+    and on the training-order family (round-3 verdict item 8)."""
     bench = {n for n, s in _registry().items() if s.bench}
     assert "q_embed_kmeans_lloyd2" in bench
     assert "q_ml_auc_binned" in bench
+    assert "q_train_global_shuffle" in bench
 
 
 def test_every_oracle_sql_binds_in_duckdb(sf_dir):
@@ -97,6 +99,57 @@ def test_every_oracle_sql_binds_in_duckdb(sf_dir):
         except Exception as ex:  # noqa: BLE001 — collect all failures
             errors.append((name, f"{type(ex).__name__}: {ex}"))
     assert not errors, errors
+
+
+# Columns whose value set does NOT grow with the data: equality-joining
+# two corpus-scale frames on ONLY these keys makes join groups grow
+# O(N) and pair output O(N^2/k) — the class q_dedup_levenshtein_parts
+# fell into (blocked on 25 brands) until round 4.  Broadcast joins on
+# such keys are fine (the broadcast side is bounded by definition).
+_CONSTANT_CARDINALITY = frozenset(
+    {
+        "p_brand", "p_type", "l_returnflag", "l_linestatus",
+        "o_orderstatus", "o_orderpriority", "lang", "source",
+        "event_type", "r_name", "n_name", "c_mktsegment", "level",
+        "verdict", "label",
+    }
+)
+
+
+def test_no_shuffle_join_keyed_only_on_constant_cardinality(spark, sf_dir):
+    """No registered query may SortMergeJoin/ShuffledHashJoin two
+    frames with ALL equi-keys drawn from constant-cardinality columns:
+    at 100 TB those join groups grow linearly and the pair output
+    quadratically.  A legitimate block key must grow with the data
+    (hash/digest, dictionary variant, bucket id, entity key)."""
+    import re
+
+    offenders = []
+    for name, spec in _registry().items():
+        try:
+            plan = (
+                spec.fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception:  # build failures are the schema test's job
+            continue
+        for line in plan.splitlines():
+            m = re.search(
+                r"(SortMergeJoin|ShuffledHashJoin)\s+\[([^\]]*)\]", line
+            )
+            if not m:
+                continue
+            keys = {
+                re.sub(r"[^a-z_].*$", "", k.strip())
+                for k in m.group(2).split(",")
+            }
+            if keys and keys <= _CONSTANT_CARDINALITY:
+                offenders.append((name, m.group(1), sorted(keys)))
+    assert not offenders, (
+        f"shuffle joins keyed only on constant-cardinality columns: {offenders}"
+    )
 
 
 def test_no_hugeint_typed_oracle_outputs(sf_dir):
