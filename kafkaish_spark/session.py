@@ -39,6 +39,9 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.streaming.schemaInference", "false")
+        # Python Data Source API: allow readers that implement
+        # pushFilters (sources/pyds.py) — off by default in 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if SparkSession.getActiveSession() is None:
         builder = builder.master(f"local[{cpus}]").config(

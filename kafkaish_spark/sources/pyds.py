@@ -1,208 +1,347 @@
-"""``kafkaish_topic`` — a custom Spark 4 Python DataSource for topic logs.
+"""``spark.read.format("kafkaish")`` — the topic log as a first-class
+Spark Data Source, via the Python Data Source API (Spark 4.x,
+``pyspark.sql.datasource``).
 
-The Spark-native connector surface for the reference's consumer API
-(`/root/reference/src/topic.js:118-201` replayFrom — offset-ranged scan
-of the log): ``spark.read.format("kafkaish_topic")`` over a topic
-directory, with
+The reference exposes its log only through its own client object
+(`kafkaish().connect()` -> topic handle, /root/reference/src/index.js:3-5);
+there is no way to hand the log to a query engine as a TABLE.  This
+module closes that gap idiomatically: the log becomes a named source
+any Spark reader can load —
 
-- ``start_offset`` pushdown: segment files whose parquet-footer max
-  offset is below the requested start are never opened (the same
-  footer-stats pruning ``Topic.offset_for_time`` uses) — mirroring the
-  reference's server-side ``_id > last`` cursor predicate;
-- ``event`` routing pushed to parquet row-group filtering via pyarrow
-  (the reference filters client-side per doc, src/topic.js:172-173);
-- one InputPartition per segment file, so a 100 TB topic reads with
-  full cluster parallelism;
-- Arrow-batch transfer: ``read`` yields pyarrow RecordBatches, not
-  per-row Python tuples.
+    spark.dataSource.register(KafkaishDataSource)
+    df = (spark.read.format("kafkaish")
+          .option("path", engine.root).option("topic", "orders").load())
 
-A ``SimpleDataSourceStreamReader`` twin makes the same topic tailable
-from ``spark.readStream`` without the parquet file-source's directory
-listing — offsets in the stream checkpoint are LOG offsets, making the
-commit log introspectable (ack ≙ committed max offset + 1).
+    stream = (spark.readStream.format("kafkaish")
+              .option("path", engine.root).option("topic", "orders").load())
 
-This module exists alongside the plain parquet readers in
-``topic_log.py`` to cover the connector-authoring surface itself: the
-same API a user would use to hang a real external system (REST, KV
-store, message bus) onto this engine.
+Batch path (``KafkaishBatchReader``):
+- one ``InputPartition`` per log segment file — the same file-granular
+  parallelism the JVM parquet reader uses, so a 10k-segment topic
+  fans out across the cluster;
+- ``pushFilters`` accepts offset comparisons and event equality, and
+  partition planning PRUNES whole segments on their parquet footer
+  min/max offset stats before any task launches (the Python-side twin
+  of row-group skipping); surviving filters are re-applied exactly on
+  the Arrow table, so accepting them is semantically lossless;
+- each task reads its file with pyarrow and yields Arrow
+  RecordBatches — zero row-at-a-time Python.
+
+Streaming path (``KafkaishStreamReader``): a
+``SimpleDataSourceStreamReader`` whose offset dict is the topic's
+publish offset — the official-API analog of the reference's tailable
+cursor (src/topic.js:81-117).  ``read(start)`` returns every row
+published since the last trigger; ``readBetweenOffsets`` replays a
+committed range deterministically for recovery.  The simple reader
+ships rows through the driver, which is exactly the reference's
+delivery model (one cursor loop on one node) — it exists for API
+parity and modest control-plane topics; the data-plane subscription
+path remains ``streaming.subscribe`` (checkpointed file source,
+executor-parallel).
+
+Offsets here are the ENGINE's message offsets reused as streaming
+progress markers — one integer per topic, resume-exact.
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
-from pyspark.sql.types import (
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-    TimestampType,
-)
 
-SCHEMA = StructType(
-    [
-        StructField("offset", LongType(), False),
-        StructField("ts", TimestampType(), False),
-        StructField("event", StringType(), True),
-        StructField("message", StringType(), True),
-    ]
-)
+ENVELOPE_DDL = "offset bigint, ts timestamp, event string, message string"
 
 
-def _segment_files(path: str) -> list[str]:
-    return sorted(
-        f
-        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if not os.path.basename(f).startswith("_")
-    )
+def _log_dir(options: dict) -> str:
+    path = options.get("path")
+    topic = options.get("topic")
+    if not path or not topic:
+        raise ValueError(
+            "kafkaish source needs .option('path', <engine root>) and "
+            ".option('topic', <name>)"
+        )
+    return os.path.join(path, topic, "log")
 
 
-def _footer_offset_range(fpath: str) -> tuple[int | None, int | None]:
-    """(min, max) of the offset column from parquet footer stats —
-    no data pages read."""
-    import pyarrow.parquet as pq
-
-    try:
-        md = pq.ParquetFile(fpath).metadata
-        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-        if "offset" not in idx:
-            return None, None
-        lo, hi = None, None
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx["offset"]).statistics
-            if st is None or not st.has_min_max:
-                return None, None
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        return lo, hi
-    except Exception:
-        return None, None
+def _segment_files(log_dir: str) -> list[str]:
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"no such topic log: {log_dir}")
+    out = []
+    for root, _dirs, files in os.walk(log_dir):
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith("_"):
+                out.append(os.path.join(root, f))
+    return out
 
 
 class _SegmentPartition(InputPartition):
-    def __init__(self, fpath: str):
-        self.fpath = fpath
+    def __init__(self, file: str):
+        self.file = file
 
 
-def _read_segment(fpath: str, start_offset: int, event: str | None):
-    """Yield Arrow RecordBatches of envelope rows past start_offset,
-    with the event filter pushed into the parquet scan."""
-    import pyarrow.compute as pc
-    import pyarrow.dataset as ds
+class KafkaishBatchReader(DataSourceReader):
+    """File-per-partition batch reader with offset/event pushdown."""
 
-    dataset = ds.dataset(fpath, format="parquet")
-    flt = pc.field("offset") > start_offset
-    if event is not None:
-        flt = flt & (pc.field("event") == event)
-    scanner = dataset.scanner(
-        columns=["offset", "ts", "event", "message"], filter=flt
-    )
-    for batch in scanner.to_batches():
-        if batch.num_rows:
+    def __init__(self, options: dict):
+        self.log_dir = _log_dir(options)
+        # bounds are half-open/closed to mirror Topic.replay: since is
+        # exclusive, until inclusive
+        self.min_excl: int | None = None
+        self.max_incl: int | None = None
+        self.event: str | None = None
+
+    def pushFilters(self, filters):  # noqa: N802 — API name
+        for f in filters:
+            if isinstance(f, (GreaterThan, GreaterThanOrEqual)) and f.attribute == (
+                "offset",
+            ):
+                lo = int(f.value) if isinstance(f, GreaterThan) else int(f.value) - 1
+                self.min_excl = lo if self.min_excl is None else max(self.min_excl, lo)
+            elif isinstance(f, (LessThan, LessThanOrEqual)) and f.attribute == (
+                "offset",
+            ):
+                hi = int(f.value) - 1 if isinstance(f, LessThan) else int(f.value)
+                self.max_incl = hi if self.max_incl is None else min(self.max_incl, hi)
+            elif isinstance(f, EqualTo) and f.attribute == ("event",):
+                self.event = str(f.value)
+            else:
+                yield f  # unsupported: Spark re-applies it
+
+    def partitions(self):
+        import pyarrow.parquet as pq
+
+        parts = []
+        prune = self.min_excl is not None or self.max_incl is not None
+        for file in _segment_files(self.log_dir):
+            # segment pruning on footer metadata — no data pages are
+            # read for empty or out-of-range segments
+            meta = pq.ParquetFile(file).metadata
+            if meta.num_rows == 0:
+                continue  # the topic seed file / compacted-away segment
+            if prune:
+                lo = hi = None
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(0).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None:
+                    if self.min_excl is not None and hi <= self.min_excl:
+                        continue
+                    if self.max_incl is not None and lo > self.max_incl:
+                        continue
+            parts.append(_SegmentPartition(file))
+        # an empty topic still needs one (empty) partition so load()
+        # returns a 0-row frame instead of failing planning
+        return parts or [_SegmentPartition("")]
+
+    def read(self, partition: _SegmentPartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        if not partition.file:
+            return
+        tbl = pq.read_table(
+            partition.file, columns=["offset", "ts", "event", "message"]
+        )
+        mask = None
+
+        def _and(m, cond):
+            return cond if m is None else pc.and_(m, cond)
+
+        if self.min_excl is not None:
+            mask = _and(mask, pc.greater(tbl["offset"], self.min_excl))
+        if self.max_incl is not None:
+            mask = _and(mask, pc.less_equal(tbl["offset"], self.max_incl))
+        if self.event is not None:
+            mask = _and(mask, pc.equal(tbl["event"], self.event))
+        if mask is not None:
+            tbl = tbl.filter(mask)
+        # normalize ts to micros-no-tz: Spark's Arrow bridge expects the
+        # TimestampType batches timezone-naive
+        ts = tbl["ts"]
+        if pa.types.is_timestamp(ts.type) and (
+            ts.type.tz is not None or ts.type.unit != "us"
+        ):
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("ts"),
+                "ts",
+                pc.cast(ts, pa.timestamp("us")),
+            )
+        for batch in tbl.to_batches():
             yield batch
 
 
-class KafkaishTopicReader(DataSourceReader):
-    def __init__(self, options: dict):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("kafkaish_topic requires option 'path'")
-        self.start_offset = int(options.get("start_offset", 0))
-        self.event = options.get("event")
-
-    def partitions(self):
-        parts = []
-        for f in _segment_files(self.path):
-            _, hi = _footer_offset_range(f)
-            if hi is not None and hi <= self.start_offset:
-                continue  # footer-stats pruning: segment fully acked
-            parts.append(_SegmentPartition(f))
-        return parts or [_SegmentPartition("")]
-
-    def read(self, partition):
-        if not partition.fpath:
-            return
-        yield from _read_segment(partition.fpath, self.start_offset, self.event)
-
-
-class KafkaishTopicStreamReader(SimpleDataSourceStreamReader):
-    """Micro-batch tail of the topic: stream offsets ARE log offsets."""
+class KafkaishStreamReader(SimpleDataSourceStreamReader):
+    """Tailable-cursor analog over the official streaming API: the
+    stream offset IS the topic's publish offset."""
 
     def __init__(self, options: dict):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("kafkaish_topic requires option 'path'")
-        self.event = options.get("event")
-        starting = options.get("starting_offsets", "earliest")
-        if starting == "latest":
-            self._initial = self._max_offset()
-        else:
-            self._initial = int(options.get("start_offset", 0))
+        self.options = options
+        self.log_dir = _log_dir(options)
+        # replay=true (default) starts from the beginning like the
+        # reference's replay:true subscriptions; replay=false starts at
+        # the tail observed at first trigger (live-only)
+        self.replay = str(options.get("replay", "true")).lower() != "false"
 
-    def _max_offset(self) -> int:
-        hi = 0
-        for f in _segment_files(self.path):
-            _, h = _footer_offset_range(f)
-            if h is not None:
-                hi = max(hi, h)
-        return hi
+    def _scan(self, min_excl: int, max_incl: int | None):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
 
-    def initialOffset(self):
-        return {"offset": self._initial}
+        rows: list[tuple] = []
+        tail = min_excl
+        for file in _segment_files(self.log_dir):
+            tbl = pq.read_table(
+                file, columns=["offset", "ts", "event", "message"]
+            )
+            if tbl.num_rows == 0:
+                continue
+            tail = max(tail, pc.max(tbl["offset"]).as_py() or 0)
+            mask = pc.greater(tbl["offset"], min_excl)
+            if max_incl is not None:
+                mask = pc.and_(mask, pc.less_equal(tbl["offset"], max_incl))
+            tbl = tbl.filter(mask)
+            rows.extend(
+                zip(
+                    tbl["offset"].to_pylist(),
+                    tbl["ts"].to_pylist(),
+                    tbl["event"].to_pylist(),
+                    tbl["message"].to_pylist(),
+                )
+            )
+        rows.sort(key=lambda r: r[0])
+        return rows, tail
+
+    def initialOffset(self) -> dict:  # noqa: N802 — API name
+        if self.replay:
+            return {"offset": 0}
+        _rows, tail = self._scan(0, None)
+        return {"offset": tail}
 
     def read(self, start: dict):
-        end = {"offset": self._max_offset()}
-        return iter(self._rows_between(start["offset"], end["offset"])), end
+        rows, tail = self._scan(int(start["offset"]), None)
+        return iter(rows), {"offset": max(tail, int(start["offset"]))}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(self._rows_between(start["offset"], end["offset"]))
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        rows, _tail = self._scan(int(start["offset"]), int(end["offset"]))
+        return iter(rows)
 
-    def _rows_between(self, lo: int, hi: int):
-        if hi <= lo:
-            return []
-        out = []
-        for f in _segment_files(self.path):
-            flo, fhi = _footer_offset_range(f)
-            if fhi is not None and fhi <= lo:
-                continue
-            if flo is not None and flo > hi:
-                continue
-            for batch in _read_segment(f, lo, self.event):
-                for row in batch.to_pylist():
-                    if row["offset"] <= hi:
-                        out.append(
-                            (row["offset"], row["ts"], row["event"], row["message"])
-                        )
-        out.sort(key=lambda r: r[0])
-        return out
+    def commit(self, end: dict) -> None:
+        # progress is durable in the streaming checkpoint; the log
+        # itself keeps every message (retention is the topic's policy)
+        pass
 
 
-class KafkaishTopicDataSource(DataSource):
-    """spark.read.format("kafkaish_topic").option("path", <topic/log>)
-    [.option("start_offset", n)][.option("event", name)] — plus the
-    streaming twin via spark.readStream."""
+class KafkaishDataSource(DataSource):
+    """The registrable source class (``spark.dataSource.register``)."""
 
     @classmethod
     def name(cls) -> str:
-        return "kafkaish_topic"
+        return "kafkaish"
 
-    def schema(self):
-        return SCHEMA
+    def schema(self) -> str:
+        return ENVELOPE_DDL
 
-    def reader(self, schema):
-        return KafkaishTopicReader(self.options)
+    def reader(self, schema) -> KafkaishBatchReader:
+        return KafkaishBatchReader(self.options)
 
-    def simpleStreamReader(self, schema):
-        return KafkaishTopicStreamReader(self.options)
+    def simpleStreamReader(self, schema) -> KafkaishStreamReader:  # noqa: N802
+        return KafkaishStreamReader(self.options)
 
 
 def register(spark) -> None:
-    spark.dataSource.register(KafkaishTopicDataSource)
+    """Idempotent registration of the 'kafkaish' format on a session.
+    Also enables Python-data-source filter pushdown (runtime-settable
+    SQL conf, off by default in 4.1) — without it Spark refuses any
+    reader that implements pushFilters."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(KafkaishDataSource)
+
+
+# ---------------------------------------------------------------- oracle query
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafkaish_spark.plans.registry import query  # noqa: E402
+from kafkaish_spark.sources.tables import load_table as t  # noqa: E402
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+@query(
+    "q_pyds_topic_scan",
+    oracle="""
+    SELECT lang AS event,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_pyds_topic_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> published into a real topic log (event = lang,
+    message = JSON payload) -> read back through the PYTHON DATA SOURCE
+    (``format('kafkaish')``) -> per-event fingerprint vs the
+    parquet-native oracle.  Proves the whole connector chain: publish
+    offset assignment, segment listing, Arrow-batch reads, and JSON
+    payload extraction — any dropped/duplicated/corrupted message moves
+    a sum.
+
+    The topic is materialized once per sf under the repo warehouse and
+    reused (publish is idempotent by count check — rebuild on
+    mismatch, the rollup self-heal pattern)."""
+    from kafkaish_spark.sources.topic_log import Engine
+
+    d = t(spark, sf, "documents")
+    n_docs = d.count()
+    root = os.path.join(
+        _REPO_ROOT, "spark-warehouse", "_pyds",
+        os.path.basename(sf.rstrip("/")) or "default",
+    )
+    eng = Engine(spark, root)
+    topic = eng.prepare_topic("docs")
+    if topic.latest() != n_docs:
+        if topic.latest():  # stale topic from older testdata: rebuild
+            import shutil
+
+            shutil.rmtree(os.path.join(root, "docs"))
+            eng = Engine(spark, root)
+            topic = eng.prepare_topic("docs")
+        topic.publish_df(
+            d.select(
+                F.col("lang").alias("event"),
+                F.to_json(F.struct("doc_id", "n_chars")).alias("message"),
+            )
+        )
+    register(spark)
+    back = (
+        spark.read.format("kafkaish")
+        .option("path", root)
+        .option("topic", "docs")
+        .load()
+    )
+    return back.groupBy("event").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.sum(F.get_json_object("message", "$.doc_id").cast("long"))
+        .cast("long")
+        .alias("sum_doc_id"),
+        F.sum(F.get_json_object("message", "$.n_chars").cast("long"))
+        .cast("long")
+        .alias("sum_n_chars"),
+    )

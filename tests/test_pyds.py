@@ -1,0 +1,170 @@
+"""Python Data Source connector (sources/pyds.py): the topic log as
+``spark.read.format("kafkaish")`` / ``spark.readStream.format(...)``.
+
+Covers: batch scan parity with Topic.replay, offset/event filter
+pushdown with segment pruning on parquet footer stats, empty-topic
+planning, the streaming tail (replay-then-live and live-only), and
+deterministic range replay for recovery.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def pub_topic(engine):
+    """A topic with 3 segments x 2 events, 9 messages total."""
+    topic = engine.prepare_topic("pyds")
+    for seg in range(3):
+        topic.publish_batch(
+            [
+                ("a", {"seg": seg, "i": 0}),
+                ("b", {"seg": seg, "i": 1}),
+                ("a", {"seg": seg, "i": 2}),
+            ]
+        )
+    return topic
+
+
+def _load(spark, engine, **opts):
+    from kafkaish_spark.sources.pyds import register
+
+    register(spark)
+    r = (
+        spark.read.format("kafkaish")
+        .option("path", engine.root)
+        .option("topic", "pyds")
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_scan_matches_replay(spark, engine, pub_topic):
+    via_ds = _load(spark, engine).orderBy("offset").collect()
+    via_replay = pub_topic.replay(since=0).collect()
+    assert [tuple(r) for r in via_ds] == [tuple(r) for r in via_replay]
+    assert [r["offset"] for r in via_ds] == list(range(1, 10))
+
+
+def test_offset_and_event_filters_push_down(spark, engine, pub_topic):
+    df = _load(spark, engine).filter(
+        (F.col("offset") > 3) & (F.col("event") == "a")
+    )
+    rows = df.orderBy("offset").collect()
+    assert [r["offset"] for r in rows] == [4, 6, 7, 9]
+    # the filters must be CONSUMED by the python reader: the residual
+    # Filter above the BatchScan carries only null checks — the offset
+    # comparison and event equality are gone from the JVM plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    flt = [
+        ln for ln in plan.splitlines()
+        if "Filter" in ln and "RuntimeFilters" not in ln
+    ]
+    assert flt, plan
+    for ln in flt:
+        assert "isnotnull" in ln and ">" not in ln and "= a" not in ln, ln
+
+
+def test_segment_pruning_on_footer_stats(spark, engine, pub_topic):
+    """offset > 6 excludes the first two segments (offsets 1-6): the
+    reader's partition planner must drop them on footer min/max without
+    reading data pages."""
+    from kafkaish_spark.sources.pyds import (
+        GreaterThan,
+        KafkaishBatchReader,
+    )
+
+    reader = KafkaishBatchReader(
+        {"path": engine.root, "topic": "pyds"}
+    )
+    leftover = list(reader.pushFilters([GreaterThan(("offset",), 6)]))
+    assert leftover == []  # fully consumed
+    parts = reader.partitions()
+    assert len(parts) == 1  # 3 segments written, 2 pruned
+    rows = [b for p in parts for b in reader.read(p)]
+    got = sorted(o for batch in rows for o in batch["offset"].to_pylist())
+    assert got == [7, 8, 9]
+
+
+def test_empty_topic_loads_zero_rows(spark, engine):
+    engine.prepare_topic("pyds")  # exists, never published
+    assert _load(spark, engine).count() == 0
+
+
+def test_stream_replay_then_live(spark, engine, pub_topic, tmp_path):
+    """The streaming reader drains the backlog from offset 0, then a
+    second trigger picks up only what was published in between — the
+    reference's replay:true subscription through the official API."""
+    from kafkaish_spark.sources.pyds import register
+
+    register(spark)
+    got = []
+
+    def drain():
+        q = (
+            spark.readStream.format("kafkaish")
+            .option("path", engine.root)
+            .option("topic", "pyds")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(
+                    r["offset"] for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(got) == list(range(1, 10))
+    pub_topic.publish("a", {"late": True})
+    got.clear()
+    drain()
+    assert got == [10]  # exactly the new message, no redelivery
+
+
+def test_stream_live_only_skips_backlog(spark, engine, pub_topic, tmp_path):
+    """replay=false starts at the tail observed at first trigger — the
+    ephemeral subscription semantics (backlog invisible, live visible)."""
+    from kafkaish_spark.sources.pyds import register
+
+    register(spark)
+    got = []
+
+    def drain():
+        q = (
+            spark.readStream.format("kafkaish")
+            .option("path", engine.root)
+            .option("topic", "pyds")
+            .option("replay", "false")
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(
+                    r["offset"] for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert got == []  # backlog skipped
+    pub_topic.publish("b", {"live": 1})
+    drain()
+    assert got == [10]
+
+
+def test_read_between_offsets_is_deterministic(engine, pub_topic):
+    """readBetweenOffsets replays a committed range exactly — the
+    recovery contract a restarted query relies on."""
+    from kafkaish_spark.sources.pyds import KafkaishStreamReader
+
+    r = KafkaishStreamReader({"path": engine.root, "topic": "pyds"})
+    a = [row[0] for row in r.readBetweenOffsets({"offset": 3}, {"offset": 7})]
+    b = [row[0] for row in r.readBetweenOffsets({"offset": 3}, {"offset": 7})]
+    assert a == b == [4, 5, 6, 7]
