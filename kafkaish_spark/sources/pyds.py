@@ -39,6 +39,14 @@ parity and modest control-plane topics; the data-plane subscription
 path remains ``streaming.subscribe`` (checkpointed file source,
 executor-parallel).
 
+Write path: ``df.write.format("kafkaish").mode("append")`` appends to
+the log through the V2 two-phase commit (executors stage, the driver
+commit assigns contiguous offsets after the tail — see the write-side
+comment block), and ``writeStream.format("kafkaish")`` is a per-epoch
+exactly-once sink (committed batchIds are markers, so checkpoint
+retries cannot double-append) — together they make topic-to-topic
+relays (`readStream` -> transform -> `writeStream`) a one-liner.
+
 Offsets here are the ENGINE's message offsets reused as streaming
 progress markers — one integer per topic, resume-exact.
 """
@@ -50,7 +58,9 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -58,6 +68,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 ENVELOPE_DDL = "offset bigint, ts timestamp, event string, message string"
@@ -246,6 +257,192 @@ class KafkaishStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+# ---------------------------------------------------------------- write side
+#
+# ``df.write.format("kafkaish")`` appends (event, message[, ts]) rows
+# to the topic log with the V2 two-phase commit protocol doing what the
+# reference's publish callback does (ack = durable write,
+# src/topic.js:25-40), but transactionally:
+#
+#   executors  -> stage their partitions as parquet files (no offsets
+#                 yet — offset assignment needs the global tail);
+#   driver     -> commit() orders the staged files by partition id,
+#                 assigns contiguous offsets after the current tail,
+#                 rewrites each staged file as a proper log segment
+#                 (per-file streaming, never whole-batch memory), and
+#                 only then makes them visible; abort() deletes staging.
+#
+# A failed/speculative task's orphan stage file is ignored: commit only
+# touches files named in the tasks' commit messages.  The streaming
+# sink adds per-epoch idempotence: a committed batchId is recorded in a
+# marker file, so Structured Streaming retries cannot double-append —
+# the exactly-once contract the reference cannot offer.
+# Single-writer per topic, like publish_df.
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, path: str, rows: int, pid: int):
+        self.path = path
+        self.rows = rows
+        self.pid = pid
+
+
+def _arrow_envelope_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("offset", pa.int64(), nullable=False),
+            pa.field("ts", pa.timestamp("us", tz="UTC")),
+            pa.field("event", pa.string()),
+            pa.field("message", pa.string()),
+        ]
+    )
+
+
+class KafkaishBatchWriter(DataSourceArrowWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "kafkaish topics are append-only logs; use mode('append')"
+            )
+        self.log_dir = _log_dir(options)
+        if not os.path.isdir(self.log_dir):
+            raise FileNotFoundError(f"no such topic log: {self.log_dir}")
+        import uuid
+
+        self.stage_dir = os.path.join(
+            os.path.dirname(self.log_dir), "_staging", uuid.uuid4().hex
+        )
+
+    # -- executors -----------------------------------------------------
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.stage_dir, exist_ok=True)
+        path = os.path.join(
+            self.stage_dir, f"stage-{pid:05d}-{uuid.uuid4().hex}.parquet"
+        )
+        batches = [b for b in iterator if b.num_rows]
+        n = sum(b.num_rows for b in batches)
+        if n:
+            tbl = pa.Table.from_batches(batches)
+            names = set(tbl.schema.names)
+            if not {"event", "message"} <= names:
+                raise ValueError(
+                    "kafkaish sink needs (event string, message string"
+                    f"[, ts timestamp]) columns, got {sorted(names)}"
+                )
+            pq.write_table(tbl, path)
+        return _StagedFile(path, n, pid)
+
+    # -- driver --------------------------------------------------------
+    def _tail(self) -> int:
+        import pyarrow.parquet as pq
+
+        tail = 0
+        for file in _segment_files(self.log_dir):
+            meta = pq.ParquetFile(file).metadata
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(0).statistics
+                if st is not None and st.has_min_max:
+                    tail = max(tail, st.max)
+        return tail
+
+    def _publish_staged(self, staged: list) -> None:
+        import datetime
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        offset = self._tail()
+        now = datetime.datetime.now(datetime.timezone.utc)
+        schema = _arrow_envelope_schema()
+        for m in sorted(staged, key=lambda m: m.pid):
+            if not m.rows:
+                continue
+            tbl = pq.read_table(m.path)
+            offsets = pa.array(
+                range(offset + 1, offset + 1 + m.rows), pa.int64()
+            )
+            offset += m.rows
+            if "ts" in tbl.schema.names:
+                ts = pc.cast(tbl["ts"], pa.timestamp("us", tz="UTC"))
+            else:
+                ts = pa.array([now] * m.rows, pa.timestamp("us", tz="UTC"))
+            out = pa.Table.from_arrays(
+                [
+                    offsets,
+                    ts,
+                    pc.cast(tbl["event"], pa.string()),
+                    pc.cast(tbl["message"], pa.string()),
+                ],
+                schema=schema,
+            )
+            pq.write_table(
+                out,
+                os.path.join(
+                    self.log_dir, f"part-w{uuid.uuid4().hex}.parquet"
+                ),
+            )
+
+    def _cleanup(self) -> None:
+        import shutil
+
+        shutil.rmtree(self.stage_dir, ignore_errors=True)
+
+    def commit(self, messages):
+        try:
+            self._publish_staged([m for m in messages if m is not None])
+        finally:
+            self._cleanup()
+
+    def abort(self, messages):
+        self._cleanup()
+
+
+class KafkaishStreamWriter(DataSourceStreamArrowWriter, KafkaishBatchWriter):
+    """Per-epoch exactly-once streaming sink: commit(batchId) appends
+    the epoch's staged rows once; a marker file makes retried commits
+    no-ops, so checkpoint recovery can't double-append."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        KafkaishBatchWriter.__init__(self, options, overwrite)
+        self.marker_dir = os.path.join(
+            os.path.dirname(self.log_dir), "_staging", "_committed"
+        )
+
+    # the stream ABC re-declares write as abstract AHEAD of the batch
+    # implementation in the MRO; bind the concrete one explicitly
+    write = KafkaishBatchWriter.write
+
+    def commit(self, messages, batchId):  # noqa: N803 — API name
+        marker = os.path.join(self.marker_dir, f"{batchId}.json")
+        try:
+            if not os.path.exists(marker):
+                staged = [m for m in messages if m is not None]
+                self._publish_staged(staged)
+                os.makedirs(self.marker_dir, exist_ok=True)
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(
+                        {"rows": sum(m.rows for m in staged)}, f
+                    )
+                os.replace(tmp, marker)
+        finally:
+            self._cleanup()
+
+    def abort(self, messages, batchId):  # noqa: N803 — API name
+        self._cleanup()
+
+
 class KafkaishDataSource(DataSource):
     """The registrable source class (``spark.dataSource.register``)."""
 
@@ -261,6 +458,12 @@ class KafkaishDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> KafkaishStreamReader:  # noqa: N802
         return KafkaishStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> KafkaishBatchWriter:
+        return KafkaishBatchWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+        return KafkaishStreamWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -168,3 +168,101 @@ def test_read_between_offsets_is_deterministic(engine, pub_topic):
     a = [row[0] for row in r.readBetweenOffsets({"offset": 3}, {"offset": 7})]
     b = [row[0] for row in r.readBetweenOffsets({"offset": 3}, {"offset": 7})]
     assert a == b == [4, 5, 6, 7]
+
+
+def test_batch_write_appends_with_contiguous_offsets(spark, engine, pub_topic):
+    """df.write.format('kafkaish') stages per-partition files and
+    commit() assigns contiguous offsets after the tail — readable both
+    through the engine API and the connector, with ts filled in."""
+    from kafkaish_spark.sources.pyds import register
+
+    register(spark)
+    df = spark.createDataFrame(
+        [("a", "w1"), ("b", "w2"), ("a", "w3")], "event string, message string"
+    ).repartition(2)
+    (
+        df.write.format("kafkaish")
+        .option("path", engine.root)
+        .option("topic", "pyds")
+        .mode("append")
+        .save()
+    )
+    after = pub_topic.replay(since=9).collect()
+    assert [r["offset"] for r in after] == [10, 11, 12]
+    assert sorted(r["message"] for r in after) == ["w1", "w2", "w3"]
+    assert all(r["ts"] is not None for r in after)
+    # connector read agrees
+    got = _load(spark, engine).filter(F.col("offset") > 9).count()
+    assert got == 3
+
+
+def test_batch_write_rejects_overwrite_and_bad_schema(spark, engine, pub_topic):
+    from kafkaish_spark.sources.pyds import register
+
+    register(spark)
+    df = spark.createDataFrame([("a", "x")], "event string, message string")
+    with pytest.raises(Exception, match="append-only"):
+        (
+            df.write.format("kafkaish")
+            .option("path", engine.root)
+            .option("topic", "pyds")
+            .mode("overwrite")
+            .save()
+        )
+    bad = spark.createDataFrame([("a",)], "wrong string")
+    with pytest.raises(Exception, match="kafkaish sink needs"):
+        (
+            bad.write.format("kafkaish")
+            .option("path", engine.root)
+            .option("topic", "pyds")
+            .mode("append")
+            .save()
+        )
+    # no partial state leaked into the log by the failed writes
+    assert pub_topic.latest() == 9
+
+
+def test_stream_write_exactly_once_per_epoch(spark, engine, tmp_path):
+    """readStream from one topic -> writeStream.format('kafkaish') into
+    another: every message crosses exactly once, offsets stay
+    contiguous, and a re-run with the same checkpoint adds nothing."""
+    from kafkaish_spark.sources.pyds import register
+
+    register(spark)
+    src = engine.prepare_topic("relay_src")
+    engine.prepare_topic("relay_dst")
+    src.publish_batch([("a", {"i": 1}), ("b", {"i": 2})])
+    src.publish_batch([("a", {"i": 3})])
+
+    def relay():
+        q = (
+            spark.readStream.format("kafkaish")
+            .option("path", engine.root)
+            .option("topic", "relay_src")
+            .load()
+            .select("event", "message")
+            .writeStream.format("kafkaish")
+            .option("path", engine.root)
+            .option("topic", "relay_dst")
+            .option("checkpointLocation", str(tmp_path / "relay_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    relay()
+    dst = engine.prepare_topic("relay_dst")
+    rows = dst.replay(since=0).collect()
+    assert [r["offset"] for r in rows] == [1, 2, 3]
+    assert sorted(r["message"] for r in rows) == sorted(
+        ['{"i": 1}', '{"i": 2}', '{"i": 3}']
+    )
+    # idempotent re-run: checkpoint says everything is delivered
+    relay()
+    assert engine.prepare_topic("relay_dst").latest() == 3
+    # live tail crosses on the next run, exactly once
+    src.publish("b", {"i": 4})
+    relay()
+    rows = engine.prepare_topic("relay_dst").replay(since=3).collect()
+    assert [r["offset"] for r in rows] == [4]
+    assert rows[0]["message"] == '{"i": 4}'
