@@ -61,6 +61,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -195,6 +196,97 @@ class KafkaishBatchReader(DataSourceReader):
             )
         for batch in tbl.to_batches():
             yield batch
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, file: str, min_excl: int, max_incl: int):
+        self.file = file
+        self.min_excl = min_excl
+        self.max_incl = max_incl
+
+
+class KafkaishPartitionedStreamReader(DataSourceStreamReader):
+    """Executor-parallel streaming reader — the scale path Spark picks
+    when a full ``streamReader`` exists.  Each trigger covers the
+    offset range (last committed tail, current tail]; ``partitions``
+    maps that range onto the log segments overlapping it (footer-stats
+    pruned, like the batch reader), and each partition is read on an
+    EXECUTOR as Arrow batches — rows never funnel through the driver,
+    so a fat backlog drains with cluster parallelism.  The simple
+    reader below is kept for reference/tests but is shadowed by this
+    one at runtime."""
+
+    def __init__(self, options: dict):
+        self.log_dir = _log_dir(options)
+        self.replay = str(options.get("replay", "true")).lower() != "false"
+
+    def _tail(self) -> int:
+        import pyarrow.parquet as pq
+
+        tail = 0
+        for file in _segment_files(self.log_dir):
+            meta = pq.ParquetFile(file).metadata
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(0).statistics
+                if st is not None and st.has_min_max:
+                    tail = max(tail, st.max)
+        return tail
+
+    def initialOffset(self) -> dict:  # noqa: N802 — API name
+        return {"offset": 0 if self.replay else self._tail()}
+
+    def latestOffset(self) -> dict:  # noqa: N802 — API name
+        return {"offset": self._tail()}
+
+    def partitions(self, start: dict, end: dict):
+        import pyarrow.parquet as pq
+
+        lo, hi = int(start["offset"]), int(end["offset"])
+        parts = []
+        for file in _segment_files(self.log_dir):
+            meta = pq.ParquetFile(file).metadata
+            if meta.num_rows == 0:
+                continue
+            smin = smax = None
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(0).statistics
+                if st is None or not st.has_min_max:
+                    smin = smax = None
+                    break
+                smin = st.min if smin is None else min(smin, st.min)
+                smax = st.max if smax is None else max(smax, st.max)
+            if smin is not None and (smax <= lo or smin > hi):
+                continue
+            parts.append(_RangePartition(file, lo, hi))
+        return parts  # an empty range legitimately plans zero partitions
+
+    def read(self, partition: _RangePartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            partition.file, columns=["offset", "ts", "event", "message"]
+        )
+        mask = pc.and_(
+            pc.greater(tbl["offset"], partition.min_excl),
+            pc.less_equal(tbl["offset"], partition.max_incl),
+        )
+        tbl = tbl.filter(mask)
+        ts = tbl["ts"]
+        if pa.types.is_timestamp(ts.type) and (
+            ts.type.tz is not None or ts.type.unit != "us"
+        ):
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("ts"),
+                "ts",
+                pc.cast(ts, pa.timestamp("us")),
+            )
+        for batch in tbl.to_batches():
+            yield batch
+
+    def commit(self, end: dict) -> None:
+        pass  # durable progress lives in the streaming checkpoint
 
 
 class KafkaishStreamReader(SimpleDataSourceStreamReader):
@@ -456,8 +548,8 @@ class KafkaishDataSource(DataSource):
     def reader(self, schema) -> KafkaishBatchReader:
         return KafkaishBatchReader(self.options)
 
-    def simpleStreamReader(self, schema) -> KafkaishStreamReader:  # noqa: N802
-        return KafkaishStreamReader(self.options)
+    def streamReader(self, schema) -> KafkaishPartitionedStreamReader:  # noqa: N802
+        return KafkaishPartitionedStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> KafkaishBatchWriter:
         return KafkaishBatchWriter(self.options, overwrite)

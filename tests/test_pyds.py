@@ -266,3 +266,28 @@ def test_stream_write_exactly_once_per_epoch(spark, engine, tmp_path):
     rows = engine.prepare_topic("relay_dst").replay(since=3).collect()
     assert [r["offset"] for r in rows] == [4]
     assert rows[0]["message"] == '{"i": 4}'
+
+
+def test_partitioned_stream_reader_prunes_by_range(engine, pub_topic):
+    """The executor-parallel stream reader plans only the segments
+    overlapping the trigger's offset range (footer-stats pruning), and
+    reads exactly the range rows as Arrow batches."""
+    from kafkaish_spark.sources.pyds import KafkaishPartitionedStreamReader
+
+    r = KafkaishPartitionedStreamReader(
+        {"path": engine.root, "topic": "pyds"}
+    )
+    assert r.initialOffset() == {"offset": 0}
+    assert r.latestOffset() == {"offset": 9}
+    # range (3, 7]: segment 1 (1-3) pruned, segments 2 (4-6) + 3 (7-9) kept
+    parts = r.partitions({"offset": 3}, {"offset": 7})
+    assert len(parts) == 2
+    got = sorted(
+        o
+        for p in parts
+        for batch in r.read(p)
+        for o in batch["offset"].to_pylist()
+    )
+    assert got == [4, 5, 6, 7]
+    # empty range plans nothing
+    assert r.partitions({"offset": 9}, {"offset": 9}) == []
