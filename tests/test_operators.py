@@ -1125,3 +1125,26 @@ def test_levenshtein_fastss_candidates_complete_and_dictionary_scaled(spark):
     )
     # doubling rows with the same vocabulary: identical pair set
     assert fastss_pairs(vocab * 2) == truth
+
+
+def test_observation_metrics_collected_in_write_job(spark, sf_dir, tmp_path):
+    """corpus_write_audit: the audit numbers come from the SAME job
+    that writes the parquet (Observation API), and they match a
+    recompute over the written output exactly."""
+    from kafkaish_spark.functions.metrics import corpus_write_audit
+    from kafkaish_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "audited")
+    audit = corpus_write_audit(d, path)
+    back = spark.read.parquet(path)
+    n = back.count()
+    assert audit["n_rows"] == n
+    truth = back.agg(
+        F.sum(F.col("text").isNull().cast("long")).alias("nn"),
+        F.sum((F.length("text") == 0).cast("long")).alias("ne"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("sc"),
+    ).first()
+    assert audit["n_null_text"] == (truth["nn"] or 0)
+    assert audit["n_empty_text"] == (truth["ne"] or 0)
+    assert audit["sum_chars"] == truth["sc"]
