@@ -109,10 +109,15 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     explicit so the plan is inspectable.
 
     Scale: supply is the one fact-sized shuffle; the European supplier
-    dim (supplier x nation x region) broadcasts into it, the per-part
-    MIN is a partial-agg shuffle over the already-reduced cost table,
-    and part broadcasts into the final join.  Top-100 is tie-broken on
-    the unique (s_name, p_partkey) pair so LIMIT is deterministic."""
+    dim (supplier x nation x region) broadcasts into it, and the
+    per-part MIN rides a WINDOW over the same partkey partitioning
+    instead of a groupBy-plus-rejoin — one exchange of the cost table
+    total, where the aggregate-and-join decorrelation would pay two
+    plus a join.  part broadcasts into the final projection.  Top-100
+    is tie-broken on the unique (s_name, p_partkey) pair so LIMIT is
+    deterministic."""
+    from pyspark.sql import Window
+
     r = t(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
     n = t(spark, sf, "nation").join(
         F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
@@ -125,19 +130,15 @@ def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     costs = _supply(spark, sf).join(
         F.broadcast(eur), F.col("sp_suppkey") == F.col("s_suppkey")
     ).select("sp_partkey", "sp_cost_c", "s_name", "s_acctbal", "n_name")
-    min_costs = costs.groupBy(
-        F.col("sp_partkey").alias("mc_partkey")
-    ).agg(F.min("sp_cost_c").alias("min_cost_c"))
+    w_part = Window.partitionBy("sp_partkey")
+    best = costs.withColumn(
+        "min_cost_c", F.min("sp_cost_c").over(w_part)
+    ).filter(F.col("sp_cost_c") == F.col("min_cost_c"))
     p = t(spark, sf, "part").filter(
         F.col("p_size").between(10, 30) & F.col("p_name").like("%widget")
     ).select("p_partkey", "p_name")
     return (
-        costs.join(
-            min_costs,
-            (F.col("sp_partkey") == F.col("mc_partkey"))
-            & (F.col("sp_cost_c") == F.col("min_cost_c")),
-        )
-        .join(F.broadcast(p), F.col("sp_partkey") == F.col("p_partkey"))
+        best.join(F.broadcast(p), F.col("sp_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
             F.col("sp_cost_c").alias("supply_cost_c"),
@@ -240,10 +241,12 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     global-scalar subquery.  The share test is integer-exact
     (value x 1000 > total), never a float fraction.
 
-    Scale: the nation filter broadcasts into supply, the per-part SUM
-    is a partial-agg shuffle, and the grand total is the same
-    aggregate's single-row twin broadcast back into the HAVING filter
-    — the scalar subquery costs one 1-row exchange, not a recompute."""
+    Scale: the nation filter broadcasts into supply and the per-part
+    SUM is a partial-agg shuffle.  The grand total re-aggregates the
+    PER-PART frame (identical subplan on both sides of the broadcast,
+    so Spark's ReuseExchange serves the second consumer from the first
+    shuffle) — the scalar subquery costs one 1-row exchange over
+    |parts| rows, never a second pass over supply."""
     s = t(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
     n = t(spark, sf, "nation").filter(F.col("n_name") == "NATION_7").select(
         "n_nationkey"
@@ -262,7 +265,7 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf: str) -> DataFrame:
     per_part = nat.groupBy(F.col("sp_partkey").alias("p_partkey")).agg(
         F.sum("value_c").cast("long").alias("value_c")
     )
-    total = nat.agg(F.sum("value_c").cast("long").alias("total_c"))
+    total = per_part.agg(F.sum("value_c").cast("long").alias("total_c"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.col("value_c") * 1000 > F.col("total_c"))
