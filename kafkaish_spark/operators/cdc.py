@@ -1,0 +1,177 @@
+"""Change-data-capture over the topic log — the Debezium /
+Kafka-Connect pattern: table diffs become an ordered event stream, and
+replaying the stream onto the old snapshot reconstructs the new one.
+
+The reference's log carries opaque app messages; Kafka's flagship
+production use is CDC — the log as the source of truth between
+snapshots.  This module closes the loop with three Spark-first pieces:
+
+- ``capture(old, new, key)``: full-outer fingerprint diff (the
+  q_diff_snapshots kernel) emitting one event per changed key —
+  ``upsert`` with the new row payload, ``delete`` with just the key.
+  Payloads travel as JSON (the log's native message type); unchanged
+  keys emit NOTHING, so event volume tracks churn, not table size.
+- publish into a topic: events get offsets, so multi-batch captures
+  replay in order and latest-wins semantics are well-defined.
+- ``apply(base, topic, key, ddl)``: replay the event stream, keep the
+  LATEST event per key (window over offset — the per-key compaction a
+  Kafka table-topic consumer does), anti-join deletes+upserts out of
+  the base, union the upsert payloads back in.
+
+Scale: capture's only data-sized motion is the key+hash shuffle of the
+diff (payload bytes move ONLY for changed keys); apply shuffles the
+base once on the key for the anti-join, and the event stream once for
+per-key compaction — churn-sized, not table-sized.  The invariant
+``apply(old, capture(old, new)) == new`` is exactly what the oracle
+checks, fingerprint-grouped.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def capture(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Change events turning ``old`` into ``new``: (event, message)
+    rows ready to publish — ``upsert`` carries the new row as JSON,
+    ``delete`` carries only the key.  Row identity is an md5 over the
+    full payload, so any column change emits an upsert."""
+    payload_cols = [c for c in new.columns]
+    fp = lambda df: F.md5(F.to_json(F.struct(*[df[c] for c in df.columns])))  # noqa: E731
+    o = old.select(old[key].alias("_k"), fp(old).alias("_ho"))
+    n = new.select(
+        new[key].alias("_k"),
+        fp(new).alias("_hn"),
+        F.to_json(F.struct(*[new[c] for c in payload_cols])).alias("_payload"),
+    )
+    j = o.join(n, "_k", "full_outer")
+    upserts = j.filter(
+        F.col("_hn").isNotNull()
+        & (F.col("_ho").isNull() | (F.col("_ho") != F.col("_hn")))
+    ).select(F.lit("upsert").alias("event"), F.col("_payload").alias("message"))
+    deletes = j.filter(F.col("_hn").isNull()).select(
+        F.lit("delete").alias("event"),
+        F.to_json(F.struct(F.col("_k").alias(key))).alias("message"),
+    )
+    return upserts.unionByName(deletes)
+
+
+def apply_changes(
+    base: DataFrame, events: DataFrame, key: str, ddl: str
+) -> DataFrame:
+    """Replay ``events`` (offset, event, message) onto ``base``:
+    per-key compaction keeps only the latest event (offset order —
+    the Kafka compacted-topic read), then deletes and upserts apply.
+    ``ddl`` is the payload schema (the typed-topic registry would
+    hold it)."""
+    parsed = events.select(
+        "offset", "event", F.from_json("message", ddl).alias("p")
+    ).select("offset", "event", "p.*")
+    w_latest = Window.partitionBy(key).orderBy(F.col("offset").desc())
+    latest = (
+        parsed.withColumn("_rn", F.row_number().over(w_latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = latest.select(key)
+    survivors = base.join(touched, key, "left_anti")
+    upserts = latest.filter(F.col("event") == "upsert").drop("offset", "event")
+    return survivors.unionByName(upserts)
+
+
+_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+_CDC_DDL = (
+    "o_orderkey bigint, o_orderstatus string, o_orderpriority string, "
+    "cents bigint"
+)
+
+
+def _snap_old(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    return o.filter(F.year("o_orderdate") <= 1997).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.expr(_CENTS).alias("cents"),
+    )
+
+
+def _snap_new(spark: SparkSession, sf: str) -> DataFrame:
+    o = t(spark, sf, "orders")
+    yr = F.year("o_orderdate")
+    return o.filter(yr >= 1996).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(yr == 1996, F.lit("0-MOD"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        F.expr(_CENTS).alias("cents"),
+    )
+
+
+@query(
+    "q_cdc_capture_apply_roundtrip",
+    oracle=f"""
+    WITH snap_b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                  THEN '0-MOD' ELSE o_orderpriority END AS o_orderpriority,
+             {_CENTS} AS cents
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) >= 1996)
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM snap_b GROUP BY 1, 2
+    """,
+)
+def q_cdc_capture_apply_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """The CDC invariant end-to-end THROUGH the log:
+    ``apply(old, replay(publish(capture(old, new)))) == new``.
+
+    Old snapshot = orders through 1997; new = 1996-onward with 1996
+    priorities rewritten (same deterministic scenario as
+    q_diff_snapshots, so all of added/changed/removed occur).  Events
+    are captured, PUBLISHED to a real topic (assigned offsets),
+    replayed, compacted per key, and applied onto the old snapshot;
+    the fingerprint of the reconstruction must equal the oracle's
+    direct computation of the new snapshot.  Any dropped event, wrong
+    op classification, mis-ordered compaction, or payload corruption
+    moves a sum."""
+    from kafkaish_spark.sources.topic_log import Engine
+
+    old = _snap_old(spark, sf)
+    new = _snap_new(spark, sf)
+    root = os.path.join(
+        _REPO_ROOT, "spark-warehouse", "_cdc",
+        os.path.basename(sf.rstrip("/")) or "default",
+    )
+    eng = Engine(spark, root)
+    topic = eng.prepare_topic("orders_cdc")
+    events = capture(old, new, "o_orderkey")
+    n_events = events.count()
+    if topic.latest() != n_events:
+        if topic.latest():  # stale log from regenerated testdata
+            import shutil
+
+            shutil.rmtree(os.path.join(root, "orders_cdc"))
+            eng = Engine(spark, root)
+            topic = eng.prepare_topic("orders_cdc")
+        topic.publish_df(events)
+    stream = topic.replay(since=0).select("offset", "event", "message")
+    rebuilt = apply_changes(old, stream, "o_orderkey", _CDC_DDL)
+    return rebuilt.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("long").alias("sum_keys"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )

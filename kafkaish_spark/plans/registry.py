@@ -73,6 +73,7 @@ def _load_all() -> None:
     import kafkaish_spark.operators.composites25  # noqa: F401
     import kafkaish_spark.operators.composites26  # noqa: F401
     import kafkaish_spark.operators.composites27  # noqa: F401
+    import kafkaish_spark.operators.cdc  # noqa: F401
     import kafkaish_spark.sources.ingest  # noqa: F401
     import kafkaish_spark.sources.pyds  # noqa: F401
     import kafkaish_spark.sources.typed  # noqa: F401

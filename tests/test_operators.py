@@ -1148,3 +1148,28 @@ def test_observation_metrics_collected_in_write_job(spark, sf_dir, tmp_path):
     assert audit["n_null_text"] == (truth["nn"] or 0)
     assert audit["n_empty_text"] == (truth["ne"] or 0)
     assert audit["sum_chars"] == truth["sc"]
+
+
+def test_cdc_multi_batch_compaction_latest_wins(spark, tmp_path):
+    """CDC apply across MULTIPLE captured batches: a key updated twice,
+    a key deleted then re-inserted, and a key deleted last — per-key
+    compaction over the log's offset order must apply exactly the
+    latest event, reconstructing the final state."""
+    from kafkaish_spark.operators.cdc import apply_changes, capture
+    from kafkaish_spark.sources.topic_log import Engine
+
+    ddl = "id bigint, val string"
+    s0 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ddl)
+    s1 = spark.createDataFrame([(1, "a2"), (3, "c"), (4, "d")], ddl)  # upd 1, del 2, add 4
+    s2 = spark.createDataFrame([(1, "a3"), (2, "b2"), (3, "c")], ddl)  # upd 1 again, re-add 2, del 4
+
+    eng = Engine(spark, str(tmp_path / "topics"))
+    topic = eng.prepare_topic("cdc_chain")
+    topic.publish_df(capture(s0, s1, "id"))
+    topic.publish_df(capture(s1, s2, "id"))
+
+    stream = topic.replay(since=0).select("offset", "event", "message")
+    rebuilt = apply_changes(s0, stream, "id", ddl)
+    got = sorted((r["id"], r["val"]) for r in rebuilt.collect())
+    want = sorted((r["id"], r["val"]) for r in s2.collect())
+    assert got == want
