@@ -89,6 +89,75 @@ def apply_changes(
     return survivors.unionByName(upserts)
 
 
+def stream_apply(
+    topic,
+    table_path: str,
+    key: str,
+    ddl: str,
+    name: str = "cdc_apply",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuously materialize a table from its changelog topic — the
+    Kafka-Connect JDBC-sink analog: every micro-batch of events folds
+    into the parquet materialization via ``apply_changes``.
+
+    Crash-safety comes from two directions meeting in the middle:
+    the streaming checkpoint redelivers an uncommitted batch on resume
+    (at-least-once), and ``apply_changes`` is IDEMPOTENT for a
+    re-applied batch (deletes of absent keys no-op; upserts converge
+    to the same latest payload) — so replay-after-crash yields the
+    same table, the classic at-least-once + idempotent-apply =
+    effectively-once argument.  The swap keeps a ``.old`` generation
+    until the new one is in place; ``read_materialized`` recovers from
+    it if a crash lands between the two renames.
+
+    Scale: per batch, one key-shuffle of the materialization (churn
+    join) and a rewrite of the table files.  For a 100 TB table the
+    rewrite is the cost to beat — partition the materialization and
+    rewrite only partitions containing touched keys (the table-format
+    upsert problem; Delta/Iceberg MERGE is this same loop with file-
+    level pruning)."""
+    import shutil
+
+    from kafkaish_spark.streaming.subscribe import subscribe_batches
+
+    spark = topic.spark
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        base = read_materialized(spark, table_path, ddl)
+        events = batch_df.select("offset", "event", "message")
+        rebuilt = apply_changes(base, events, key, ddl)
+        nxt = table_path + ".next"
+        rebuilt.write.mode("overwrite").parquet(nxt)
+        old = table_path + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        if os.path.isdir(table_path):
+            os.rename(table_path, old)
+        os.rename(nxt, table_path)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    return subscribe_batches(
+        topic,
+        fold,
+        name=name,
+        replay=True,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def read_materialized(spark: SparkSession, table_path: str, ddl: str) -> DataFrame:
+    """The current materialization (or the ``.old`` generation if a
+    crash interrupted the swap; empty frame if never built)."""
+    for p in (table_path, table_path + ".old"):
+        if os.path.isdir(p):
+            return spark.read.schema(ddl).parquet(p)
+    return spark.createDataFrame([], ddl)
+
+
 _CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
 _CDC_DDL = (
     "o_orderkey bigint, o_orderstatus string, o_orderpriority string, "

@@ -631,3 +631,46 @@ def test_arrow_regression_degenerate_group_yields_null():
     )
     out2 = _regress_arrow(const_x)
     assert out2.column("slope")[0].as_py() is None
+
+
+def test_cdc_stream_apply_materializes_and_tracks_changes(engine, spark, tmp_path):
+    """stream_apply keeps a parquet materialization in sync with the
+    changelog topic across multiple drains, and re-applying a batch is
+    idempotent (the at-least-once + idempotent-apply contract)."""
+    from kafkaish_spark.operators.cdc import (
+        apply_changes,
+        capture,
+        read_materialized,
+        stream_apply,
+    )
+
+    ddl = "id bigint, val string"
+    s0 = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ddl)
+    s1 = spark.createDataFrame([(1, "a2"), (3, "c"), (4, "d")], ddl)
+    s2 = spark.createDataFrame([(2, "back"), (3, "c3"), (4, "d")], ddl)
+
+    topic = engine.prepare_topic("cdc_stream")
+    # bootstrap: empty -> s0, then s0 -> s1
+    topic.publish_df(capture(spark.createDataFrame([], ddl), s0, "id"))
+    topic.publish_df(capture(s0, s1, "id"))
+    table = str(tmp_path / "materialized")
+
+    sub = stream_apply(topic, table, "id", ddl)
+    sub.query.awaitTermination(120)
+    got = sorted((r["id"], r["val"]) for r in read_materialized(spark, table, ddl).collect())
+    assert got == sorted((r["id"], r["val"]) for r in s1.collect())
+
+    # next generation of changes arrives; a fresh drain catches up
+    topic.publish_df(capture(s1, s2, "id"))
+    sub2 = stream_apply(topic, table, "id", ddl)
+    sub2.query.awaitTermination(120)
+    got = sorted((r["id"], r["val"]) for r in read_materialized(spark, table, ddl).collect())
+    assert got == sorted((r["id"], r["val"]) for r in s2.collect())
+
+    # idempotence: re-applying the LAST batch changes nothing
+    events = topic.replay(since=0).select("offset", "event", "message")
+    reapplied = apply_changes(
+        read_materialized(spark, table, ddl), events, "id", ddl
+    )
+    got2 = sorted((r["id"], r["val"]) for r in reapplied.collect())
+    assert got2 == got
