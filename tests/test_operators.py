@@ -1173,3 +1173,58 @@ def test_cdc_multi_batch_compaction_latest_wins(spark, tmp_path):
     got = sorted((r["id"], r["val"]) for r in rebuilt.collect())
     want = sorted((r["id"], r["val"]) for r in s2.collect())
     assert got == want
+
+
+def test_levenshtein_fastss_completeness_fuzz(spark):
+    """Hypothesis-generated adversarial dictionary (tiny alphabet to
+    force variant collisions, lengths 0-12, unicode mix-ins): the
+    Spark FastSS candidate pipeline must reproduce the brute-force
+    lev<=2 pair set EXACTLY.  One Spark roundtrip over the whole batch
+    (the jsonl-fuzz pattern — per-example Spark jobs are too slow)."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafkaish_spark.operators.llm import _LEV_K, lev_variant_blocks
+
+    collected: list[str] = []
+
+    @settings(max_examples=60, deadline=None, database=None)
+    @given(st.text(alphabet="abcå ", max_size=12))
+    def gather(s):
+        collected.append(s)
+
+    gather()
+    vocab = sorted({s for s in collected if s})
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    truth = {
+        (a, b)
+        for a, b in itertools.combinations(vocab, 2)
+        if lev(a, b) <= _LEV_K
+    }
+    names = spark.createDataFrame([(n,) for n in vocab], "name string")
+    blocks = lev_variant_blocks(names)
+    a = blocks.select(F.col("name").alias("na"), "v")
+    b = blocks.select(F.col("name").alias("nb"), "v")
+    cand = (
+        a.join(b, ["v"])
+        .filter(F.col("na") < F.col("nb"))
+        .select("na", "nb")
+        .distinct()
+        .filter(F.levenshtein(F.col("na"), F.col("nb")) <= _LEV_K)
+    )
+    got = {(r["na"], r["nb"]) for r in cand.collect()}
+    assert got == truth, (
+        f"missed={sorted(truth - got)[:5]} spurious={sorted(got - truth)[:5]}"
+    )
