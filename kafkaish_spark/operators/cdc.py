@@ -158,6 +158,128 @@ def read_materialized(spark: SparkSession, table_path: str, ddl: str) -> DataFra
     return spark.createDataFrame([], ddl)
 
 
+# ------------------------------------------------- bucketed materialization
+#
+# stream_apply rewrites the WHOLE materialization every batch — fine
+# while the table is rollup-sized, the cost to beat when it is
+# fact-sized.  The bucketed variant is the partition-pruned MERGE every
+# table format converges on: the materialization lives as N key-hash
+# buckets (bucket = crc32(key) % N, stable across restarts), each
+# batch touches only the buckets whose keys appear in its events, and
+# untouched buckets are NOT read, NOT shuffled, NOT rewritten.  Per
+# batch the work is O(churned buckets), so a trickle of changes against
+# a huge table costs a trickle — the property that makes continuous
+# CDC viable at 100 TB.  Same crash contract as stream_apply
+# (checkpoint redelivery + idempotent apply + per-bucket .old swap).
+
+
+def _bucket_of(key_col, n_buckets: int):
+    return F.crc32(key_col.cast("string")) % n_buckets
+
+
+def _swap_dir(new_dir: str, live_dir: str) -> None:
+    import shutil
+
+    old = live_dir + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    if os.path.isdir(live_dir):
+        os.rename(live_dir, old)
+    os.rename(new_dir, live_dir)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+
+
+def stream_apply_bucketed(
+    topic,
+    table_path: str,
+    key: str,
+    ddl: str,
+    n_buckets: int = 64,
+    name: str = "cdc_apply_bucketed",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Bucketed continuous CDC apply: only key-hash buckets with
+    events in the current batch are read and rewritten.  See the
+    comment block above for the scale argument."""
+    from kafkaish_spark.streaming.subscribe import subscribe_batches
+
+    spark = topic.spark
+
+    def fold(batch_df: DataFrame, _batch_id: int) -> None:
+        parsed = batch_df.select(
+            "offset", "event", F.from_json("message", ddl).alias("p")
+        ).select("offset", "event", "p.*")
+        parsed = parsed.withColumn("_b", _bucket_of(F.col(key), n_buckets))
+        parsed = parsed.persist()
+        try:
+            touched = sorted(
+                r["_b"] for r in parsed.select("_b").distinct().collect()
+            )
+            for b in touched:
+                bucket_dir = os.path.join(table_path, f"bucket={b}")
+                base = (
+                    spark.read.schema(ddl).parquet(bucket_dir)
+                    if os.path.isdir(bucket_dir)
+                    else (
+                        spark.read.schema(ddl).parquet(bucket_dir + ".old")
+                        if os.path.isdir(bucket_dir + ".old")
+                        else spark.createDataFrame([], ddl)
+                    )
+                )
+                ev_b = parsed.filter(F.col("_b") == b).drop("_b")
+                # re-wrap as (offset, event, message-shaped columns) for
+                # apply_changes: already parsed, so apply directly
+                w_latest = Window.partitionBy(key).orderBy(
+                    F.col("offset").desc()
+                )
+                latest = (
+                    ev_b.withColumn("_rn", F.row_number().over(w_latest))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+                survivors = base.join(latest.select(key), key, "left_anti")
+                upserts = latest.filter(F.col("event") == "upsert").drop(
+                    "offset", "event"
+                )
+                rebuilt = survivors.unionByName(upserts)
+                nxt = bucket_dir + ".next"
+                rebuilt.write.mode("overwrite").parquet(nxt)
+                _swap_dir(nxt, bucket_dir)
+        finally:
+            parsed.unpersist()
+
+    return subscribe_batches(
+        topic,
+        fold,
+        name=name,
+        replay=True,
+        available_now=available_now,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def read_materialized_bucketed(
+    spark: SparkSession, table_path: str, ddl: str
+) -> DataFrame:
+    """Union of all live bucket generations (recovering interrupted
+    swaps per bucket); empty frame if never built."""
+    if not os.path.isdir(table_path):
+        return spark.createDataFrame([], ddl)
+    dirs = []
+    for e in sorted(os.listdir(table_path)):
+        if e.startswith("bucket=") and not e.endswith((".old", ".next")):
+            dirs.append(os.path.join(table_path, e))
+        elif e.endswith(".old"):
+            live = os.path.join(table_path, e[: -len(".old")])
+            if not os.path.isdir(live):
+                dirs.append(os.path.join(table_path, e))
+    if not dirs:
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(*dirs)
+
+
 _CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
 _CDC_DDL = (
     "o_orderkey bigint, o_orderstatus string, o_orderpriority string, "

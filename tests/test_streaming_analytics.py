@@ -674,3 +674,66 @@ def test_cdc_stream_apply_materializes_and_tracks_changes(engine, spark, tmp_pat
     )
     got2 = sorted((r["id"], r["val"]) for r in reapplied.collect())
     assert got2 == got
+
+
+def test_cdc_bucketed_apply_rewrites_only_touched_buckets(engine, spark, tmp_path):
+    """stream_apply_bucketed: correctness equals the full rebuild AND
+    buckets with no events in a batch keep their files byte-identical
+    (partition-pruned MERGE — the 100 TB property)."""
+    import os
+
+    from kafkaish_spark.operators.cdc import (
+        capture,
+        read_materialized_bucketed,
+        stream_apply_bucketed,
+    )
+
+    ddl = "id bigint, val string"
+    n = 8
+    s0 = spark.createDataFrame([(i, f"v{i}") for i in range(40)], ddl)
+    topic = engine.prepare_topic("cdc_bucketed")
+    topic.publish_df(capture(spark.createDataFrame([], ddl), s0, "id"))
+    table = str(tmp_path / "bucketed")
+
+    sub = stream_apply_bucketed(topic, table, "id", ddl, n_buckets=n)
+    sub.query.awaitTermination(120)
+    got = sorted(
+        (r["id"], r["val"])
+        for r in read_materialized_bucketed(spark, table, ddl).collect()
+    )
+    assert got == sorted((r["id"], r["val"]) for r in s0.collect())
+
+    def snapshot_files():
+        out = {}
+        for root, _d, files in os.walk(table):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.path.getmtime(p)
+        return out
+
+    before = snapshot_files()
+    # a tiny delta: touch exactly one key (one bucket)
+    s1 = spark.createDataFrame(
+        [(i, "CHANGED" if i == 7 else f"v{i}") for i in range(40)], ddl
+    )
+    topic.publish_df(capture(s0, s1, "id"))
+    sub2 = stream_apply_bucketed(topic, table, "id", ddl, n_buckets=n)
+    sub2.query.awaitTermination(120)
+
+    got = sorted(
+        (r["id"], r["val"])
+        for r in read_materialized_bucketed(spark, table, ddl).collect()
+    )
+    assert got == sorted((r["id"], r["val"]) for r in s1.collect())
+
+    after = snapshot_files()
+    changed_dirs = set()
+    for p in set(before) ^ set(after) | {
+        p for p in before if p in after and before[p] != after[p]
+    }:
+        rel = os.path.relpath(p, table)
+        changed_dirs.add(rel.split(os.sep)[0])
+    # exactly ONE bucket rewritten; the other 7 byte-untouched
+    assert len({d for d in changed_dirs if d.startswith("bucket=")}) == 1, (
+        changed_dirs
+    )
