@@ -559,12 +559,18 @@ class KafkaishDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the 'kafkaish' format on a session.
-    Also enables Python-data-source filter pushdown (runtime-settable
-    SQL conf, off by default in 4.1) — without it Spark refuses any
-    reader that implements pushFilters."""
+    """Idempotent registration of BOTH topic-log formats on a session:
+    'kafkaish' (engine-level: path=engine root + topic name, pushed
+    filters, executor-parallel streaming, write side — this module)
+    and 'kafkaish_topic' (log-directory-level reader, sources/
+    pyds_topic.py).  Also enables Python-data-source filter pushdown
+    (runtime-settable SQL conf, off by default in 4.1) — without it
+    Spark refuses any reader that implements pushFilters."""
+    from kafkaish_spark.sources.pyds_topic import KafkaishTopicDataSource
+
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(KafkaishDataSource)
+    spark.dataSource.register(KafkaishTopicDataSource)
 
 
 # ---------------------------------------------------------------- oracle query
