@@ -401,6 +401,15 @@ class KafkaishBatchWriter(DataSourceArrowWriter):
         self.log_dir = _log_dir(options)
         if not os.path.isdir(self.log_dir):
             raise FileNotFoundError(f"no such topic log: {self.log_dir}")
+        if any(
+            e.startswith("pub_date=") for e in os.listdir(self.log_dir)
+        ):
+            # flat segment files inside a hive-partitioned layout make
+            # the JVM reader fail with conflicting directory structures
+            raise ValueError(
+                "kafkaish sink does not support date-partitioned topics; "
+                "publish through Topic.publish_df instead"
+            )
         import uuid
 
         self.stage_dir = os.path.join(

@@ -291,3 +291,23 @@ def test_partitioned_stream_reader_prunes_by_range(engine, pub_topic):
     assert got == [4, 5, 6, 7]
     # empty range plans nothing
     assert r.partitions({"offset": 9}, {"offset": 9}) == []
+
+
+def test_batch_write_rejects_partitioned_topics(spark, engine):
+    """Flat DSv2 segments inside a pub_date-partitioned layout would
+    corrupt the directory scheme — the writer must refuse upfront."""
+    from kafkaish_spark.sources.pyds import register
+
+    register(spark)
+    topic = engine.prepare_topic("pyds_part", partitioned=True)
+    topic.publish("a", {"i": 1})
+    df = spark.createDataFrame([("a", "x")], "event string, message string")
+    with pytest.raises(Exception, match="date-partitioned"):
+        (
+            df.write.format("kafkaish")
+            .option("path", engine.root)
+            .option("topic", "pyds_part")
+            .mode("append")
+            .save()
+        )
+    assert topic.latest() == 1
