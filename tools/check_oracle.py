@@ -9,6 +9,10 @@ report whether they match exactly — any non-exact float is a hash risk
 and should be fixed at the query level).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+Set SPARK_GRAFT_PLAIN=1 to run on a PLAIN SparkSession (no engine
+configs) — the driver's environment; catches config leaks such as the
+events nanos-timestamp handling or runtime-conf dependencies.
 """
 
 from __future__ import annotations
@@ -129,9 +133,16 @@ def values_equal(a, b):
 
 
 def main():
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_PLAIN"):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for tname in TABLES:
         con.execute(
