@@ -257,6 +257,40 @@ def read_typed(topic: Topic, event: str, since: int = 0) -> DataFrame:
     )
 
 
+def stream_typed(topic: Topic, event: str, **stream_kwargs) -> DataFrame:
+    """Streaming schema-on-read: the live tail of ``event`` messages
+    projected into typed columns under the registered schema — the
+    streaming twin of ``read_typed``.  Feed it to any writeStream
+    (windowed aggregates on payload FIELDS now work: the topic behaves
+    like a streaming table).  Late schema evolution is safe for the
+    same reason the batch path is: BACKWARD compatibility means the
+    registered schema always reads older payloads (new fields null).
+    """
+    ddl = get_schema(topic, event)
+    if ddl is None:
+        raise SchemaViolation(
+            f"no schema registered for {topic.name}/{event}"
+        )
+    s = topic.stream(event=event, **stream_kwargs)
+    parsed = s.withColumn("_payload", F.from_json("message", ddl))
+    return parsed.select(
+        "offset",
+        "ts",
+        "event",
+        *[
+            F.col(f"_payload.{f.name}").alias(f.name)
+            for f in StructType.fromDDL(ddl).fields
+        ],
+    )
+
+
+def create_typed_view(topic: Topic, event: str, view_name: str) -> None:
+    """Register ``read_typed(topic, event)`` as a temp view so the SQL
+    surface sees the topic as a TABLE:
+    ``spark.sql(f"SELECT ... FROM {view_name} WHERE ...")``."""
+    read_typed(topic, event).createOrReplaceTempView(view_name)
+
+
 # ---------------------------------------------------------------- oracle query
 from pyspark.sql import SparkSession  # noqa: E402
 

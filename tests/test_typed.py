@@ -149,3 +149,81 @@ def test_schema_evolution_reads_old_data(engine, spark):
     )
     rows = read_typed(topic, "click").orderBy("offset").collect()
     assert [(r["user_id"], r["meta"]) for r in rows] == [(1, None), (2, "x")]
+
+
+def test_stream_typed_projects_live_tail(engine, spark, tmp_path):
+    """stream_typed delivers typed columns per micro-batch, resumes
+    from the checkpoint, and tolerates a schema evolution between
+    drains (old payloads read under the new schema)."""
+    from kafkaish_spark.sources.typed import (
+        publish_typed,
+        register_schema,
+        stream_typed,
+    )
+
+    topic = engine.prepare_topic("typed_stream")
+    register_schema(topic, "click", DDL_V1)
+    publish_typed(
+        topic,
+        spark.createDataFrame(
+            [("click", '{"user_id": 1, "action": "buy"}'),
+             ("click", '{"user_id": 2, "action": "sell"}')],
+            "event string, message string",
+        ),
+    )
+    got = []
+
+    def drain():
+        q = (
+            stream_typed(topic, "click")
+            .writeStream.foreachBatch(
+                lambda df, bid: got.extend(
+                    (r["user_id"], r["action"], r["meta"] if "meta" in df.columns else None)
+                    for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted(got) == [(1, "buy", None), (2, "sell", None)]
+    # evolve, publish under v2, resume: only the new message arrives,
+    # projected under the evolved schema
+    register_schema(topic, "click", DDL_V2_OK)
+    publish_typed(
+        topic,
+        spark.createDataFrame(
+            [("click", '{"user_id": 3, "action": "buy", "meta": "m"}')],
+            "event string, message string",
+        ),
+    )
+    got.clear()
+    drain()
+    assert got == [(3, "buy", "m")]
+
+
+def test_create_typed_view_sql_surface(engine, spark):
+    from kafkaish_spark.sources.typed import (
+        create_typed_view,
+        publish_typed,
+        register_schema,
+    )
+
+    topic = engine.prepare_topic("typed_view")
+    register_schema(topic, "click", DDL_V1)
+    publish_typed(
+        topic,
+        spark.createDataFrame(
+            [("click", '{"user_id": 5, "action": "buy"}'),
+             ("click", '{"user_id": 6, "action": "sell"}')],
+            "event string, message string",
+        ),
+    )
+    create_typed_view(topic, "click", "clicks_v")
+    row = spark.sql(
+        "SELECT sum(user_id) AS s FROM clicks_v WHERE action = 'buy'"
+    ).first()
+    assert row["s"] == 5
