@@ -1,0 +1,182 @@
+"""Cross-topic transactional publish — all-or-nothing appends over
+several topics, with journaled crash recovery.
+
+The reference can only append to one collection at a time; a producer
+feeding N shard topics (``Engine.union_topics`` readers) or a
+topic-plus-DLQ pair has no way to keep them consistent across a crash.
+Kafka solves this with transactions; the log-structured analog here is
+the classic two-phase journal:
+
+1. **Stage**: every payload is written as FINAL log segments (offsets
+   already assigned after each topic's tail) into a transaction
+   directory — durable, but invisible to readers.
+2. **Commit point**: the journal's state flips ``staged`` ->
+   ``committing`` (one atomic file replace).  Everything before the
+   flip rolls BACK on recovery; everything after rolls FORWARD.
+3. **Publish**: each staged segment is renamed into its topic's log
+   dir (rename is atomic per file), then the journal is deleted.
+
+``recover_transactions`` scans the journal directory: ``staged``
+transactions are dropped wholesale (no reader ever saw them),
+``committing`` transactions finish their remaining renames (the data
+is durable and possibly partially visible — roll-forward is the only
+choice that preserves atomicity without un-publishing).
+``publish_transaction`` runs recovery first, so a crashed process's
+debris never blocks or corrupts the next writer.
+
+Contract notes: single-writer per engine root (the same contract every
+publish path here has — offsets are assigned from the tails observed
+at stage time); isolation is read-uncommitted DURING the rename window
+(a reader may see topic A's rows before topic B's — Kafka's default
+isolation), but never a torn PER-TOPIC batch (a parquet segment
+appears atomically) and never a partial transaction after recovery.
+Partitioned (pub_date) topics are not supported — their layout splits
+one logical append across directories, which file renames cannot make
+atomic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafkaish_spark.sources.topic_log import (
+    ENVELOPE,
+    Engine,
+    _assign_contiguous_ids,
+)
+
+
+def _txn_root(engine: Engine) -> str:
+    return os.path.join(engine.root, "_txn")
+
+
+def _journal_path(txn_dir: str) -> str:
+    return os.path.join(txn_dir, "journal.json")
+
+
+def _write_journal(txn_dir: str, doc: dict) -> None:
+    tmp = _journal_path(txn_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1)
+    os.replace(tmp, _journal_path(txn_dir))
+
+
+def recover_transactions(engine: Engine) -> dict:
+    """Resolve every pending transaction under the engine root:
+    ``staged`` -> rolled back (deleted), ``committing`` -> rolled
+    forward (remaining renames performed).  Returns counts."""
+    root = _txn_root(engine)
+    out = {"rolled_back": 0, "rolled_forward": 0}
+    if not os.path.isdir(root):
+        return out
+    for txn in sorted(os.listdir(root)):
+        txn_dir = os.path.join(root, txn)
+        jpath = _journal_path(txn_dir)
+        if not os.path.exists(jpath):
+            shutil.rmtree(txn_dir, ignore_errors=True)  # pre-journal debris
+            continue
+        with open(jpath) as f:
+            doc = json.load(f)
+        if doc["state"] == "staged":
+            shutil.rmtree(txn_dir)
+            out["rolled_back"] += 1
+        else:  # committing: finish the moves
+            for mv in doc["moves"]:
+                if os.path.exists(mv["src"]) and not os.path.exists(mv["dst"]):
+                    os.rename(mv["src"], mv["dst"])
+            shutil.rmtree(txn_dir)
+            out["rolled_forward"] += 1
+    return out
+
+
+def publish_transaction(
+    engine: Engine,
+    publishes: list[tuple[str, DataFrame]],
+    _crash_after: str | int | None = None,  # test hook: simulate crashes
+) -> dict:
+    """Atomically append each DataFrame(event, message[, ts]) to its
+    topic.  Returns {topic: rows_published}.  See the module docstring
+    for the staging/commit/recovery protocol."""
+    recover_transactions(engine)
+    txn_dir = os.path.join(_txn_root(engine), uuid.uuid4().hex)
+    os.makedirs(txn_dir)
+    moves: list[dict] = []
+    counts: dict[str, int] = {}
+    try:
+        # -- stage: final-format segments, offsets assigned after tails
+        for i, (name, df) in enumerate(publishes):
+            topic = engine.prepare_topic(name)
+            if topic.partitioned:
+                raise ValueError(
+                    "publish_transaction does not support "
+                    "date-partitioned topics"
+                )
+            if "ts" not in df.columns:
+                df = df.withColumn("ts", F.current_timestamp())
+            src = df.select("event", "message", "ts").coalesce(1)
+            src = src.persist()
+            try:
+                out = _assign_contiguous_ids(src, topic.latest())
+                out = out.select(
+                    F.col("offset"),
+                    F.col("ts").cast("timestamp").alias("ts"),
+                    F.col("event").cast("string").alias("event"),
+                    F.col("message").cast("string").alias("message"),
+                )
+                stage_sub = os.path.join(txn_dir, f"t{i}")
+                out.write.mode("overwrite").parquet(stage_sub)
+            finally:
+                src.unpersist()
+            staged_files = sorted(
+                f
+                for f in os.listdir(stage_sub)
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+            counts[name] = counts.get(name, 0)
+            for j, f in enumerate(staged_files):
+                moves.append(
+                    {
+                        "src": os.path.join(stage_sub, f),
+                        "dst": os.path.join(
+                            topic.log_dir,
+                            f"part-txn{os.path.basename(txn_dir)}-{i}-{j}.parquet",
+                        ),
+                    }
+                )
+            import pyarrow.parquet as pq
+
+            counts[name] += sum(
+                pq.ParquetFile(os.path.join(stage_sub, f)).metadata.num_rows
+                for f in staged_files
+            )
+        _write_journal(
+            txn_dir, {"state": "staged", "moves": moves}
+        )
+        if _crash_after == "staged":
+            raise RuntimeError("simulated crash after staging")
+        # -- commit point
+        _write_journal(
+            txn_dir, {"state": "committing", "moves": moves}
+        )
+        for k, mv in enumerate(moves):
+            if _crash_after == k:
+                raise RuntimeError(f"simulated crash after {k} moves")
+            os.rename(mv["src"], mv["dst"])
+        shutil.rmtree(txn_dir)
+        return counts
+    except RuntimeError:
+        raise  # simulated crashes leave the journal for recovery
+    except Exception:
+        # real staging failures before the commit point: clean rollback
+        if os.path.exists(_journal_path(txn_dir)):
+            with open(_journal_path(txn_dir)) as f:
+                if json.load(f)["state"] == "committing":
+                    raise  # past the commit point: recovery rolls forward
+        shutil.rmtree(txn_dir, ignore_errors=True)
+        raise

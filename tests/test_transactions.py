@@ -1,0 +1,108 @@
+"""Cross-topic transactional publish (sources/transactions.py):
+all-or-nothing across topics, journal recovery in both directions."""
+
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "event string, message string")
+
+
+def test_commit_appends_to_all_topics_with_contiguous_offsets(engine, spark):
+    from kafkaish_spark.sources.transactions import publish_transaction
+
+    a = engine.prepare_topic("txn_a")
+    a.publish("e", {"pre": 1})  # pre-existing tail
+    counts = publish_transaction(
+        engine,
+        [
+            ("txn_a", _df(spark, [("e", "a1"), ("e", "a2")])),
+            ("txn_b", _df(spark, [("e", "b1")])),
+        ],
+    )
+    assert counts == {"txn_a": 2, "txn_b": 1}
+    assert [r["offset"] for r in a.replay(since=0).collect()] == [1, 2, 3]
+    b = engine.prepare_topic("txn_b")
+    rows = b.replay(since=0).collect()
+    assert [(r["offset"], r["message"]) for r in rows] == [(1, "b1")]
+
+
+def test_crash_after_staging_rolls_back(engine, spark):
+    from kafkaish_spark.sources.transactions import (
+        publish_transaction,
+        recover_transactions,
+    )
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        publish_transaction(
+            engine,
+            [
+                ("txn_a", _df(spark, [("e", "x")])),
+                ("txn_b", _df(spark, [("e", "y")])),
+            ],
+            _crash_after="staged",
+        )
+    # nothing visible before recovery...
+    assert engine.prepare_topic("txn_a").latest() == 0
+    assert engine.prepare_topic("txn_b").latest() == 0
+    out = recover_transactions(engine)
+    assert out == {"rolled_back": 1, "rolled_forward": 0}
+    # ...and nothing after: the transaction never happened
+    assert engine.prepare_topic("txn_a").latest() == 0
+    assert engine.prepare_topic("txn_b").latest() == 0
+
+
+def test_crash_mid_commit_rolls_forward(engine, spark):
+    from kafkaish_spark.sources.transactions import (
+        publish_transaction,
+        recover_transactions,
+    )
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        publish_transaction(
+            engine,
+            [
+                ("txn_a", _df(spark, [("e", "x1"), ("e", "x2")])),
+                ("txn_b", _df(spark, [("e", "y1")])),
+            ],
+            _crash_after=1,  # first topic moved, second not
+        )
+    out = recover_transactions(engine)
+    assert out == {"rolled_back": 0, "rolled_forward": 1}
+    # BOTH topics show the full transaction after roll-forward
+    a_rows = engine.prepare_topic("txn_a").replay(since=0).collect()
+    b_rows = engine.prepare_topic("txn_b").replay(since=0).collect()
+    assert sorted(r["message"] for r in a_rows) == ["x1", "x2"]
+    assert [r["message"] for r in b_rows] == ["y1"]
+
+
+def test_next_transaction_auto_recovers_debris(engine, spark):
+    """publish_transaction runs recovery first: a crashed predecessor
+    cannot block or corrupt the next writer, and offsets remain
+    contiguous across the recovered history."""
+    from kafkaish_spark.sources.transactions import publish_transaction
+
+    with pytest.raises(RuntimeError):
+        publish_transaction(
+            engine,
+            [("txn_a", _df(spark, [("e", "lost")]))],
+            _crash_after="staged",
+        )
+    counts = publish_transaction(
+        engine, [("txn_a", _df(spark, [("e", "kept")]))]
+    )
+    assert counts == {"txn_a": 1}
+    rows = engine.prepare_topic("txn_a").replay(since=0).collect()
+    assert [(r["offset"], r["message"]) for r in rows] == [(1, "kept")]
+
+
+def test_partitioned_topics_rejected(engine, spark):
+    from kafkaish_spark.sources.transactions import publish_transaction
+
+    engine.prepare_topic("txn_part", partitioned=True)
+    with pytest.raises(ValueError, match="date-partitioned"):
+        publish_transaction(
+            engine, [("txn_part", _df(spark, [("e", "x")]))]
+        )
+    assert engine.prepare_topic("txn_part").latest() == 0
