@@ -86,23 +86,41 @@ def recover_transactions(engine: Engine) -> dict:
         if doc["state"] == "staged":
             shutil.rmtree(txn_dir)
             out["rolled_back"] += 1
-        else:  # committing: finish the moves
+        else:  # committing: finish the moves, then the offset commits
             for mv in doc["moves"]:
                 if os.path.exists(mv["src"]) and not os.path.exists(mv["dst"]):
                     os.rename(mv["src"], mv["dst"])
+            _apply_acks(engine, doc.get("acks", []))
             shutil.rmtree(txn_dir)
             out["rolled_forward"] += 1
     return out
 
 
+def _apply_acks(engine: Engine, ack_docs: list[dict]) -> None:
+    for a in ack_docs:
+        engine.prepare_topic(a["topic"]).ack(a["group"], a["offset"])
+
+
 def publish_transaction(
     engine: Engine,
     publishes: list[tuple[str, DataFrame]],
+    acks: list[tuple[str, str, int]] | None = None,
     _crash_after: str | int | None = None,  # test hook: simulate crashes
 ) -> dict:
     """Atomically append each DataFrame(event, message[, ts]) to its
     topic.  Returns {topic: rows_published}.  See the module docstring
-    for the staging/commit/recovery protocol."""
+    for the staging/commit/recovery protocol.
+
+    ``acks`` — (topic, group, offset) triples committed IN the same
+    transaction: the consume-transform-produce loop's exactly-once
+    contract (Kafka's sendOffsetsToTransaction).  A consumer that
+    polls topic A, publishes results to topic B, and passes its read
+    position here can crash anywhere: either the outputs AND the
+    group offset both land (roll-forward) or neither does (rollback),
+    so resumed processing never skips NOR double-produces a batch.
+    Acks apply after the segment renames during commit/roll-forward;
+    they are monotonic upserts, so re-applying on recovery is
+    idempotent."""
     recover_transactions(engine)
     txn_dir = os.path.join(_txn_root(engine), uuid.uuid4().hex)
     os.makedirs(txn_dir)
@@ -155,19 +173,25 @@ def publish_transaction(
                 pq.ParquetFile(os.path.join(stage_sub, f)).metadata.num_rows
                 for f in staged_files
             )
+        ack_docs = [
+            {"topic": t, "group": g, "offset": int(o)}
+            for t, g, o in (acks or [])
+        ]
         _write_journal(
-            txn_dir, {"state": "staged", "moves": moves}
+            txn_dir, {"state": "staged", "moves": moves, "acks": ack_docs}
         )
         if _crash_after == "staged":
             raise RuntimeError("simulated crash after staging")
         # -- commit point
         _write_journal(
-            txn_dir, {"state": "committing", "moves": moves}
+            txn_dir,
+            {"state": "committing", "moves": moves, "acks": ack_docs},
         )
         for k, mv in enumerate(moves):
             if _crash_after == k:
                 raise RuntimeError(f"simulated crash after {k} moves")
             os.rename(mv["src"], mv["dst"])
+        _apply_acks(engine, ack_docs)
         shutil.rmtree(txn_dir)
         return counts
     except RuntimeError:

@@ -106,3 +106,51 @@ def test_partitioned_topics_rejected(engine, spark):
             engine, [("txn_part", _df(spark, [("e", "x")]))]
         )
     assert engine.prepare_topic("txn_part").latest() == 0
+
+
+def test_consume_transform_produce_exactly_once(engine, spark):
+    """The EOS loop: poll topic A from the group offset, publish the
+    transformed batch to topic B WITH the group-offset commit in the
+    same transaction.  A crash mid-commit must leave, after recovery,
+    BOTH the outputs and the advanced offset — re-polling resumes past
+    the processed batch, nothing skipped, nothing reprocessed."""
+    from kafkaish_spark.sources.transactions import (
+        publish_transaction,
+        recover_transactions,
+    )
+
+    src = engine.prepare_topic("eos_src")
+    src.publish_batch([("e", {"i": 1}), ("e", {"i": 2}), ("e", {"i": 3})])
+
+    def poll_and_relay(crash=None):
+        start = src.last_ack("relay") or 0
+        upto = src.latest()
+        batch = src.replay(since=start).filter(F.col("offset") <= upto)
+        out = batch.select(
+            "event", F.concat(F.lit("out:"), F.col("message")).alias("message")
+        )
+        return publish_transaction(
+            engine,
+            [("eos_dst", out)],
+            acks=[("eos_src", "relay", upto)],
+            _crash_after=crash,
+        )
+
+    # crash between the commit point and the renames/acks
+    with pytest.raises(RuntimeError):
+        poll_and_relay(crash=0)
+    recover_transactions(engine)
+    dst = engine.prepare_topic("eos_dst")
+    assert dst.latest() == 3  # outputs landed exactly once
+    assert src.last_ack("relay") == 3  # offset advanced with them
+
+    # resumed loop: nothing to process, nothing re-produced
+    counts = poll_and_relay()
+    assert counts == {"eos_dst": 0}
+    assert dst.latest() == 3
+
+    # and new input flows through exactly once
+    src.publish("e", {"i": 4})
+    poll_and_relay()
+    msgs = sorted(r["message"] for r in dst.replay(since=0).collect())
+    assert len(msgs) == 4 and msgs[-1].startswith("out:")
