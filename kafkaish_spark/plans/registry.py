@@ -77,6 +77,7 @@ def _load_all() -> None:
     import kafkaish_spark.sources.ingest  # noqa: F401
     import kafkaish_spark.sources.pyds  # noqa: F401
     import kafkaish_spark.sources.typed  # noqa: F401
+    import kafkaish_spark.sources.transactions  # noqa: F401
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries

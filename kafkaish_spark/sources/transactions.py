@@ -204,3 +204,68 @@ def publish_transaction(
                     raise  # past the commit point: recovery rolls forward
         shutil.rmtree(txn_dir, ignore_errors=True)
         raise
+
+
+# ---------------------------------------------------------------- oracle query
+from kafkaish_spark.plans.registry import query  # noqa: E402
+from kafkaish_spark.sources.tables import load_table as _t  # noqa: E402
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+@query(
+    "q_txn_split_publish_union",
+    oracle="""
+    SELECT lang AS event,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_txn_split_publish_union(spark, sf: str):
+    """documents split by doc_id parity and published to TWO topics in
+    ONE transaction, then union_topics + JSON extraction rebuilds the
+    per-lang fingerprint the oracle computes from parquet.  Any torn
+    transaction (one topic with data, the other without), offset
+    collision, or payload corruption moves a sum — the atomicity
+    contract checked as data, not just as pytest control flow."""
+    d = _t(spark, sf, "documents")
+    n_docs = d.count()
+    root = os.path.join(
+        _REPO_ROOT, "spark-warehouse", "_txnq",
+        os.path.basename(sf.rstrip("/")) or "default",
+    )
+    eng = Engine(spark, root)
+    even = eng.prepare_topic("docs_even")
+    odd = eng.prepare_topic("docs_odd")
+    if even.latest() + odd.latest() != n_docs:
+        if even.latest() or odd.latest():  # stale from regenerated data
+            shutil.rmtree(root, ignore_errors=True)
+            eng = Engine(spark, root)
+            even = eng.prepare_topic("docs_even")
+            odd = eng.prepare_topic("docs_odd")
+        payload = d.select(
+            F.col("lang").alias("event"),
+            F.to_json(F.struct("doc_id", "n_chars")).alias("message"),
+            (F.col("doc_id") % 2).alias("par"),
+        )
+        publish_transaction(
+            eng,
+            [
+                ("docs_even", payload.filter(F.col("par") == 0).drop("par")),
+                ("docs_odd", payload.filter(F.col("par") == 1).drop("par")),
+            ],
+        )
+    both = eng.union_topics(["docs_even", "docs_odd"])
+    return both.groupBy("event").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.sum(F.get_json_object("message", "$.doc_id").cast("long"))
+        .cast("long")
+        .alias("sum_doc_id"),
+        F.sum(F.get_json_object("message", "$.n_chars").cast("long"))
+        .cast("long")
+        .alias("sum_n_chars"),
+    )
