@@ -186,9 +186,12 @@ _DRIVER_CHECKED = _DRIVER_CHECKED_R1 | _DRIVER_CHECKED_R2 | _DRIVER_CHECKED_R3
 # Cumulative distinct driver-checked after this window: ~199.
 #
 # ROUND-5 ROTATION NOTE: after CORRECTNESS_r04 lands, fold this block
-# into _DRIVER_CHECKED_R4 and front-load the remaining ~58 never-
-# checked oracle queries (events/ts analytics, text-LM family,
-# window/join sweeps, layout/sql-surface singles).
+# into _DRIVER_CHECKED_R4 and front-load (a) the round-4 feature
+# queries that postdate this window (q_pyds_topic_scan,
+# q_typed_topic_roundtrip, q_cdc_capture_apply_roundtrip,
+# q_txn_split_publish_union) and (b) the remaining ~60 never-checked
+# oracle queries (events/ts analytics, text-LM family, window/join
+# sweeps, layout/sql-surface singles).
 _DRIVER_PRIORITY = (
     # -- new this round: first driver rows needed
     "q_tpch_q2_min_cost_supplier",     # correlated min-cost supplier
