@@ -350,8 +350,18 @@ def q_cdc_capture_apply_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     eng = Engine(spark, root)
     topic = eng.prepare_topic("orders_cdc")
     events = capture(old, new, "o_orderkey")
-    n_events = events.count()
-    if topic.latest() != n_events:
+    _key_sum = F.sum(
+        F.get_json_object("message", "$.o_orderkey").cast("long")
+    )
+    n_events, fp_events = events.agg(F.count(F.lit(1)), _key_sum).first()
+
+    def _topic_fp():
+        # content fingerprint alongside the count: regenerated testdata
+        # with an equal event count must still trigger a rebuild
+        row = topic.replay(since=0).agg(F.count(F.lit(1)), _key_sum).first()
+        return row[0], row[1]
+
+    if topic.latest() != n_events or _topic_fp() != (n_events, fp_events):
         if topic.latest():  # stale log from regenerated testdata
             import shutil
 

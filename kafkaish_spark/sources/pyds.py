@@ -97,6 +97,34 @@ def _segment_files(log_dir: str) -> list[str]:
     return out
 
 
+def _footer_offset_range(file: str) -> tuple[int | None, int | None]:
+    """(min, max) of the ``offset`` column from parquet footer stats —
+    no data pages read.  The column index is resolved BY NAME from the
+    footer schema (not assumed to be physically first): a segment
+    written with a different column order would otherwise be silently
+    mis-pruned.  Returns (None, None) when stats are absent."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(file).metadata
+    if meta.num_rows == 0:
+        return None, None
+    idx = None
+    for i in range(meta.num_columns):
+        if meta.schema.column(i).name == "offset":
+            idx = i
+            break
+    if idx is None:
+        return None, None
+    lo = hi = None
+    for rg in range(meta.num_row_groups):
+        st = meta.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None, None
+        lo = st.min if lo is None else min(lo, st.min)
+        hi = st.max if hi is None else max(hi, st.max)
+    return lo, hi
+
+
 class _SegmentPartition(InputPartition):
     def __init__(self, file: str):
         self.file = file
@@ -138,18 +166,10 @@ class KafkaishBatchReader(DataSourceReader):
         for file in _segment_files(self.log_dir):
             # segment pruning on footer metadata — no data pages are
             # read for empty or out-of-range segments
-            meta = pq.ParquetFile(file).metadata
-            if meta.num_rows == 0:
+            if pq.ParquetFile(file).metadata.num_rows == 0:
                 continue  # the topic seed file / compacted-away segment
             if prune:
-                lo = hi = None
-                for rg in range(meta.num_row_groups):
-                    st = meta.row_group(rg).column(0).statistics
-                    if st is None or not st.has_min_max:
-                        lo = hi = None
-                        break
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
+                lo, hi = _footer_offset_range(file)
                 if lo is not None:
                     if self.min_excl is not None and hi <= self.min_excl:
                         continue
@@ -221,15 +241,11 @@ class KafkaishPartitionedStreamReader(DataSourceStreamReader):
         self.replay = str(options.get("replay", "true")).lower() != "false"
 
     def _tail(self) -> int:
-        import pyarrow.parquet as pq
-
         tail = 0
         for file in _segment_files(self.log_dir):
-            meta = pq.ParquetFile(file).metadata
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(0).statistics
-                if st is not None and st.has_min_max:
-                    tail = max(tail, st.max)
+            _lo, hi = _footer_offset_range(file)
+            if hi is not None:
+                tail = max(tail, hi)
         return tail
 
     def initialOffset(self) -> dict:  # noqa: N802 — API name
@@ -244,17 +260,9 @@ class KafkaishPartitionedStreamReader(DataSourceStreamReader):
         lo, hi = int(start["offset"]), int(end["offset"])
         parts = []
         for file in _segment_files(self.log_dir):
-            meta = pq.ParquetFile(file).metadata
-            if meta.num_rows == 0:
+            if pq.ParquetFile(file).metadata.num_rows == 0:
                 continue
-            smin = smax = None
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(0).statistics
-                if st is None or not st.has_min_max:
-                    smin = smax = None
-                    break
-                smin = st.min if smin is None else min(smin, st.min)
-                smax = st.max if smax is None else max(smax, st.max)
+            smin, smax = _footer_offset_range(file)
             if smin is not None and (smax <= lo or smin > hi):
                 continue
             parts.append(_RangePartition(file, lo, hi))
@@ -444,20 +452,24 @@ class KafkaishBatchWriter(DataSourceArrowWriter):
 
     # -- driver --------------------------------------------------------
     def _tail(self) -> int:
-        import pyarrow.parquet as pq
-
         tail = 0
         for file in _segment_files(self.log_dir):
-            meta = pq.ParquetFile(file).metadata
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(0).statistics
-                if st is not None and st.has_min_max:
-                    tail = max(tail, st.max)
+            _lo, hi = _footer_offset_range(file)
+            if hi is not None:
+                tail = max(tail, hi)
         return tail
 
-    def _publish_staged(self, staged: list) -> None:
+    def _finalize_staged(
+        self, staged: list, out_dir: str, tag: str
+    ) -> list[str]:
+        """Rewrite the tasks' staged files as final log segments in
+        ``out_dir``: contiguous offsets assigned after the current
+        tail, envelope schema enforced, one output file per non-empty
+        stage file (streamed — never whole-batch memory).  File names
+        are DETERMINISTIC in (tag, sequence) so a crashed-and-retried
+        finalize overwrites its own partial output instead of
+        orphaning it.  Returns the written file names in order."""
         import datetime
-        import uuid
 
         import pyarrow as pa
         import pyarrow.compute as pc
@@ -466,6 +478,7 @@ class KafkaishBatchWriter(DataSourceArrowWriter):
         offset = self._tail()
         now = datetime.datetime.now(datetime.timezone.utc)
         schema = _arrow_envelope_schema()
+        names: list[str] = []
         for m in sorted(staged, key=lambda m: m.pid):
             if not m.rows:
                 continue
@@ -487,12 +500,15 @@ class KafkaishBatchWriter(DataSourceArrowWriter):
                 ],
                 schema=schema,
             )
-            pq.write_table(
-                out,
-                os.path.join(
-                    self.log_dir, f"part-w{uuid.uuid4().hex}.parquet"
-                ),
-            )
+            name = f"part-{tag}-{len(names):05d}.parquet"
+            pq.write_table(out, os.path.join(out_dir, name))
+            names.append(name)
+        return names
+
+    def _publish_staged(self, staged: list) -> None:
+        import uuid
+
+        self._finalize_staged(staged, self.log_dir, f"w{uuid.uuid4().hex}")
 
     def _cleanup(self) -> None:
         import shutil
@@ -510,33 +526,156 @@ class KafkaishBatchWriter(DataSourceArrowWriter):
 
 
 class KafkaishStreamWriter(DataSourceStreamArrowWriter, KafkaishBatchWriter):
-    """Per-epoch exactly-once streaming sink: commit(batchId) appends
-    the epoch's staged rows once; a marker file makes retried commits
-    no-ops, so checkpoint recovery can't double-append."""
+    """Per-epoch exactly-once streaming sink, journaled and namespaced.
+
+    Two failure modes the naive marker-per-batchId design had (round-4
+    advice) are closed here:
+
+    1. **Cross-run marker collisions.** batchIds restart at 0 for every
+       new checkpoint, so a topic-global marker dir would silently drop
+       epoch 0 of the next query writing to the same topic.  Markers
+       now live under a namespace derived from the query's
+       ``checkpointLocation`` (the stable per-run identity Structured
+       Streaming already guarantees) — same checkpoint = same namespace
+       (recovery still dedups), fresh checkpoint = fresh namespace.
+    2. **Non-atomic commit.** The epoch's rows are first finalized
+       (offsets assigned) into a prepared dir INSIDE the namespace,
+       then a ``committing`` journal listing the renames is written
+       atomically, then the renames run, then the journal flips to
+       ``committed`` — the stage/commit/roll-forward protocol of
+       sources/transactions.py.  A crash mid-publish leaves the
+       journal, so the checkpoint retry FINISHES the old publish
+       (ignoring its own freshly staged twin files) instead of
+       re-appending the whole batch.
+
+    Markers older than ``_RETAIN`` epochs are pruned after each commit,
+    and namespaces of dead runs are garbage-collected on writer init
+    once untouched for ``_DEAD_RUN_SECS`` (Spark retains at most
+    ``spark.sql.streaming.minBatchesToRetain`` = 100 batches, so no
+    retry can reach further back)."""
+
+    _RETAIN = 200
+    _DEAD_RUN_SECS = 7 * 24 * 3600
 
     def __init__(self, options: dict, overwrite: bool):
+        import hashlib
+
         KafkaishBatchWriter.__init__(self, options, overwrite)
-        self.marker_dir = os.path.join(
-            os.path.dirname(self.log_dir), "_staging", "_committed"
+        opts = {str(k).lower(): v for k, v in options.items()}
+        ident = opts.get("checkpointlocation") or opts.get("writerid")
+        if not ident:
+            raise ValueError(
+                "kafkaish streaming sink needs a stable per-run identity "
+                "for its exactly-once epoch markers: set "
+                ".option('checkpointLocation', <dir>) (or a custom "
+                ".option('writerId', <id>))"
+            )
+        self._run = hashlib.sha256(str(ident).encode()).hexdigest()[:16]
+        self._epochs_root = os.path.join(
+            os.path.dirname(self.log_dir), "_staging", "_epochs"
         )
+        self.marker_dir = os.path.join(self._epochs_root, self._run)
+        self._gc_dead_runs()
 
     # the stream ABC re-declares write as abstract AHEAD of the batch
     # implementation in the MRO; bind the concrete one explicitly
     write = KafkaishBatchWriter.write
 
-    def commit(self, messages, batchId):  # noqa: N803 — API name
-        marker = os.path.join(self.marker_dir, f"{batchId}.json")
+    # -- marker/journal helpers -----------------------------------------
+    def _read_marker(self, path: str) -> dict | None:
         try:
-            if not os.path.exists(marker):
-                staged = [m for m in messages if m is not None]
-                self._publish_staged(staged)
-                os.makedirs(self.marker_dir, exist_ok=True)
-                tmp = marker + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(
-                        {"rows": sum(m.rows for m in staged)}, f
+            with open(path) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _write_marker(self, path: str, doc: dict) -> None:
+        os.makedirs(self.marker_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, path)
+
+    def _gc_dead_runs(self) -> None:
+        import shutil
+        import time
+
+        cutoff = time.time() - self._DEAD_RUN_SECS
+        # dead run namespaces AND orphaned stage dirs from crashed
+        # attempts (write() ran, commit never did)
+        staging_root = os.path.dirname(self._epochs_root)
+        for root in (self._epochs_root, staging_root):
+            if not os.path.isdir(root):
+                continue
+            for entry in os.listdir(root):
+                d = os.path.join(root, entry)
+                if (
+                    d in (self.marker_dir, self._epochs_root, self.stage_dir)
+                    or not os.path.isdir(d)
+                ):
+                    continue
+                try:
+                    newest = max(
+                        (e.stat().st_mtime for e in os.scandir(d)),
+                        default=os.stat(d).st_mtime,
                     )
-                os.replace(tmp, marker)
+                    if newest < cutoff:
+                        shutil.rmtree(d, ignore_errors=True)
+                except OSError:
+                    continue  # concurrent writer; its run, its GC
+
+    def _gc_markers(self, batch_id: int) -> None:
+        if not os.path.isdir(self.marker_dir):
+            return
+        for f in os.listdir(self.marker_dir):
+            if f.endswith(".json"):
+                stem = f[:-5]
+                if stem.isdigit() and int(stem) < batch_id - self._RETAIN:
+                    try:
+                        os.remove(os.path.join(self.marker_dir, f))
+                    except OSError:
+                        pass
+
+    # -- commit protocol -------------------------------------------------
+    def commit(self, messages, batchId):  # noqa: N803 — API name
+        import shutil
+
+        marker = os.path.join(self.marker_dir, f"{batchId}.json")
+        prep = os.path.join(self.marker_dir, f"prep-{batchId}")
+        try:
+            doc = self._read_marker(marker)
+            if doc is None:
+                # fresh attempt: finalize into the prepared dir, then
+                # journal the renames (the commit point)
+                staged = [m for m in messages if m is not None]
+                os.makedirs(prep, exist_ok=True)
+                # run hash in the segment name: deterministic within a
+                # run (idempotent retry) but collision-free across runs
+                # writing to the same topic
+                names = self._finalize_staged(
+                    staged, prep, f"s{self._run}-b{batchId}"
+                )
+                doc = {
+                    "state": "committing",
+                    "names": names,
+                    "prep": prep,
+                    "rows": sum(m.rows for m in staged),
+                }
+                self._write_marker(marker, doc)
+            if doc["state"] == "committing":
+                # roll forward (first attempt and crash-retry alike):
+                # deterministic names make this idempotent
+                for name in doc["names"]:
+                    src = os.path.join(doc["prep"], name)
+                    dst = os.path.join(self.log_dir, name)
+                    if os.path.exists(src) and not os.path.exists(dst):
+                        os.replace(src, dst)
+                shutil.rmtree(doc["prep"], ignore_errors=True)
+                self._write_marker(
+                    marker, {"state": "committed", "rows": doc["rows"]}
+                )
+            # else: already committed — the retry is a no-op
+            self._gc_markers(int(batchId))
         finally:
             self._cleanup()
 
@@ -614,19 +753,32 @@ def q_pyds_topic_scan(spark: SparkSession, sf: str) -> DataFrame:
     a sum.
 
     The topic is materialized once per sf under the repo warehouse and
-    reused (publish is idempotent by count check — rebuild on
-    mismatch, the rollup self-heal pattern)."""
+    reused (publish is idempotent by count + content-fingerprint check
+    — rebuild on mismatch, the rollup self-heal pattern; the
+    fingerprint catches regenerated testdata with the same row count
+    but different contents, which a bare count check would silently
+    reuse)."""
     from kafkaish_spark.sources.topic_log import Engine
 
     d = t(spark, sf, "documents")
-    n_docs = d.count()
+    n_docs, fp_docs = d.agg(
+        F.count(F.lit(1)), F.sum("doc_id").cast("long")
+    ).first()
     root = os.path.join(
         _REPO_ROOT, "spark-warehouse", "_pyds",
         os.path.basename(sf.rstrip("/")) or "default",
     )
     eng = Engine(spark, root)
     topic = eng.prepare_topic("docs")
-    if topic.latest() != n_docs:
+
+    def _topic_fp() -> tuple[int, int | None]:
+        row = topic.replay(since=0).agg(
+            F.count(F.lit(1)),
+            F.sum(F.get_json_object("message", "$.doc_id").cast("long")),
+        ).first()
+        return row[0], row[1]
+
+    if topic.latest() != n_docs or _topic_fp() != (n_docs, fp_docs):
         if topic.latest():  # stale topic from older testdata: rebuild
             import shutil
 

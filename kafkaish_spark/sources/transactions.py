@@ -140,7 +140,12 @@ def publish_transaction(
             src = df.select("event", "message", "ts").coalesce(1)
             src = src.persist()
             try:
-                out = _assign_contiguous_ids(src, topic.latest())
+                # staged segments are invisible to latest(): when the
+                # same topic appears twice in one transaction, offset
+                # the later batch by the rows already staged for it or
+                # the committed log would contain duplicate offsets
+                base = topic.latest() + counts.get(name, 0)
+                out = _assign_contiguous_ids(src, base)
                 out = out.select(
                     F.col("offset"),
                     F.col("ts").cast("timestamp").alias("ts"),
@@ -156,7 +161,6 @@ def publish_transaction(
                 for f in os.listdir(stage_sub)
                 if f.endswith(".parquet") and not f.startswith("_")
             )
-            counts[name] = counts.get(name, 0)
             for j, f in enumerate(staged_files):
                 moves.append(
                     {
@@ -169,7 +173,7 @@ def publish_transaction(
                 )
             import pyarrow.parquet as pq
 
-            counts[name] += sum(
+            counts[name] = counts.get(name, 0) + sum(
                 pq.ParquetFile(os.path.join(stage_sub, f)).metadata.num_rows
                 for f in staged_files
             )
@@ -233,7 +237,9 @@ def q_txn_split_publish_union(spark, sf: str):
     collision, or payload corruption moves a sum — the atomicity
     contract checked as data, not just as pytest control flow."""
     d = _t(spark, sf, "documents")
-    n_docs = d.count()
+    n_docs, fp_docs = d.agg(
+        F.count(F.lit(1)), F.sum("doc_id").cast("long")
+    ).first()
     root = os.path.join(
         _REPO_ROOT, "spark-warehouse", "_txnq",
         os.path.basename(sf.rstrip("/")) or "default",
@@ -241,7 +247,20 @@ def q_txn_split_publish_union(spark, sf: str):
     eng = Engine(spark, root)
     even = eng.prepare_topic("docs_even")
     odd = eng.prepare_topic("docs_odd")
-    if even.latest() + odd.latest() != n_docs:
+
+    def _topics_fp():
+        # content fingerprint, not just counts: regenerated testdata
+        # with the same row count must still force a rebuild
+        row = eng.union_topics(["docs_even", "docs_odd"]).agg(
+            F.count(F.lit(1)),
+            F.sum(F.get_json_object("message", "$.doc_id").cast("long")),
+        ).first()
+        return row[0], row[1]
+
+    if even.latest() + odd.latest() != n_docs or _topics_fp() != (
+        n_docs,
+        fp_docs,
+    ):
         if even.latest() or odd.latest():  # stale from regenerated data
             shutil.rmtree(root, ignore_errors=True)
             eng = Engine(spark, root)

@@ -329,7 +329,9 @@ def q_typed_topic_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
 
     d = t(spark, sf, "documents")
-    n_docs = d.count()
+    n_docs, fp_docs = d.agg(
+        F.count(F.lit(1)), F.sum("doc_id").cast("long")
+    ).first()
     root = os.path.join(
         _REPO_ROOT, "spark-warehouse", "_typed",
         os.path.basename(sf.rstrip("/")) or "default",
@@ -339,7 +341,17 @@ def q_typed_topic_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     eng = Engine(spark, root)
     topic = eng.prepare_topic("docs_typed")
     register_schema(topic, "doc", _DOC_EVENT_DDL)
-    if topic.latest() != n_docs:
+
+    def _topic_fp():
+        # content fingerprint, not just a count: regenerated testdata
+        # with the same row count must still force a rebuild
+        row = topic.replay(since=0).agg(
+            F.count(F.lit(1)),
+            F.sum(F.get_json_object("message", "$.doc_id").cast("long")),
+        ).first()
+        return row[0], row[1]
+
+    if topic.latest() != n_docs or _topic_fp() != (n_docs, fp_docs):
         if topic.latest():  # stale topic from regenerated testdata
             shutil.rmtree(os.path.join(root, "docs_typed"))
             eng = Engine(spark, root)

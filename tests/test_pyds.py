@@ -311,3 +311,196 @@ def test_batch_write_rejects_partitioned_topics(spark, engine):
             .save()
         )
     assert topic.latest() == 1
+
+
+# ---------------------------------------------------------------- r5 advice
+# Round-4 advice fixes: per-run epoch-marker namespaces, journaled
+# (roll-forward) streaming commits, marker GC, and by-name footer
+# offset lookup.
+
+
+def _mk_staged(dirpath, rows, pid=0):
+    """A fake task-stage file + its WriterCommitMessage."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafkaish_spark.sources.pyds import _StagedFile
+
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, f"stage-{pid:05d}.parquet")
+    tbl = pa.table(
+        {
+            "event": pa.array([e for e, _ in rows], pa.string()),
+            "message": pa.array([m for _, m in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+    return _StagedFile(path, len(rows), pid)
+
+
+def _stream_writer(engine, topic, ckpt):
+    from kafkaish_spark.sources.pyds import KafkaishStreamWriter
+
+    return KafkaishStreamWriter(
+        {"path": engine.root, "topic": topic, "checkpointLocation": ckpt},
+        overwrite=False,
+    )
+
+
+def test_stream_writer_requires_run_identity(engine):
+    """Epoch markers must be namespaced per query run: without a
+    checkpointLocation/writerId there is no stable identity and a fresh
+    run's batch 0 would collide with the previous run's marker."""
+    from kafkaish_spark.sources.pyds import KafkaishStreamWriter
+
+    engine.prepare_topic("ident")
+    with pytest.raises(ValueError, match="per-run identity"):
+        KafkaishStreamWriter(
+            {"path": engine.root, "topic": "ident"}, overwrite=False
+        )
+
+
+def test_stream_write_fresh_checkpoint_does_not_drop_epoch0(
+    engine, tmp_path
+):
+    """A NEW query run (fresh checkpoint -> batchIds restart at 0)
+    writing to the same topic must append its epoch 0 — the old
+    topic-global marker design silently dropped it (r4 advice, high)."""
+    engine.prepare_topic("multirun")
+    w1 = _stream_writer(engine, "multirun", str(tmp_path / "ck_run1"))
+    w1.commit([_mk_staged(tmp_path / "s1", [("a", "m1"), ("a", "m2")])], 0)
+    assert engine.prepare_topic("multirun").latest() == 2
+
+    w2 = _stream_writer(engine, "multirun", str(tmp_path / "ck_run2"))
+    w2.commit([_mk_staged(tmp_path / "s2", [("b", "m3")])], 0)
+    rows = engine.prepare_topic("multirun").replay(since=0).collect()
+    assert [r["offset"] for r in rows] == [1, 2, 3]
+    assert [r["message"] for r in rows] == ["m1", "m2", "m3"]
+
+    # while the SAME run's retry of batch 0 is still a no-op
+    w1r = _stream_writer(engine, "multirun", str(tmp_path / "ck_run1"))
+    w1r.commit([_mk_staged(tmp_path / "s1b", [("a", "m1"), ("a", "m2")])], 0)
+    assert engine.prepare_topic("multirun").latest() == 3
+
+
+def test_stream_write_commit_rolls_forward_not_republish(
+    engine, tmp_path
+):
+    """Crash mid-commit (journal written, renames partial): the
+    checkpoint retry must FINISH the old publish — not duplicate the
+    already-renamed segments, not fail on cleaned staging (r4 advice,
+    medium)."""
+    import json
+    import os
+
+    engine.prepare_topic("crashy")
+    w = _stream_writer(engine, "crashy", str(tmp_path / "ck_crash"))
+    w.commit([_mk_staged(tmp_path / "c0", [("a", "base")])], 0)
+
+    # simulate the crashed attempt of batch 1: finalized into the
+    # prepared dir, journal at state=committing, ONE of two segments
+    # already renamed into the log, staging already cleaned
+    staged = [
+        _mk_staged(tmp_path / "c1", [("a", "x1")], pid=0),
+        _mk_staged(tmp_path / "c1", [("a", "x2")], pid=1),
+    ]
+    prep = os.path.join(w.marker_dir, "prep-1")
+    os.makedirs(prep, exist_ok=True)
+    names = w._finalize_staged(staged, prep, "b1")
+    assert len(names) == 2
+    w._write_marker(
+        os.path.join(w.marker_dir, "1.json"),
+        {"state": "committing", "names": names, "prep": prep, "rows": 2},
+    )
+    os.replace(
+        os.path.join(prep, names[0]), os.path.join(w.log_dir, names[0])
+    )
+    assert engine.prepare_topic("crashy").latest() == 2  # torn: 1 of 2
+
+    # the retry re-stages its own twin files; commit must IGNORE them
+    # and roll the journaled attempt forward
+    retry = _stream_writer(engine, "crashy", str(tmp_path / "ck_crash"))
+    retry.commit(
+        [
+            _mk_staged(tmp_path / "c1r", [("a", "x1")], pid=0),
+            _mk_staged(tmp_path / "c1r", [("a", "x2")], pid=1),
+        ],
+        1,
+    )
+    rows = engine.prepare_topic("crashy").replay(since=0).collect()
+    assert [r["offset"] for r in rows] == [1, 2, 3]
+    assert sorted(r["message"] for r in rows) == ["base", "x1", "x2"]
+    with open(os.path.join(retry.marker_dir, "1.json")) as f:
+        assert json.load(f)["state"] == "committed"
+    assert not os.path.exists(prep)
+
+
+def test_stream_writer_gc_prunes_old_markers(engine, tmp_path):
+    """Markers far behind the current epoch are pruned (bounded marker
+    dir), and dead prior-run namespaces are GC'd after the retention
+    window."""
+    import os
+    import time
+
+    engine.prepare_topic("gc")
+    w = _stream_writer(engine, "gc", str(tmp_path / "ck_gc"))
+    w.commit([_mk_staged(tmp_path / "g0", [("a", "m")])], 0)
+    assert os.path.exists(os.path.join(w.marker_dir, "0.json"))
+    w.commit([_mk_staged(tmp_path / "g1", [("a", "m")])], w._RETAIN + 5)
+    assert not os.path.exists(os.path.join(w.marker_dir, "0.json"))
+    assert os.path.exists(os.path.join(w.marker_dir, f"{w._RETAIN + 5}.json"))
+
+    # a dead run namespace older than the window disappears on the next
+    # writer's init
+    old = time.time() - w._DEAD_RUN_SECS - 60
+    for f in os.listdir(w.marker_dir):
+        os.utime(os.path.join(w.marker_dir, f), (old, old))
+    os.utime(w.marker_dir, (old, old))
+    w2 = _stream_writer(engine, "gc", str(tmp_path / "ck_gc2"))
+    assert not os.path.isdir(w.marker_dir)
+    assert w2.marker_dir != w.marker_dir
+
+
+def test_footer_offset_lookup_by_name(engine, tmp_path):
+    """Segment pruning resolves the offset column BY NAME from the
+    footer schema: a segment written with a different column order must
+    still prune/tail correctly (r4 advice, low)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafkaish_spark.sources.pyds import (
+        KafkaishBatchReader,
+        _footer_offset_range,
+    )
+
+    topic = engine.prepare_topic("reorder")
+    topic.publish_batch([("a", {"i": 1}), ("a", {"i": 2})])
+    # an externally-written segment with offset NOT first
+    ext = pa.table(
+        {
+            "event": pa.array(["a", "a"], pa.string()),
+            "message": pa.array(["x3", "x4"], pa.string()),
+            "ts": pa.array([None, None], pa.timestamp("us")),
+            "offset": pa.array([3, 4], pa.int64()),
+        }
+    )
+    pq.write_table(ext, os.path.join(topic.log_dir, "part-ext.parquet"))
+    assert _footer_offset_range(
+        os.path.join(topic.log_dir, "part-ext.parquet")
+    ) == (3, 4)
+    reader = KafkaishBatchReader({"path": engine.root, "topic": "reorder"})
+    from kafkaish_spark.sources.pyds import GreaterThan
+
+    list(reader.pushFilters([GreaterThan(("offset",), 4)]))
+    parts = [p for p in reader.partitions() if p.file]
+    # both segments have max <= 4 except none -> the ext segment's max
+    # IS 4, so everything is pruned
+    assert parts == []
+    reader2 = KafkaishBatchReader({"path": engine.root, "topic": "reorder"})
+    list(reader2.pushFilters([GreaterThan(("offset",), 2)]))
+    kept = [os.path.basename(p.file) for p in reader2.partitions() if p.file]
+    assert kept == ["part-ext.parquet"]

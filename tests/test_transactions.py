@@ -154,3 +154,26 @@ def test_consume_transform_produce_exactly_once(engine, spark):
     poll_and_relay()
     msgs = sorted(r["message"] for r in dst.replay(since=0).collect())
     assert len(msgs) == 4 and msgs[-1].startswith("out:")
+
+
+def test_same_topic_twice_in_one_transaction_gets_unique_offsets(
+    engine, spark
+):
+    """Staged segments are invisible to latest(): without per-topic
+    staged-row tracking, a topic appearing twice in ``publishes`` got
+    the same base offset twice and the committed log held duplicate
+    offsets (r4 advice, medium)."""
+    from kafkaish_spark.sources.transactions import publish_transaction
+
+    counts = publish_transaction(
+        engine,
+        [
+            ("txn_dup", _df(spark, [("e", "m1"), ("e", "m2")])),
+            ("txn_other", _df(spark, [("e", "x1")])),
+            ("txn_dup", _df(spark, [("e", "m3")])),
+        ],
+    )
+    assert counts == {"txn_dup": 3, "txn_other": 1}
+    rows = engine.prepare_topic("txn_dup").replay(since=0).collect()
+    assert [r["offset"] for r in rows] == [1, 2, 3]
+    assert [r["message"] for r in rows] == ["m1", "m2", "m3"]
