@@ -1016,12 +1016,19 @@ def test_winnow_fingerprints_window_guarantee(spark, sf_dir):
 
 
 def test_bpe_train_matches_pure_python_replay(spark, sf_dir):
-    """The distributed BPE trainer must learn exactly the merges a
-    reference in-memory implementation learns from the same corpus."""
+    """The distributed BATCHED BPE trainer must learn exactly the
+    merges a reference in-memory implementation of the same batched
+    algorithm learns from the same corpus — and must do it in at most
+    ceil(n_merges / batch_size) + slack vocab passes (the round-4
+    verdict's scale fix: a 32k-merge vocabulary is ~32k/k passes, not
+    32k)."""
+    import math
     from collections import Counter
 
     from kafkaish_spark.operators.composites13 import bpe_train_merges
     from kafkaish_spark.sources.tables import load_table
+
+    n_merges, batch = 5, 4
 
     words = Counter()
     for r in load_table(spark, sf_dir, "documents").collect():
@@ -1031,36 +1038,58 @@ def test_bpe_train_matches_pure_python_replay(spark, sf_dir):
 
     vocab = {tuple(w): n for w, n in words.items()}
     expect = []
-    for step in range(1, 6):
+    expect_passes = 0
+    while len(expect) < n_merges:
+        k = min(batch, n_merges - len(expect))
         pc = Counter()
         for syms, n in vocab.items():
             for a, b in zip(syms, syms[1:]):
                 pc[(a, b)] += n
         if not pc:
             break
-        # count desc, then lexicographic — the operator's tiebreak
-        (left, right), cnt = min(
-            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        expect.append((step, left, right, left + right, cnt))
+        expect_passes += 1
+        # count desc, then lexicographic — the operator's ordering
+        ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        chosen, used_syms, used_merged = [], set(), set()
+        for (left, right), cnt in ranked:
+            if len(chosen) >= k:
+                break
+            if (
+                left in used_syms or right in used_syms
+                or left in used_merged or right in used_merged
+            ):
+                continue
+            chosen.append((left, right, cnt))
+            used_syms.update((left, right))
+            used_merged.add(left + right)
+        fuse = {(left, right): left + right for left, right, _ in chosen}
+        for left, right, cnt in chosen:
+            expect.append((len(expect) + 1, left, right, left + right, cnt))
         new_vocab = {}
         for syms, n in vocab.items():
             out = []
             for s in syms:
-                if out and out[-1] == left and s == right:
-                    out[-1] = left + right
+                if out and (out[-1], s) in fuse:
+                    out[-1] = fuse[(out[-1], s)]
                 else:
                     out.append(s)
             key = tuple(out)
             new_vocab[key] = new_vocab.get(key, 0) + n
         vocab = new_vocab
 
-    merges_df, final_vocab = bpe_train_merges(spark, sf_dir)
+    merges_df, final_vocab, got_passes = bpe_train_merges(
+        spark, sf_dir, n_merges=n_merges, batch_size=batch
+    )
     got = [
         (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
         for r in merges_df.orderBy("step").collect()
     ]
     assert got == expect
+    # batching is real: pass count matches the replay and stays within
+    # one overlap-stall of the ideal ceil(n/k)
+    assert got_passes == expect_passes
+    assert got_passes <= math.ceil(n_merges / batch) + 1
+    assert got_passes < n_merges  # strictly better than one-pass-per-merge
     # the final vocabulary still spells every original word
     sample = final_vocab.limit(50).collect()
     for r in sample:
