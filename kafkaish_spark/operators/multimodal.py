@@ -539,3 +539,73 @@ def q_multimodal_wav_features(spark: SparkSession, sf: str) -> DataFrame:
     return wav_media_table(spark, sf).mapInPandas(
         wav_feature_batches(200), WAV_SCHEMA
     )
+
+
+# ------------------------------------------------ PIL-gated real tier
+# The Avro jar-gate pattern applied to image codecs (r4 verdict item
+# 6): when the environment ships Pillow, a REAL compressed-format
+# decode+resize query registers itself; otherwise the bootstrap is one
+# documented pip install away and pytest skips with that reason.  The
+# gated kernel is real code either way — only registration is gated,
+# so a PIL-equipped cluster gets the tier with zero repo changes.
+PIL_BOOTSTRAP = (
+    "pip install pillow   # lights up q_multimodal_resize_real "
+    "(JPEG/PNG/PPM decode + resample via PIL)"
+)
+
+
+def pil_resize_batches(target: int = 32):
+    """mapInPandas kernel: REAL decode (any PIL-readable format:
+    JPEG/PNG/PPM/...) -> REAL resample to fit target x target (aspect
+    preserved, nearest filter for determinism across PIL versions) ->
+    fixed-width feature row (thumbnail hashed, not returned).  Requires
+    PIL; see PIL_BOOTSTRAP."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import io
+
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "out_w", "out_h",
+                "thumb_sha")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with Image.open(io.BytesIO(bytes(payload))) as img:
+                    w, h = img.width, img.height
+                    scale = target / max(w, h)
+                    ow = max(1, round(w * scale))
+                    oh = max(1, round(h * scale))
+                    thumb = img.resize((ow, oh), Image.NEAREST)
+                    digest = hashlib.sha256(thumb.tobytes()).hexdigest()
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["thumb_sha"].append(digest)
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+PIL_RESIZED_SCHEMA = (
+    "doc_id long, width long, height long, out_w long, out_h long, "
+    "thumb_sha string"
+)
+
+
+if HAS_PIL:  # pragma: no cover - environment-dependent registration
+
+    @query("q_multimodal_resize_real", oracle=None)
+    def q_multimodal_resize_real(spark: SparkSession, sf: str) -> DataFrame:
+        """REAL-pixel resize through PIL over spec-valid PPM payloads
+        (PIL reads P6 natively, so the synthesized media table is
+        genuine input for the compressed-format code path).  Registered
+        only when PIL is importable — the jar-gate pattern; rows-only
+        (binary pipelines have no SQL oracle), pinned by the
+        pytest cross-check against the repo's own P6 decoder."""
+        return ppm_media_table(spark, sf).mapInPandas(
+            pil_resize_batches(32), PIL_RESIZED_SCHEMA
+        )

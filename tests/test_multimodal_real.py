@@ -99,3 +99,37 @@ def test_wav_payloads_open_with_stdlib_and_features_match(spark, sf_dir):
             assert row.zero_crossings == int(
                 (np.signbit(fr[:-1]) != np.signbit(fr[1:])).sum()
             )
+
+
+import pytest as _pytest
+
+from kafkaish_spark.operators.multimodal import HAS_PIL, PIL_BOOTSTRAP
+
+
+@_pytest.mark.skipif(not HAS_PIL, reason=f"PIL absent; {PIL_BOOTSTRAP}")
+def test_pil_resize_real_matches_own_decoder(spark, sf_dir):
+    """When PIL is present, the gated real tier must agree with the
+    repo's own P6 decoder on every image's source dimensions and
+    target-box math."""
+    from kafkaish_spark.operators.multimodal import (
+        decode_ppm,
+        pil_resize_batches,
+        ppm_media_table,
+        PIL_RESIZED_SCHEMA,
+    )
+
+    media = ppm_media_table(spark, sf_dir).limit(50)
+    got = {
+        r["doc_id"]: r
+        for r in media.mapInPandas(
+            pil_resize_batches(32), PIL_RESIZED_SCHEMA
+        ).collect()
+    }
+    for r in media.collect():
+        img = decode_ppm(bytes(r["payload"]))
+        g = got[r["doc_id"]]
+        assert (g["height"], g["width"]) == img.shape[:2]
+        scale = 32 / max(g["width"], g["height"])
+        assert g["out_w"] == max(1, round(g["width"] * scale))
+        assert g["out_h"] == max(1, round(g["height"] * scale))
+        assert len(g["thumb_sha"]) == 64
