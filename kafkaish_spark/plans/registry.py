@@ -73,11 +73,13 @@ def _load_all() -> None:
     import kafkaish_spark.operators.composites25  # noqa: F401
     import kafkaish_spark.operators.composites26  # noqa: F401
     import kafkaish_spark.operators.composites27  # noqa: F401
+    import kafkaish_spark.operators.composites28  # noqa: F401
     import kafkaish_spark.operators.cdc  # noqa: F401
     import kafkaish_spark.sources.ingest  # noqa: F401
     import kafkaish_spark.sources.pyds  # noqa: F401
     import kafkaish_spark.sources.typed  # noqa: F401
     import kafkaish_spark.sources.transactions  # noqa: F401
+    import kafkaish_spark.sources.idempotent  # noqa: F401
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries
