@@ -737,3 +737,69 @@ def test_cdc_bucketed_apply_rewrites_only_touched_buckets(engine, spark, tmp_pat
     assert len({d for d in changed_dirs if d.startswith("bucket=")}) == 1, (
         changed_dirs
     )
+
+
+def test_transform_with_state_typed_counts(engine, spark, tmp_path):
+    """Spark 4 transformWithState kernel (streaming/tws.py): per-user
+    MapState event-type counts + ValueState cents total, persisted in
+    RocksDB state across micro-batches and across a query RESTART from
+    the same checkpoint."""
+    from kafkaish_spark.streaming.tws import (
+        HAS_TWS,
+        TWS_BOOTSTRAP,
+        enable_tws,
+        per_type_counts,
+    )
+
+    if not HAS_TWS:
+        pytest.skip(f"protobuf absent; {TWS_BOOTSTRAP}")
+
+    prev = enable_tws(spark)
+    try:
+        src = tmp_path / "tws_src"
+        src.mkdir()
+        schema = "user_id bigint, event_type string, value double"
+
+        def write_batch(name, rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src / name))
+
+        write_batch("b1", [(1, "click", 1.50), (1, "view", 0.25), (2, "click", 2.00)])
+
+        def drain():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src) + "/*")
+            )
+            out = per_type_counts(stream)
+            rows = []
+            q = (
+                out.writeStream.foreachBatch(
+                    lambda df, _id: rows.extend(df.collect())
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+                .outputMode("update")
+                .start()
+            )
+            q.awaitTermination(120)
+            return {(r["user_id"], r["event_type"]): (r["n"], r["user_total_cents"]) for r in rows}
+
+        got1 = drain()
+        assert got1[(1, "click")] == (1, 175)
+        assert got1[(1, "view")] == (1, 175)
+        assert got1[(2, "click")] == (1, 200)
+
+        # second batch lands AFTER a full query restart: MapState counts
+        # and the cents ValueState must resume from the checkpoint
+        write_batch("b2", [(1, "click", 0.50), (2, "error", 1.00)])
+        got2 = drain()
+        assert got2[(1, "click")] == (2, 225)   # count and total resumed
+        assert got2[(2, "error")] == (1, 300)
+        assert (1, "view") not in got2          # untouched type not re-emitted
+    finally:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", prev
+        )
