@@ -499,3 +499,87 @@ def q_stream_join_interval_counts(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("click_cents"),
     )
+
+
+# ------------------------------------------------------- in-text PII scrub
+# The redaction gate every public-corpus pipeline runs before
+# training: find-and-replace emails/phones INSIDE the text, with
+# per-language audit counts.  The synthetic corpus carries no PII, so
+# deterministic PII is injected first (same expression in the oracle);
+# the operator under test is the scrubber.
+_PII_TEXT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail' || "
+    "CAST(doc_id % 5 AS VARCHAR) || '.com or +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@query(
+    "q_text_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id, lang, {_PII_TEXT_SQL} AS ptext FROM documents),
+    scrubbed AS (
+      SELECT lang,
+             length(ptext) AS len_before,
+             len(regexp_extract_all(ptext, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(ptext, '{_PHONE_RE}')) AS n_phones,
+             length(regexp_replace(regexp_replace(ptext,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g'))
+               AS len_after
+      FROM seeded)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS emails_scrubbed,
+           CAST(SUM(n_phones) AS BIGINT) AS phones_scrubbed,
+           CAST(SUM(len_before) AS BIGINT) AS sum_len_before,
+           CAST(SUM(len_after) AS BIGINT) AS sum_len_after
+    FROM scrubbed GROUP BY 1
+    """,
+)
+def q_text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """In-text PII redaction with audit counts: emails and phone
+    numbers replaced by typed placeholders, per-language totals of
+    what was scrubbed and how many bytes it cost — the redaction
+    report a compliance review wants next to the cleaned corpus.
+
+    Scale: pure per-row JVM regex (whole-stage codegen, no shuffle
+    until the final per-lang rollup); the regex subset is portable
+    (character classes + bounded repetition, no backrefs), so the
+    DuckDB oracle runs the byte-identical patterns."""
+    d = t(spark, sf, "documents")
+    ptext = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    seeded = d.select("lang", ptext.alias("ptext"))
+    scrub = F.regexp_replace(
+        F.regexp_replace("ptext", _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    scrubbed = seeded.select(
+        "lang",
+        F.length("ptext").alias("len_before"),
+        F.size(F.regexp_extract_all("ptext", F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("ptext", F.lit(_PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+        F.length(scrub).alias("len_after"),
+    )
+    return scrubbed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("emails_scrubbed"),
+        F.sum("n_phones").cast("long").alias("phones_scrubbed"),
+        F.sum("len_before").cast("long").alias("sum_len_before"),
+        F.sum("len_after").cast("long").alias("sum_len_after"),
+    )

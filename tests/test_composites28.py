@@ -178,3 +178,32 @@ def test_interval_join_twin_matches_naive_join(spark):
     want = {tuple(r) for r in naive.collect()}
     got = {tuple(r) for r in q_stream_join_interval_counts(spark, SF).collect()}
     assert got == want and got
+
+
+def test_pii_scrub_redacts_and_preserves_rest(spark):
+    """The scrubber must remove exactly the injected email+phone per
+    doc and leave every other byte intact."""
+    from kafkaish_spark.operators.composites28 import q_text_pii_scrub
+    from kafkaish_spark.sources.tables import load_table
+
+    rows = q_text_pii_scrub(spark, SF).collect()
+    d = load_table(spark, SF, "documents")
+    per_lang = {
+        r["lang"]: (r["n"], r["chars"])
+        for r in d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+        .collect()
+    }
+    for r in rows:
+        n, chars = per_lang[r["lang"]]
+        assert r["n_docs"] == n
+        # one email + one phone injected per doc
+        assert r["emails_scrubbed"] == n
+        assert r["phones_scrubbed"] == n
+        # after scrubbing, the doc is original text + the fixed-width
+        # scaffold (' contact ' + '<EMAIL>' + ' or ' + '<PHONE>')
+        scaffold = len(" contact ") + len("<EMAIL>") + len(" or ") + len("<PHONE>")
+        assert r["sum_len_after"] == chars + n * scaffold
