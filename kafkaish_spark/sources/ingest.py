@@ -353,6 +353,48 @@ def read_orc(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).orc(path)
 
 
+# --- XML (built-in since Spark 4) -------------------------------------
+def write_xml(df: DataFrame, path: str, row_tag: str = "doc") -> None:
+    """DataFrame -> XML files (one row element per record).  The
+    writer escapes markup characters, so arbitrary text round-trips
+    losslessly; rowTag is the per-record element name."""
+    df.write.mode("overwrite").option("rowTag", row_tag).xml(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: str, row_tag: str = "doc"
+) -> DataFrame:
+    """XML -> DataFrame with an explicit schema — the same
+    no-inference contract as every reader here: inference over XML
+    (all-text markup) is even less trustworthy than over CSV, so the
+    schema is pinned and drift fails analysis loudly."""
+    return (
+        spark.read.schema(schema).option("rowTag", row_tag).xml(path)
+    )
+
+
+@query(
+    "q_ingest_xml_roundtrip",
+    oracle=_FINGERPRINT_SQL.format(key="lang"),
+)
+def q_ingest_xml_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> XML -> read_xml -> per-lang fidelity fingerprint vs
+    the parquet oracle: the markup interchange path (Spark 4 ships the
+    XML source natively — no jar).  Exercises entity escaping both
+    directions and schema-pinned reads over an all-text format; any
+    mangled character or dropped row moves sum_chars/sum_first_cp.
+
+    Scale note: XML is a line-unsplittable format only when a single
+    row element spans lines; Spark's reader still parallelizes by
+    file, so a 100 TB landing zone should arrive as many files — the
+    same guidance as JSONL, enforced here by writing with the
+    upstream partitioning."""
+    d = t(spark, sf, "documents")
+    path = _scratch(sf, "xml")
+    write_xml(d, path)
+    return _fingerprint(read_xml(spark, path, DOCS_SCHEMA), "lang")
+
+
 # --- Avro (jar-gated) -------------------------------------------------
 # ``spark-avro`` is an EXTERNAL Spark module: the core avro-*.jar files
 # ship with pyspark, but the DataSource (org.apache.spark.sql.avro)

@@ -236,3 +236,22 @@ def test_avro_roundtrip_or_documented_bootstrap(spark, tmp_path):
     )
     got = {r.doc_id: (r.text, r.lang) for r in back.collect()}
     assert got == {i: (t, lg) for i, t, lg in rows}
+
+
+def test_xml_roundtrip_escapes_markup(spark, tmp_path):
+    """XML write->read must round-trip markup-hostile text exactly
+    (entities escaped out, unescaped back) under a pinned schema."""
+    from kafkaish_spark.sources.ingest import read_xml, write_xml
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    rows = [
+        (1, "a < b & c > d", "en", "s", 13),
+        (2, 'quote " apos \' end', "fr", "s", 18),
+        (3, "<tag>not markup</tag>", "de", "s", 21),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "xmlrt")
+    write_xml(df, path)
+    back = read_xml(spark, path, schema)
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == sorted(rows)
