@@ -116,3 +116,90 @@ def q_publish_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
     topic.publish_df(src)
     return topic.replay(since=0).select("offset", "event", "message")
+
+
+# ---------------------------------------------------------------- L7b time travel
+@query(
+    "q_log_time_travel",
+    oracle="""
+    SELECT lang AS event,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents WHERE doc_id < 300 GROUP BY lang
+    """,
+)
+def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-bounded replay proven as data: documents are published in
+    doc_id order with synthetic timestamps (2024-01-01 + doc_id
+    minutes), then ``offset_for_time`` (the Kafka offsetsForTimes
+    analog — footer-stats segment pruning, boundary-segment scan)
+    seeks the offset of minute 300 and ``replay(until=seek-1)``
+    reconstructs exactly the first 300 docs — the oracle computes the
+    same set directly with ``doc_id < 300``.  A seek that lands one
+    message off in either direction moves a count and a sum.
+
+    The publish is a deterministic single-ordered-partition append
+    (sortWithinPartitions on one partition), so offset k == doc k+1 —
+    what makes the time index oracle-checkable.  Self-healed per sf on
+    a content fingerprint like every warehouse topic."""
+    import datetime
+    import os
+
+    from kafkaish_spark.sources.topic_log import Engine
+
+    _REPO_ROOT = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    d = t(spark, sf, "documents")
+    n_docs, fp_docs = d.agg(
+        F.count(F.lit(1)), F.sum("doc_id").cast("long")
+    ).first()
+    root = os.path.join(
+        _REPO_ROOT, "spark-warehouse", "_tt",
+        os.path.basename(sf.rstrip("/")) or "default",
+    )
+    eng = Engine(spark, root)
+    topic = eng.prepare_topic("docs_tt")
+
+    def _topic_fp():
+        row = topic.replay(since=0).agg(
+            F.count(F.lit(1)),
+            F.sum(F.get_json_object("message", "$.doc_id").cast("long")),
+        ).first()
+        return row[0], row[1]
+
+    if topic.latest() != n_docs or _topic_fp() != (n_docs, fp_docs):
+        if topic.latest():
+            import shutil
+
+            shutil.rmtree(os.path.join(root, "docs_tt"))
+            eng = Engine(spark, root)
+            topic = eng.prepare_topic("docs_tt")
+        payload = (
+            d.select(
+                F.col("lang").alias("event"),
+                F.to_json(F.struct("doc_id")).alias("message"),
+                (
+                    F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                    + F.make_interval(mins=F.col("doc_id").cast("int"))
+                ).alias("ts"),
+                F.col("doc_id"),
+            )
+            .repartition(1)
+            .sortWithinPartitions("doc_id")
+            .drop("doc_id")
+        )
+        topic.publish_df(payload)
+    # naive datetime = the published wall-clock in the session zone,
+    # per the offset_for_time contract — TZ-proof both ways
+    seek = topic.offset_for_time(
+        datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=300)
+    )
+    assert seek is not None
+    back = topic.replay(since=0, until=seek - 1)
+    return back.groupBy("event").agg(
+        F.count(F.lit(1)).cast("long").alias("n_msgs"),
+        F.sum(F.get_json_object("message", "$.doc_id").cast("long"))
+        .cast("long")
+        .alias("sum_doc_id"),
+    )
