@@ -207,3 +207,37 @@ def test_pii_scrub_redacts_and_preserves_rest(spark):
         # scaffold (' contact ' + '<EMAIL>' + ' or ' + '<PHONE>')
         scaffold = len(" contact ") + len("<EMAIL>") + len(" or ") + len("<PHONE>")
         assert r["sum_len_after"] == chars + n * scaffold
+
+
+def test_url_canonicalizer_idempotent_property(spark):
+    """Canonicalization is a projection: canon(canon(u)) == canon(u)
+    for arbitrary scheme/host/path/query shapes (hypothesis)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafkaish_spark.operators.composites28 import _canon
+
+    host_chars = st.text("abcdefgh.WXZ", min_size=1, max_size=12)
+    path_chars = st.text("abcXYZ09/._-", max_size=16)
+    query = st.one_of(st.just(""), st.text("abc=&123_", max_size=10).map(lambda q: "?" + q))
+
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        scheme=st.sampled_from(["http", "HTTPS", "hTTp"]),
+        www=st.sampled_from(["", "www.", "WWW."]),
+        host=host_chars,
+        path=path_chars,
+        q=query,
+    )
+    def check(scheme, www, host, path, q):
+        url = f"{scheme}://{www}{host}/{path}{q}"
+        df = spark.createDataFrame([(url,)], "url string")
+        once = df.select(_canon(F.col("url")).alias("c"))
+        twice = once.select(_canon(F.col("c")).alias("c2"), "c").first()
+        assert twice["c2"] == twice["c"], url
+
+    check()
