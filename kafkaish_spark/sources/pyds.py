@@ -49,6 +49,14 @@ relays (`readStream` -> transform -> `writeStream`) a one-liner.
 
 Offsets here are the ENGINE's message offsets reused as streaming
 progress markers — one integer per topic, resume-exact.
+
+SQL-surface caveat (verified on Spark 4.1.2): ``CREATE TABLE ... USING
+kafkaish OPTIONS (path ..., topic ...)`` plans, but the catalog
+integration hands the Python DataSource an EMPTY options dict at read
+time, so SQL-defined tables cannot reach the log — a platform
+limitation of the Python Data Source API, not of this connector.  For
+SQL access, load through the DataFrame API and register a view (what
+sources/typed.py's topic views do).
 """
 
 from __future__ import annotations
