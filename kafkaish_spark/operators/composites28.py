@@ -172,12 +172,17 @@ def q_text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     multilingual corpus: train on head+middle, drop tail.
 
     Exactness: the per-doc score reuses the bit-equal sorted-fold
-    pattern, is rounded to 6 places, and the tercile window breaks
-    ties by doc_id, so bucket assignment is engine-independent.
-    Scale: the window partitions by lang (bounded cardinality) — at
-    100 TB the terciles come from per-lang score histograms (the
-    two-phase recipe of composites24) rather than a per-lang sort;
-    the oracle-provable twin here states the naive window."""
+    pattern and is rounded to 6 places, so bucket assignment is
+    engine-independent.  Scale: the tercile does NOT sort each
+    language in one task — it is the two-phase rank of composites24
+    applied per (lang, score-range bucket): rank within buckets in
+    parallel, add a per-lang broadcast prefix-sum over the bounded
+    (lang x bucket) histogram, then map the exact per-lang rank r to
+    its tercile with the ntile identity ``floor((r-1)*k/n) + 1``
+    (equal scores land in equal buckets, so ties never straddle a
+    bucket boundary).  The oracle states the naive per-lang ntile
+    window, so the decomposition is PROVEN equal to the one-task sort,
+    not just argued."""
     d = t(spark, sf, "documents")
     cpus = spark.sparkContext.defaultParallelism
     words = d.repartition(cpus, "doc_id").select(
@@ -208,10 +213,51 @@ def q_text_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
     )
     scored = terms.select(
         "doc_id", F.round(logp / F.col("n_words"), 6).alias("score")
+    ).join(d.select("doc_id", "lang", "n_chars"), "doc_id")
+    # two-phase per-lang rank: range-bucket the (rounded) score so the
+    # bucket order matches the sort order (score DESC == -score ASC;
+    # equal scores share a bucket), rank inside (lang, bucket) in
+    # parallel, add the per-lang prefix of the bounded histogram
+    keyed = scored.withColumn(
+        "rbucket", F.floor(-F.col("score") * 8).cast("long")
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
-    bucketed = scored.join(d.select("doc_id", "lang", "n_chars"), "doc_id").select(
-        "lang", "n_chars", "score", F.ntile(3).over(w).alias("bucket")
+    hist = keyed.groupBy("lang", "rbucket").agg(
+        F.count(F.lit(1)).alias("hn")
+    )
+    w_pre = (
+        Window.partitionBy("lang")
+        .orderBy("rbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = hist.select(
+        "lang",
+        "rbucket",
+        F.coalesce(F.sum("hn").over(w_pre), F.lit(0)).alias("off0"),
+    )
+    n_lang = hist.groupBy("lang").agg(F.sum("hn").alias("n_lang"))
+    w_b = Window.partitionBy("lang", "rbucket").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    bucketed = (
+        keyed.withColumn("r_in_b", F.row_number().over(w_b))
+        .join(F.broadcast(prefix), ["lang", "rbucket"])
+        .join(F.broadcast(n_lang), "lang")
+        .select(
+            "lang",
+            "n_chars",
+            "score",
+            # the ntile identity over the exact per-lang rank
+            (
+                F.floor(
+                    (F.col("off0") + F.col("r_in_b") - 1)
+                    * 3
+                    / F.col("n_lang")
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("bucket"),
+        )
     )
     return bucketed.groupBy("lang", F.col("bucket").cast("long").alias("bucket")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
