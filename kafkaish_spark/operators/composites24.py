@@ -119,29 +119,51 @@ def q_train_interleave_sources(spark: SparkSession, sf: str) -> DataFrame:
     the ordering that makes early training see one distribution).
     Within each source, docs arrive in seeded-shuffle order.
 
-    position = (rank_within_source - 1) * n_sources + source_index is
-    a pure per-source window (parallel across sources) plus a
-    broadcast source-index table — no corpus-scale global window, no
-    cross-source shuffle; ties to the same interleave a round-robin
-    multiplexer would emit.  The source indices themselves come from
-    ranking the DISTINCT-source frame (|sources| rows — the one
-    single-partition window in the plan runs over that tiny table,
-    never the corpus; plan-asserted in tests/test_composites24.py).
-    Sparse tails are harmlessly sparse: when a source runs out, its
-    slots go unused (positions stay unique and order-preserving)."""
+    position = (rank_within_source - 1) * n_sources + source_index,
+    with rank_within_source computed by the SAME two-phase bucket
+    decomposition as the global shuffle (rank within (source, key
+    byte) in parallel + per-source broadcast prefix sums) — a plain
+    per-source window would be one task per source, and sources are
+    constant-cardinality, so at 100 TB that is 20 fat tasks; the
+    two-phase form keeps every task at ~1/256th of one source.  The
+    source indices come from ranking the DISTINCT-source frame
+    (|sources| rows — the one single-partition window in the plan
+    runs over that tiny table, never the corpus; plan-asserted in
+    tests/test_composites24.py).  Sparse tails are harmlessly sparse:
+    when a source runs out, its slots go unused (positions stay
+    unique and order-preserving)."""
     d = t(spark, sf, "documents")
-    w_src = Window.partitionBy("source").orderBy(_shuffle_key(F.col("doc_id")))
     n_sources = d.select(F.countDistinct("source")).first()[0]
     src_rank = (
         d.select("source")
         .distinct()
         .withColumn("src_idx", F.dense_rank().over(Window.orderBy("source")))
     )
-    ranked = d.select(
-        "doc_id",
+    keyed = d.select(
+        "doc_id", "source", _shuffle_key(F.col("doc_id")).alias("skey")
+    ).withColumn(
+        "bucket", F.conv(F.substring("skey", 1, 2), 16, 10).cast("int")
+    )
+    hist = keyed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).alias("hn")
+    )
+    w_prefix = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = hist.select(
         "source",
-        F.row_number().over(w_src).alias("r_in_source"),
-    ).join(F.broadcast(src_rank), "source")
+        "bucket",
+        F.coalesce(F.sum("hn").over(w_prefix), F.lit(0)).alias("off0"),
+    )
+    w_bucket = Window.partitionBy("source", "bucket").orderBy("skey")
+    ranked = (
+        keyed.withColumn("r_in_b", F.row_number().over(w_bucket))
+        .join(F.broadcast(prefix), ["source", "bucket"])
+        .withColumn("r_in_source", F.col("off0") + F.col("r_in_b"))
+        .join(F.broadcast(src_rank), "source")
+    )
     return ranked.select(
         "doc_id",
         "source",
