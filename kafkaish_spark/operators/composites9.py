@@ -244,14 +244,38 @@ def q_events_inter_arrival(spark: SparkSession, sf: str) -> DataFrame:
     Gaps are exact integer milliseconds off a (ts, event_id)-ordered
     lag; the mean is Σgap/n with one IEEE division, the median an
     exact percentile on integers (halves exactly representable — both
-    engines interpolate identically).  One shuffle on event_type feeds
-    the lag and the aggregate."""
+    engines interpolate identically).
+
+    Scale: event_type is constant-cardinality, so a single lag window
+    per type is one fat task per type at 100 TB.  The lag is instead
+    BOUNDARY-STITCHED over (type, day) buckets: in-day gaps come from
+    per-(type, day) windows (parallel — partitions grow with the
+    calendar), and the one gap that crosses each midnight is
+    reconstructed from the bounded per-day (first_ms, last_ms) frame
+    (days x types rows) with a per-type lag over days.  Consecutive
+    differences of a sorted multiset are split-point invariant, so the
+    union of in-day + boundary gaps is EXACTLY the single-window gap
+    multiset — which the unchanged naive-lag oracle proves."""
     ev = t(spark, sf, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     ms = epoch_ms(F.col("ts"))
-    d = ev.select(
-        "event_type", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    keyed = ev.select(
+        "event_type", "ts", "event_id", ms.alias("ms"),
+        F.to_date("ts").alias("day"),
+    )
+    w_day = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    in_day = keyed.select(
+        "event_type",
+        (F.col("ms") - F.lag("ms").over(w_day)).alias("gap_ms"),
     ).filter(F.col("gap_ms").isNotNull())
+    days = keyed.groupBy("event_type", "day").agg(
+        F.min("ms").alias("first_ms"), F.max("ms").alias("last_ms")
+    )
+    w_days = Window.partitionBy("event_type").orderBy("day")
+    boundary = days.select(
+        "event_type",
+        (F.col("first_ms") - F.lag("last_ms").over(w_days)).alias("gap_ms"),
+    ).filter(F.col("gap_ms").isNotNull())
+    d = in_day.unionByName(boundary)
     return d.groupBy("event_type").agg(
         F.count("gap_ms").alias("n_gaps"),
         F.round(
