@@ -253,11 +253,19 @@ def q_agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
     """Quantity-weighted median price per return flag: the smallest
     price whose cumulative weight reaches half the total — i.e. the
     median UNIT shipped, not the median line.  All comparisons are
-    integer (2·cum_w >= tot_w avoids the /2 rounding hazard), the
-    ordering key (cents, orderkey, linenumber) is a total order, and
-    the one shuffle keys the group.  This is the building block for
-    any weighted percentile (change the 2x to the target quantile
-    ratio)."""
+    integer (2·cum_w >= tot_w avoids the /2 rounding hazard) and the
+    ordering key (cents, orderkey, linenumber) is a total order.
+
+    Scale: l_returnflag has 3 values, so a single cumulative-sum
+    window per flag is one fat task per flag at 100 TB.  The running
+    weight is instead TWO-PHASE (the composites24 rank decomposition
+    applied to a cumsum, which splits over ordered buckets exactly):
+    price-range buckets (cents // 100000 — monotone in the leading
+    sort key, so equal cents can never straddle buckets), a parallel
+    within-(flag, bucket) running sum, and a per-flag broadcast
+    prefix over the bounded (flag x bucket) weight histogram; tot_w
+    falls out of the same histogram.  The unchanged naive-window
+    oracle proves the decomposition exact."""
     li = t(spark, sf, "lineitem")
     v = li.select(
         "l_returnflag",
@@ -265,18 +273,36 @@ def q_agg_weighted_median(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("w"),
         "l_orderkey",
         "l_linenumber",
+    ).withColumn("pbucket", (F.col("cents") / 100000).cast("long"))
+    hist = v.groupBy("l_returnflag", "pbucket").agg(
+        F.sum("w").alias("bw")
     )
-    wc = (
+    w_pre = (
         Window.partitionBy("l_returnflag")
+        .orderBy("pbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = hist.select(
+        "l_returnflag",
+        "pbucket",
+        F.coalesce(F.sum("bw").over(w_pre), F.lit(0)).alias("w0"),
+    )
+    tot = hist.groupBy("l_returnflag").agg(F.sum("bw").alias("tot_w"))
+    w_in = (
+        Window.partitionBy("l_returnflag", "pbucket")
         .orderBy("cents", "l_orderkey", "l_linenumber")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wt = Window.partitionBy("l_returnflag")
-    c = v.select(
-        "l_returnflag",
-        "cents",
-        F.sum("w").over(wc).alias("cum_w"),
-        F.sum("w").over(wt).alias("tot_w"),
+    c = (
+        v.withColumn("cw_in", F.sum("w").over(w_in))
+        .join(F.broadcast(prefix), ["l_returnflag", "pbucket"])
+        .join(F.broadcast(tot), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "cents",
+            (F.col("w0") + F.col("cw_in")).alias("cum_w"),
+            "tot_w",
+        )
     )
     return c.groupBy("l_returnflag").agg(
         F.min("tot_w").cast("long").alias("total_weight"),
