@@ -629,3 +629,78 @@ def q_text_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("len_before").cast("long").alias("sum_len_before"),
         F.sum("len_after").cast("long").alias("sum_len_after"),
     )
+
+
+# ------------------------------------------------------- DP noisy counts
+# Laplace-mechanism release of per-(lang, source) document counts.
+# The "noise" draw is a seeded md5-uniform pushed through the Laplace
+# inverse CDF so BOTH engines compute the identical release — which
+# also means this is a DEMO of the mechanism's shape and calibration,
+# not a formal DP deployment (real DP requires fresh randomness per
+# release; a seeded draw is deterministic by construction).  The
+# sensitivity-1 / epsilon calibration, the inverse-CDF algebra, and
+# the group-by plan are exactly the production shape.
+_DP_EPS = 0.5
+_DP_SEED = "seedDP"
+
+
+@query(
+    "q_privacy_dp_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2),
+    u AS (
+      SELECT lang, source, n,
+             (list_reduce(
+                list_transform(
+                  regexp_extract_all(
+                    substr(md5(lang || '|' || source || '|{_DP_SEED}'), 1, 8),
+                    '.'),
+                  c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b) + 0.5) / 4294967296.0 AS uu
+      FROM g)
+    SELECT lang, source,
+           round(n + (1.0 / {_DP_EPS})
+                     * (CASE WHEN uu < 0.5 THEN 1.0 ELSE -1.0 END)
+                     * ln(1.0 - 2.0 * abs(uu - 0.5)), 6) AS noisy_count
+    FROM u
+    """,
+)
+def q_privacy_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Laplace-mechanism noisy counts per (lang, source) — the
+    epsilon-DP histogram release (sensitivity 1, b = 1/eps), the
+    fourth member of the privacy family after k-anonymity,
+    l-diversity, and t-closeness.  Inverse-CDF draw:
+    noise = sign(0.5-u)/eps * ln(1-2|u-0.5|) with u a seeded
+    md5-uniform over the GROUP KEY (never the count), so the release
+    is engine-reproducible; the docstring-level caveat is explicit —
+    deterministic seeds demo the mechanism, production DP draws fresh
+    randomness.  Plan: one partial-aggregated shuffle on the group
+    key, then pure per-row scalar math."""
+    d = t(spark, sf, "documents")
+    g = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.col("lang"), F.col("source"), F.lit(_DP_SEED))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    noise = (
+        F.lit(1.0 / _DP_EPS)
+        * F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return g.select(
+        "lang",
+        "source",
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+    )
