@@ -47,11 +47,12 @@ _RAW_URL_SQL = (
 
 _CANON_SQL = (
     # strip query string -> lowercase scheme+host (path case kept) ->
-    # drop a www. prefix -> strip one trailing slash
+    # drop a www. prefix -> strip ALL trailing slashes ('/+$': one
+    # slash would leave '//' non-idempotent — hypothesis-found edge)
     "replace(lower(regexp_extract(regexp_replace({u}, '\\?.*$', ''), "
     "'^([^/]*//[^/]*)', 1)), '://www.', '://') || "
     "regexp_replace(regexp_replace(regexp_replace({u}, '\\?.*$', ''), "
-    "'^[^/]*//[^/]*', ''), '/$', '')"
+    "'^[^/]*//[^/]*', ''), '/+$', '')"
 )
 
 
@@ -77,7 +78,7 @@ def _canon(url):
         F.lit("://"),
     )
     path = F.regexp_replace(
-        F.regexp_replace(no_q, r"^[^/]*//[^/]*", ""), r"/$", ""
+        F.regexp_replace(no_q, r"^[^/]*//[^/]*", ""), r"/+$", ""
     )
     return F.concat(schemehost, path)
 
