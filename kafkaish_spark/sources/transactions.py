@@ -137,6 +137,12 @@ def publish_transaction(
                 )
             if "ts" not in df.columns:
                 df = df.withColumn("ts", F.current_timestamp())
+            # one staged segment per topic per transaction: atomic
+            # visibility needs one rename per topic, and a transaction
+            # is a control-plane batch by contract (bulk corpus loads
+            # go through publish_df, whose offset assignment is fully
+            # partition-parallel) — so the single task here is bounded
+            # by design, not an accident
             src = df.select("event", "message", "ts").coalesce(1)
             src = src.persist()
             try:
