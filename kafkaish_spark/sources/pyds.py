@@ -61,6 +61,7 @@ sources/typed.py's topic views do).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 
@@ -524,8 +525,15 @@ class KafkaishBatchWriter(DataSourceArrowWriter):
         shutil.rmtree(self.stage_dir, ignore_errors=True)
 
     def commit(self, messages):
+        from kafkaish_spark.sources.topic_log import writer_lock
+
         try:
-            self._publish_staged([m for m in messages if m is not None])
+            # offset assignment reads the tail: single-writer guard,
+            # same lock Topic.publish_df takes
+            with writer_lock(
+                os.path.dirname(self.log_dir), what="dsv2 append"
+            ):
+                self._publish_staged([m for m in messages if m is not None])
         finally:
             self._cleanup()
 
@@ -648,9 +656,14 @@ class KafkaishStreamWriter(DataSourceStreamArrowWriter, KafkaishBatchWriter):
     def commit(self, messages, batchId):  # noqa: N803 — API name
         import shutil
 
+        from kafkaish_spark.sources.topic_log import writer_lock
+
         marker = os.path.join(self.marker_dir, f"{batchId}.json")
         prep = os.path.join(self.marker_dir, f"prep-{batchId}")
-        try:
+        with writer_lock(
+            os.path.dirname(self.log_dir), what="dsv2 stream epoch"
+        ), contextlib.ExitStack() as cleanup:
+            cleanup.callback(self._cleanup)
             doc = self._read_marker(marker)
             if doc is None:
                 # fresh attempt: finalize into the prepared dir, then
@@ -684,8 +697,6 @@ class KafkaishStreamWriter(DataSourceStreamArrowWriter, KafkaishBatchWriter):
                 )
             # else: already committed — the retry is a no-op
             self._gc_markers(int(batchId))
-        finally:
-            self._cleanup()
 
     def abort(self, messages, batchId):  # noqa: N803 — API name
         self._cleanup()

@@ -67,6 +67,63 @@ SUBSCRIBERS_SCHEMA = StructType(
     ]
 )
 
+# Single-writer lock knobs (SURVEY §7 watch-list a, enforced round 5).
+# Patchable for tests; stale breaking covers crashed writers.
+_LOCK_TIMEOUT_S = 120.0
+_LOCK_STALE_S = 600.0
+
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def writer_lock(topic_root: str, what: str = "publish"):
+    """Advisory single-writer guard for every offset-assigning path.
+
+    The log's correctness contract is one writer per topic (offsets are
+    assigned from the observed tail); the reference shares the contract
+    implicitly (ObjectId ordering across concurrent clients is only
+    approximate, SURVEY §7 watch-list a).  This turns the documented
+    contract into a runtime guard: an ``O_EXCL`` lockfile under the
+    topic root serializes writers across PROCESSES on the same
+    filesystem; a second writer waits up to ``_LOCK_TIMEOUT_S`` then
+    fails loudly instead of interleaving duplicate offsets, and a lock
+    older than ``_LOCK_STALE_S`` (crashed writer) is broken.  On object
+    stores without atomic create, deploy one logical writer per topic
+    (the Kafka partition-leader model) and treat this as best-effort.
+    """
+    path = os.path.join(topic_root, "_writer.lock")
+    deadline = time.time() + _LOCK_TIMEOUT_S
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {"pid": os.getpid(), "ts": time.time(), "what": what}, f
+                )
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(path).st_mtime
+            except OSError:
+                continue  # released between attempts
+            if age > _LOCK_STALE_S:
+                with contextlib.suppress(OSError):
+                    os.remove(path)
+                continue
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"another writer holds {path} (age {age:.0f}s): the "
+                    "topic log is single-writer per topic — serialize "
+                    f"{what} calls, or remove the lock if its owner died"
+                )
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(path)
+
 
 def _assign_contiguous_ids(df: DataFrame, start: int) -> DataFrame:
     """Add ``offset`` = start+1, start+2, ... in input partition order.
@@ -201,39 +258,41 @@ class Topic:
         across concurrent clients is only approximate anyway — see
         SURVEY.md §7 watch-list a).
         """
-        start = self.latest()
-        if dedup:
-            existing = self.log().select("event", "message")
-            df = df.join(existing, ["event", "message"], "left_anti")
-        if "ts" not in df.columns:
-            df = df.withColumn("ts", F.current_timestamp())
-        src = df.select("event", "message", "ts")
-        if target_files is not None:
-            # coalesce (no shuffle) so a small publish is one segment
-            # file — retention and replay granularity stay sane
-            src = src.coalesce(target_files)
-        # Pin the input across the two jobs _assign_contiguous_ids runs
-        # (counts + write): with AQE, a recomputed upstream shuffle can
-        # land on different partition ids between jobs, which would
-        # silently drop or mis-offset rows through the _pid join.
-        src = src.persist()
-        try:
-            out = _assign_contiguous_ids(src, start)
-            out = out.select(
-                F.col("offset"),
-                F.col("ts").cast("timestamp").alias("ts"),
-                F.col("event").cast("string").alias("event"),
-                F.col("message").cast("string").alias("message"),
-            )
-            writer = out.write.mode("append")
-            if self.partitioned:
-                out2 = out.withColumn("pub_date", F.to_date("ts"))
-                writer = out2.write.mode("append").partitionBy("pub_date")
-            writer.parquet(self.log_dir)
-        finally:
-            src.unpersist()
-        if self.retention_bytes is not None:
-            self.enforce_retention(self.retention_bytes)
+        with writer_lock(self.root):
+            start = self.latest()
+            if dedup:
+                existing = self.log().select("event", "message")
+                df = df.join(existing, ["event", "message"], "left_anti")
+            if "ts" not in df.columns:
+                df = df.withColumn("ts", F.current_timestamp())
+            src = df.select("event", "message", "ts")
+            if target_files is not None:
+                # coalesce (no shuffle) so a small publish is one segment
+                # file — retention and replay granularity stay sane
+                src = src.coalesce(target_files)
+            # Pin the input across the two jobs _assign_contiguous_ids
+            # runs (counts + write): with AQE, a recomputed upstream
+            # shuffle can land on different partition ids between jobs,
+            # which would silently drop or mis-offset rows through the
+            # _pid join.
+            src = src.persist()
+            try:
+                out = _assign_contiguous_ids(src, start)
+                out = out.select(
+                    F.col("offset"),
+                    F.col("ts").cast("timestamp").alias("ts"),
+                    F.col("event").cast("string").alias("event"),
+                    F.col("message").cast("string").alias("message"),
+                )
+                writer = out.write.mode("append")
+                if self.partitioned:
+                    out2 = out.withColumn("pub_date", F.to_date("ts"))
+                    writer = out2.write.mode("append").partitionBy("pub_date")
+                writer.parquet(self.log_dir)
+            finally:
+                src.unpersist()
+            if self.retention_bytes is not None:
+                self.enforce_retention(self.retention_bytes)
         # Return what was actually WRITTEN (re-read from the log) — the
         # plan above is lazy, so handing it back would re-execute later
         # with a fresh current_timestamp(), and under dedup=True the

@@ -45,10 +45,13 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import contextlib
+
 from kafkaish_spark.sources.topic_log import (
     ENVELOPE,
     Engine,
     _assign_contiguous_ids,
+    writer_lock,
 )
 
 
@@ -126,6 +129,14 @@ def publish_transaction(
     os.makedirs(txn_dir)
     moves: list[dict] = []
     counts: dict[str, int] = {}
+    # single-writer guard on every involved topic for the whole
+    # stage->commit window (sorted acquisition: no deadlock with a
+    # concurrent transaction touching an overlapping topic set)
+    locks = contextlib.ExitStack()
+    for _name in sorted({n for n, _ in publishes}):
+        locks.enter_context(
+            writer_lock(engine.prepare_topic(_name).root, what="transaction")
+        )
     try:
         # -- stage: final-format segments, offsets assigned after tails
         for i, (name, df) in enumerate(publishes):
@@ -214,6 +225,8 @@ def publish_transaction(
                     raise  # past the commit point: recovery rolls forward
         shutil.rmtree(txn_dir, ignore_errors=True)
         raise
+    finally:
+        locks.close()
 
 
 # ---------------------------------------------------------------- oracle query

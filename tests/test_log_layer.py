@@ -605,3 +605,67 @@ def test_prepare_topic_memoizes_and_recreates_when_closed(engine):
     assert t2.last_ack("grp") == 1
     # and the new handle is memoized again
     assert engine.prepare_topic("memo") is t2
+
+
+def test_writer_lock_blocks_second_writer_and_breaks_stale(
+    engine, spark, monkeypatch
+):
+    """SURVEY §7 watch-list (a) enforced: while one writer holds the
+    topic lock, a publish fails loudly instead of interleaving
+    duplicate offsets; a stale lock (crashed writer) is broken."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from kafkaish_spark.sources import topic_log
+
+    topic = engine.prepare_topic("locked")
+    topic.publish("a", {"i": 1})  # sanity: lock acquired + released
+
+    # a live foreign writer holds the lock -> publish times out fast
+    monkeypatch.setattr(topic_log, "_LOCK_TIMEOUT_S", 0.3)
+    path = os.path.join(topic.root, "_writer.lock")
+    with open(path, "w") as f:
+        json.dump({"pid": 99999, "ts": time.time()}, f)
+    with pytest.raises(TimeoutError, match="single-writer"):
+        topic.publish("a", {"i": 2})
+    assert topic.latest() == 1  # nothing interleaved
+
+    # a STALE lock is broken and the publish proceeds
+    old = time.time() - topic_log._LOCK_STALE_S - 60
+    os.utime(path, (old, old))
+    topic.publish("a", {"i": 2})
+    assert topic.latest() == 2
+    assert not os.path.exists(path)  # released
+
+
+def test_writer_lock_covers_transactions(engine, spark, monkeypatch):
+    """publish_transaction serializes against publish_df on the same
+    topics via the same per-topic locks."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from kafkaish_spark.sources import topic_log
+    from kafkaish_spark.sources.transactions import publish_transaction
+
+    monkeypatch.setattr(topic_log, "_LOCK_TIMEOUT_S", 0.3)
+    t1 = engine.prepare_topic("txl_a")
+    engine.prepare_topic("txl_b")
+    with open(os.path.join(t1.root, "_writer.lock"), "w") as f:
+        json.dump({"pid": 99999, "ts": time.time()}, f)
+    df = spark.createDataFrame([("e", "x")], "event string, message string")
+    with pytest.raises(TimeoutError, match="single-writer"):
+        publish_transaction(engine, [("txl_a", df), ("txl_b", df)])
+    os.remove(os.path.join(t1.root, "_writer.lock"))
+    counts = publish_transaction(engine, [("txl_a", df), ("txl_b", df)])
+    assert counts == {"txl_a": 1, "txl_b": 1}
+    # locks released on both topics
+    for name in ("txl_a", "txl_b"):
+        assert not os.path.exists(
+            os.path.join(engine.prepare_topic(name).root, "_writer.lock")
+        )
