@@ -206,11 +206,17 @@ def q_train_token_budget_subsample(spark: SparkSession, sf: str) -> DataFrame:
     reruns/cluster sizes, unlike sample() which moves with
     partitioning.
 
-    One per-source running-sum window (parallel across sources; at
-    100 TB each source's cumsum is its own partition chain) and a
-    filter; docs are never globally sorted.  The cutoff is exclusive
-    of the doc that would cross the budget — the conservative variant
-    that never overshoots (greedy-with-overshoot is the same plan with
+    The per-source running sum is TWO-PHASE like every corpus-scale
+    cumsum here (round-5 window audit): sources are
+    constant-cardinality, so a plain per-source window is one fat
+    task per source; instead the cumsum runs within (source, key
+    byte) buckets in parallel and adds a per-source broadcast prefix
+    over the 256-bin token histogram — which also hands a 100 TB run
+    its free optimization: buckets whose prefix already exceeds the
+    budget can be pruned before the within-bucket pass even runs.
+    The cutoff is exclusive of the doc that would cross the budget —
+    the conservative variant that never overshoots
+    (greedy-with-overshoot is the same plan with
     cum - n_tokens < budget)."""
     d = t(spark, sf, "documents")
     n_tokens = (
@@ -221,13 +227,32 @@ def q_train_token_budget_subsample(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         n_tokens,
         _shuffle_key(F.col("doc_id")).alias("skey"),
+    ).withColumn(
+        "bucket", F.conv(F.substring("skey", 1, 2), 16, 10).cast("int")
+    )
+    hist = toks.groupBy("source", "bucket").agg(
+        F.sum("n_tokens").alias("bt")
+    )
+    w_prefix = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = hist.select(
+        "source",
+        "bucket",
+        F.coalesce(F.sum("bt").over(w_prefix), F.lit(0)).alias("t0"),
     )
     w_cum = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "bucket")
         .orderBy("skey")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w_cum))
+    cum = (
+        toks.withColumn("cum_in", F.sum("n_tokens").over(w_cum))
+        .join(F.broadcast(prefix), ["source", "bucket"])
+        .withColumn("cum_tokens", F.col("t0") + F.col("cum_in"))
+    )
     return (
         cum.filter(F.col("cum_tokens") <= _TOKEN_BUDGET_PER_SOURCE)
         .groupBy("source")

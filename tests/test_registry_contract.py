@@ -344,3 +344,81 @@ def test_no_undocumented_corpus_scale_single_partition(spark, sf_dir):
         "undocumented corpus-scale SinglePartition exchanges: "
         f"{offenders}"
     )
+
+
+# Bounded-input exemptions for the constant-key window gate below:
+# these windows run over frames that are small BY CONSTRUCTION
+# (collapsed days, per-value count tables, per-group aggregates),
+# so a constant partition key cannot make them corpus-scale.  Every
+# entry carries its boundedness argument; a NEW query tripping the
+# gate must either restructure (two-phase / boundary-stitch — see
+# SCALE.md round-5 audit) or justify an entry here.
+_BOUNDED_WINDOW_WHITELIST = {
+    "q_events_inter_arrival": "per-type lag over the collapsed (type, day) frame",
+    "q_agg_median_mode": "rank over the (flag, quantity) count table",
+    "q_agg_weighted_median": "prefix sum over the (flag, price-bin) histogram",
+    "q_text_ccnet_buckets": "per-lang prefix over the (lang, score-bin) histogram",
+    "q_train_interleave_sources": "per-source prefix over the 256-bin histogram",
+    "q_train_token_budget_subsample": "per-source prefix over the 256-bin token histogram",
+    "q_events_cusum_changepoint": "per-type windows over collapsed days",
+    "q_events_seasonal_anomaly": "per-type windows over (type, hour-of-day) stats",
+    "q_events_hourly_gapfill": "per-type windows over the hourly grid",
+    "q_events_hourly_locf": "per-type windows over the hourly grid",
+    "q_events_markov_transitions": "per-type windows over the transition matrix",
+    "q_ts_mase": "per-type windows over collapsed days",
+    "q_events_rate_anomaly": "per-type windows over collapsed hours",
+    "q_events_ohlc_hourly": "per-type windows over hourly buckets",
+    "q_agg_seasonality_index": "per-type windows over (type, month) aggregates",
+    "q_events_rolling_wau": "per-day distinct-user rollup frame",
+    "q_corpus_source_drift": "per-source windows over the term table",
+    "q_rollup_hourly_events": "windows over the hourly rollup",
+    "q_window_ntile_customer_value": "SQL-surface parity twin (documented fat window)",
+    "q_window_percent_rank_orders": "SQL-surface parity twin (documented fat window)",
+    "q_agg_abc_parts": "cumulative share over per-part revenue aggregates",
+    "q_agg_pareto_customers": "cumulative share over per-customer aggregates",
+    "q_agg_hhi_supplier_share": "share computation over per-supplier aggregates",
+    "q_agg_gini_customer_revenue": "rank over per-customer revenue aggregates",
+}
+
+
+def test_constant_key_windows_are_group_limited_or_bounded(spark, sf_dir):
+    """A Window partitioned ONLY by constant-cardinality columns is one
+    fat task per value at corpus scale.  Gate (the round-5 audit made
+    durable): every such window in every registered plan must be (a)
+    top-k — Spark plans a WindowGroupLimit below it, which pre-filters
+    each map partition to k winners; or (b) whitelisted above with its
+    boundedness argument."""
+    import re
+
+    offenders = []
+    for name, spec in _registry().items():
+        if name in _BOUNDED_WINDOW_WHITELIST:
+            continue
+        try:
+            plan = (
+                spec.fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception:
+            continue  # build failures are the schema test's job
+        if "WindowGroupLimit" in plan:
+            continue
+        for line in plan.splitlines():
+            m = re.search(r"\bWindow(?:Exec)?\s+\[[^\]]*\],\s*\[([^\]]*)\]", line)
+            if not m:
+                continue
+            cols = {
+                c.strip().split("#")[0]
+                for c in m.group(1).split(",")
+                if c.strip()
+            }
+            cols = {c for c in cols if c and not c[0].isdigit()}
+            if cols and cols <= _CONSTANT_CARDINALITY:
+                offenders.append((name, sorted(cols)))
+                break
+    assert not offenders, (
+        "constant-cardinality-only window partitions without group-limit "
+        f"or whitelist (see SCALE.md round-5 audit): {offenders}"
+    )
