@@ -669,3 +669,37 @@ def test_writer_lock_covers_transactions(engine, spark, monkeypatch):
         assert not os.path.exists(
             os.path.join(engine.prepare_topic(name).root, "_writer.lock")
         )
+
+
+def test_concurrent_publishers_serialize_through_lock(engine, spark):
+    """Two real writer threads racing on one topic: the lock forces
+    them through one at a time, so offsets come out unique, dense, and
+    fsck-clean — the interleaving this guards against would read the
+    same tail twice and assign duplicate offsets."""
+    import threading
+
+    topic = engine.prepare_topic("race")
+    errors = []
+
+    def hammer(tag):
+        try:
+            for i in range(5):
+                topic.publish_batch(
+                    [(tag, {"i": i, "j": k}) for k in range(3)]
+                )
+        except Exception as ex:  # noqa: BLE001 — surface in main thread
+            errors.append(ex)
+
+    threads = [
+        threading.Thread(target=hammer, args=(t,)) for t in ("a", "b")
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert topic.latest() == 30
+    offs = [r["offset"] for r in topic.replay(since=0).collect()]
+    assert offs == list(range(1, 31))  # unique, dense, total order
+    report = topic.fsck()
+    assert report.get("ok", True), report
