@@ -761,6 +761,8 @@ _REPO_ROOT = os.path.dirname(
            CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
     FROM documents GROUP BY lang
     """,
+    bench=True,  # the connector-scan nightly path (r4 verdict item 5);
+    # min-of-2 reports the steady state (topic already materialized)
 )
 def q_pyds_topic_scan(spark: SparkSession, sf: str) -> DataFrame:
     """documents -> published into a real topic log (event = lang,

@@ -422,3 +422,20 @@ def test_constant_key_windows_are_group_limited_or_bounded(spark, sf_dir):
         "constant-cardinality-only window partitions without group-limit "
         f"or whitelist (see SCALE.md round-5 audit): {offenders}"
     )
+
+
+def test_pyds_bench_plan_shuffle_budget(spark, sf_dir):
+    """The connector-scan bench entry's plan budget: one partial
+    aggregate BELOW the single hash Exchange (map-side combine over
+    the Arrow batches), and the Python BatchScan projected to the two
+    needed columns — no extra shuffle, no SinglePartition."""
+    spec = _registry()["q_pyds_topic_scan"]
+    plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan kafkaish" in plan, plan
+    assert "partial_count" in plan  # map-side combine before the exchange
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) == 1 and "hashpartitioning" in exchanges[0], exchanges
+    assert "SinglePartition" not in plan
