@@ -609,3 +609,92 @@ if HAS_PIL:  # pragma: no cover - environment-dependent registration
         return ppm_media_table(spark, sf).mapInPandas(
             pil_resize_batches(32), PIL_RESIZED_SCHEMA
         )
+
+
+# ------------------------------------------------ real audio resample
+RESAMPLE_SCHEMA = (
+    "doc_id long, in_rate long, out_rate long, n_in long, n_out long, "
+    "out_sha string"
+)
+
+
+def resample_pcm16(payload: bytes, target_rate: int) -> bytes:
+    """REAL sample-rate conversion for PCM16 mono WAV: stdlib decode,
+    float64 linear interpolation onto the target-rate time grid
+    (position i maps to source time i * in/out), round-half-away
+    re-quantization to int16, stdlib re-encode.  Deterministic —
+    np.interp over exact float64 grids, no window functions, no
+    library codecs."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+            raise ValueError("resample_pcm16 expects PCM16 mono")
+        in_rate = wf.getframerate()
+        n_in = wf.getnframes()
+        pcm = np.frombuffer(wf.readframes(n_in), dtype="<i2").astype(
+            np.float64
+        )
+    n_out = max(1, int(round(n_in * target_rate / in_rate)))
+    src_pos = np.arange(n_out) * (in_rate / target_rate)
+    out = np.interp(src_pos, np.arange(n_in), pcm)
+    q = np.clip(np.floor(out + 0.5), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(target_rate)
+        wf.writeframes(q.tobytes())
+    return buf.getvalue()
+
+
+def wav_resample_batches(target_rate: int = 4000):
+    """mapInPandas kernel: real WAV in -> resampled WAV out, emitting
+    fixed-width audit rows (the resampled bytes are hashed, not
+    returned — same bounded-output discipline as the image thumbs)."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "in_rate", "out_rate", "n_in", "n_out",
+                "out_sha")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                with wave.open(io.BytesIO(b), "rb") as wf:
+                    in_rate, n_in = wf.getframerate(), wf.getnframes()
+                rb = resample_pcm16(b, target_rate)
+                with wave.open(io.BytesIO(rb), "rb") as wf:
+                    n_out = wf.getnframes()
+                out["doc_id"].append(doc_id)
+                out["in_rate"].append(in_rate)
+                out["out_rate"].append(target_rate)
+                out["n_in"].append(n_in)
+                out["n_out"].append(n_out)
+                out["out_sha"].append(hashlib.sha256(rb).hexdigest())
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+@query("q_multimodal_wav_resample", oracle=None)
+def q_multimodal_wav_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio resampling pipeline (8 kHz -> 4 kHz): stdlib WAV
+    codec both directions, float64 linear interpolation, exact int16
+    re-quantization.  Rows-only by design (binary pipelines have no
+    SQL oracle); tests/test_multimodal_real.py replays the resample in
+    pure python bit-for-bit and pins the length law
+    n_out == round(n_in * out/in).  Same 100 TB plan as every
+    multimodal kernel: metadata prune -> Arrow-batched mapInPandas ->
+    fixed-width audit rows; work is linear in payload bytes and
+    embarrassingly parallel."""
+    return wav_media_table(spark, sf).mapInPandas(
+        wav_resample_batches(4000), RESAMPLE_SCHEMA
+    )

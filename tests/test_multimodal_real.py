@@ -133,3 +133,43 @@ def test_pil_resize_real_matches_own_decoder(spark, sf_dir):
         assert g["out_w"] == max(1, round(g["width"] * scale))
         assert g["out_h"] == max(1, round(g["height"] * scale))
         assert len(g["thumb_sha"]) == 64
+
+
+def test_wav_resample_bit_exact_and_length_law(spark, sf_dir):
+    """The distributed resample must equal a pure-python replay
+    byte-for-byte, and output length must follow
+    n_out == round(n_in * out/in)."""
+    import hashlib
+    import io
+    import wave
+
+    import numpy as np
+
+    from kafkaish_spark.operators.multimodal import (
+        RESAMPLE_SCHEMA,
+        resample_pcm16,
+        wav_media_table,
+        wav_resample_batches,
+    )
+
+    media = wav_media_table(spark, sf_dir).limit(40)
+    got = {
+        r["doc_id"]: r
+        for r in media.mapInPandas(
+            wav_resample_batches(4000), RESAMPLE_SCHEMA
+        ).collect()
+    }
+    for r in media.collect():
+        b = bytes(r["payload"])
+        rb = resample_pcm16(b, 4000)  # pure-python replay
+        g = got[r["doc_id"]]
+        assert g["out_sha"] == hashlib.sha256(rb).hexdigest()
+        assert g["n_out"] == round(g["n_in"] * 4000 / g["in_rate"])
+        with wave.open(io.BytesIO(rb), "rb") as wf:
+            assert wf.getframerate() == 4000
+            q = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+        # amplitude envelope preserved by interpolation
+        src = np.frombuffer(
+            wave.open(io.BytesIO(b), "rb").readframes(g["n_in"]), dtype="<i2"
+        )
+        assert abs(int(np.abs(q).max()) - int(np.abs(src).max())) <= 50
