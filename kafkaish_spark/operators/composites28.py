@@ -705,3 +705,97 @@ def q_privacy_dp_counts(spark: SparkSession, sf: str) -> DataFrame:
         "source",
         F.round(F.col("n") + noise, 6).alias("noisy_count"),
     )
+
+
+# ------------------------------------------------------- sorted-neighborhood ER
+# The classic entity-resolution blocking method this engine's dedup
+# family did not yet cover (alongside FastSS deletion neighborhoods,
+# MinHash/SimHash LSH, prefix filtering, and containment): sort all
+# records by a normalized key and compare only records within a
+# fixed-width window of the sort order.  Candidate volume is O(N * w)
+# BY CONSTRUCTION — the pair budget every ER pipeline wants.
+_SN_WINDOW = 3
+_SN_MAXDIST = 2
+
+
+@query(
+    "q_dedup_sorted_neighborhood",
+    oracle=f"""
+    WITH parts_n AS (
+      SELECT p_partkey, p_name,
+             replace(lower(p_name), ' ', '') AS k
+      FROM part),
+    r AS (
+      SELECT p_partkey, p_name, k,
+             ROW_NUMBER() OVER (ORDER BY k, p_partkey) AS rn
+      FROM parts_n),
+    pairs AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             levenshtein(a.k, b.k) AS dist
+      FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND {_SN_WINDOW})
+    SELECT name_a, name_b, CAST(dist AS BIGINT) AS dist
+    FROM pairs WHERE dist <= {_SN_MAXDIST}
+    """,
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood duplicate detection over part names
+    (Hernandez & Stolfo's merge/purge): normalize (lowercase, strip
+    spaces), sort by the normalized key, compare each record only to
+    its w = {w} successors in the sort order, keep pairs within edit
+    distance {d}.
+
+    Scale: the global sort rank is the TWO-PHASE decomposition again —
+    buckets are 4-char key prefixes (a DATA-GROWN block key: prefix
+    cardinality grows with the vocabulary, so buckets stay ~corpus/|V|
+    sized), ranked in parallel, stitched with a broadcast prefix-sum
+    over the bucket histogram; the neighborhood join is w rank-shifted
+    EQUI-joins on the unique rank (shuffle on rank — perfectly
+    balanced), so candidate volume is exactly N*w, never a quadratic
+    block.  The oracle states the naive one-window rank + range join,
+    proving the decomposition and the window semantics together."""
+    p = t(spark, sf, "part")
+    keyed = p.select(
+        "p_partkey",
+        "p_name",
+        F.replace(F.lower(F.col("p_name")), F.lit(" "), F.lit("")).alias("k"),
+    ).withColumn("kb", F.substring("k", 1, 4))
+    hist = keyed.groupBy("kb").agg(F.count(F.lit(1)).alias("n"))
+    w_pre = Window.orderBy("kb").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = hist.select(
+        "kb", F.coalesce(F.sum("n").over(w_pre), F.lit(0)).alias("off0")
+    )
+    w_in = Window.partitionBy("kb").orderBy("k", "p_partkey")
+    ranked = (
+        keyed.withColumn("r_in", F.row_number().over(w_in))
+        .join(F.broadcast(prefix), "kb")
+        .select(
+            "p_name", "k", (F.col("off0") + F.col("r_in")).alias("rn")
+        )
+    )
+    shifted = [
+        ranked.select(
+            (F.col("rn") + F.lit(i)).alias("rn"),
+            F.col("p_name").alias("name_a"),
+            F.col("k").alias("k_a"),
+        )
+        for i in range(1, _SN_WINDOW + 1)
+    ]
+    lefts = shifted[0]
+    for s in shifted[1:]:
+        lefts = lefts.unionByName(s)
+    pairs = lefts.join(
+        ranked.select(
+            "rn", F.col("p_name").alias("name_b"), F.col("k").alias("k_b")
+        ),
+        "rn",
+    )
+    dist = F.levenshtein("k_a", "k_b")
+    return (
+        pairs.select("name_a", "name_b", dist.cast("long").alias("dist"))
+        .filter(F.col("dist") <= _SN_MAXDIST)
+    )
+
+
+q_dedup_sorted_neighborhood.__doc__ = q_dedup_sorted_neighborhood.__doc__.format(
+    w=_SN_WINDOW, d=_SN_MAXDIST
+)
