@@ -14,8 +14,13 @@ subscribe / replay-then-live / ack / retention, see
 
 from kafkaish_spark.session import get_spark
 from kafkaish_spark.sources.connect import export, ingest, messages_as
-from kafkaish_spark.sources.topic_log import Engine, Topic
-from kafkaish_spark.streaming.joins import interval_join
+from kafkaish_spark.sources.idempotent import last_seq, publish_idempotent
+from kafkaish_spark.sources.topic_log import Engine, Topic, writer_lock
+from kafkaish_spark.sources.transactions import (
+    publish_transaction,
+    recover_transactions,
+)
+from kafkaish_spark.streaming.joins import enrich, interval_join
 from kafkaish_spark.streaming.pipeline import pipe
 from kafkaish_spark.streaming.subscribe import Subscription, subscribe
 
@@ -27,8 +32,14 @@ __all__ = [
     "Subscription",
     "pipe",
     "interval_join",
+    "enrich",
     "ingest",
     "export",
     "messages_as",
+    "publish_idempotent",
+    "last_seq",
+    "publish_transaction",
+    "recover_transactions",
+    "writer_lock",
 ]
 __version__ = "0.1.0"
