@@ -799,3 +799,87 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
 q_dedup_sorted_neighborhood.__doc__ = q_dedup_sorted_neighborhood.__doc__.format(
     w=_SN_WINDOW, d=_SN_MAXDIST
 )
+
+
+# ------------------------------------------------------- exponential smoothing
+_SES_ALPHA = 0.3
+
+
+@query(
+    "q_ts_exp_smoothing",
+    oracle=f"""
+    WITH days AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, day, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS tt
+      FROM days),
+    terms AS (
+      SELECT event_type, tt,
+             CASE WHEN rn = 1
+                  THEN pow(1 - {_SES_ALPHA}, tt - 1) * y
+                  ELSE {_SES_ALPHA} * pow(1 - {_SES_ALPHA}, tt - rn) * y
+             END AS term,
+             rn
+      FROM r)
+    SELECT event_type,
+           CAST(MIN(tt) AS BIGINT) AS n_days,
+           round(list_reduce(list(term ORDER BY rn), (a, b) -> a + b), 6)
+             AS ses_level
+    FROM terms GROUP BY event_type
+    """,
+)
+def q_ts_exp_smoothing(spark: SparkSession, sf: str) -> DataFrame:
+    """Simple exponential smoothing of daily event counts per type
+    (alpha = 0.3): the recursion S_t = a*y_t + (1-a)*S_(t-1), S_1 =
+    y_1, evaluated in CLOSED FORM as the weight-decayed sum
+    a*(1-a)^(T-t)*y_t (+ the (1-a)^(T-1) seed term) — the smoothed
+    level is the 1-step-ahead forecast every capacity dashboard plots.
+
+    Exactness: each term is one pow+multiply (bit-equal IEEE on both
+    engines), and the per-type sum folds a DAY-ORDERED array
+    (Spark ``aggregate`` == DuckDB ``list_reduce``), so accumulation
+    order is pinned; the result rounds to 6.  Scale: the windows run
+    over the collapsed (type, day) frame — calendar-bounded, exempt
+    from the constant-key window gate by input size (whitelisted with
+    that argument)."""
+    ev = t(spark, sf, "events")
+    days = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    w_rn = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    r = days.select(
+        "event_type",
+        "y",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("tt"),
+    )
+    a = _SES_ALPHA
+    term = F.when(
+        F.col("rn") == 1,
+        F.pow(F.lit(1 - a), F.col("tt") - 1) * F.col("y"),
+    ).otherwise(
+        F.lit(a) * F.pow(F.lit(1 - a), F.col("tt") - F.col("rn")) * F.col("y")
+    )
+    terms = r.select(
+        "event_type",
+        "tt",
+        F.struct(F.col("rn"), term.alias("t")).alias("s"),
+    )
+    folded = terms.groupBy("event_type").agg(
+        F.min("tt").cast("long").alias("n_days"),
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("s")),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ),
+            6,
+        ).alias("ses_level"),
+    )
+    return folded
