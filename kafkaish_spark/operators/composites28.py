@@ -883,3 +883,83 @@ def q_ts_exp_smoothing(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("ses_level"),
     )
     return folded
+
+
+# ------------------------------------------------------- cleaning funnel
+@query(
+    "q_corpus_clean_funnel",
+    oracle=f"""
+    WITH urls AS (
+      SELECT doc_id, lang, n_chars, md5(text) AS digest,
+             {_CANON_SQL.format(u=_RAW_URL_SQL)} AS canon_url
+      FROM documents),
+    flags AS (
+      SELECT lang, n_chars, doc_id,
+             doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
+               AS keep_url,
+             digest
+      FROM urls),
+    flags2 AS (
+      SELECT lang, n_chars, keep_url,
+             keep_url AND doc_id = MIN(CASE WHEN keep_url THEN doc_id END)
+               OVER (PARTITION BY digest) AS keep_exact
+      FROM flags)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(count_if(keep_url) AS BIGINT) AS n_url_kept,
+           CAST(count_if(keep_exact) AS BIGINT) AS n_exact_kept,
+           CAST(count_if(keep_exact AND n_chars >= 100) AS BIGINT)
+             AS n_survivors,
+           CAST(SUM(CASE WHEN keep_exact AND n_chars >= 100
+                         THEN n_chars END) AS BIGINT)
+             AS sum_chars_survivors
+    FROM flags2 GROUP BY lang
+    """,
+)
+def q_corpus_clean_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """The cleaning-funnel report of the round-5 gates composed in ONE
+    DAG: canonical-URL dedup -> exact content dedup (among URL
+    survivors) -> length quality gate, with per-language counts at
+    each stage — the attrition table every corpus-cleaning run ships
+    with its output (how many docs each gate cost, per language).
+
+    Plan shape is the corpus_prep_report discipline: gates become flag
+    COLUMNS (two windows over data-grown keys — canonical URL and
+    content digest — never a per-gate materialization), then one
+    rollup shuffle.  Three passes of logic, one job."""
+    d = t(spark, sf, "documents")
+    urls = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("digest"),
+        _canon(_raw_url()).alias("canon_url"),
+    )
+    w_url = Window.partitionBy("canon_url")
+    flags = urls.select(
+        "lang",
+        "n_chars",
+        "doc_id",
+        "digest",
+        (F.col("doc_id") == F.min("doc_id").over(w_url)).alias("keep_url"),
+    )
+    w_dig = Window.partitionBy("digest")
+    keep_exact = F.col("keep_url") & (
+        F.col("doc_id")
+        == F.min(
+            F.when(F.col("keep_url"), F.col("doc_id"))
+        ).over(w_dig)
+    )
+    flags2 = flags.select(
+        "lang", "n_chars", "keep_url", keep_exact.alias("keep_exact")
+    )
+    survivor = F.col("keep_exact") & (F.col("n_chars") >= 100)
+    return flags2.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.col("keep_url")).cast("long").alias("n_url_kept"),
+        F.count_if(F.col("keep_exact")).cast("long").alias("n_exact_kept"),
+        F.count_if(survivor).cast("long").alias("n_survivors"),
+        F.sum(F.when(survivor, F.col("n_chars")))
+        .cast("long")
+        .alias("sum_chars_survivors"),
+    )
