@@ -439,38 +439,63 @@ def _bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
     fp = o.agg(
         F.count(F.lit(1)), F.sum("o_custkey").cast("long")
     ).first()
+    sides = (
+        (t_o, o, "o_custkey", "orders"),
+        (t_c, c, "c_custkey", "customer"),
+    )
 
-    def _table_ok(name: str) -> bool:
-        if not spark.catalog.tableExists(name):
+    def _disk_ok() -> bool:
+        # Fingerprint the FILES, not the catalog: a fresh session has
+        # an empty in-memory catalog but perfectly good bucket files,
+        # and rewriting them would yank data out from under any
+        # concurrent session reading the same warehouse.
+        if not os.path.isdir(os.path.join(loc_root, "customer")):
             return False
-        if name != t_o:
-            return True
-        got = (
-            spark.table(name)
-            .agg(F.count(F.lit(1)), F.sum("o_custkey").cast("long"))
-            .first()
-        )
+        try:
+            got = (
+                spark.read.parquet(os.path.join(loc_root, "orders"))
+                .agg(F.count(F.lit(1)), F.sum("o_custkey").cast("long"))
+                .first()
+            )
+        except Exception:
+            return False
         return tuple(got) == tuple(fp)
 
-    if not (_table_ok(t_o) and _table_ok(t_c)):
-        import shutil
+    from kafkaish_spark.sources.topic_log import writer_lock
 
-        for name, df, key, sub in (
-            (t_o, o, "o_custkey", "orders"),
-            (t_c, c, "c_custkey", "customer"),
-        ):
-            spark.sql(f"DROP TABLE IF EXISTS {name}")
-            loc = os.path.join(loc_root, sub)
-            shutil.rmtree(loc, ignore_errors=True)
-            (
-                df.repartition(_BKT_N, key)
-                .write.format("parquet")
-                .option("path", loc)
-                .bucketBy(_BKT_N, key)
-                .sortBy(key)
-                .mode("overwrite")
-                .saveAsTable(name)
-            )
+    os.makedirs(loc_root, exist_ok=True)
+    with writer_lock(loc_root, "bucket-layout build"):
+        if _disk_ok():
+            # Valid layout on disk: register it as an EXTERNAL bucketed
+            # table (DDL carries the bucket spec) without rewriting.
+            for name, df, key, sub in sides:
+                if not spark.catalog.tableExists(name):
+                    ddl = df._jdf.schema().toDDL()
+                    loc = os.path.join(loc_root, sub)
+                    spark.sql(
+                        f"CREATE TABLE {name} ({ddl}) USING parquet "
+                        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                        f"INTO {_BKT_N} BUCKETS LOCATION '{loc}'"
+                    )
+        else:
+            import shutil
+
+            for name, df, key, sub in sides:
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                loc = os.path.join(loc_root, sub)
+                shutil.rmtree(loc, ignore_errors=True)
+                (
+                    df.repartition(_BKT_N, key)
+                    .write.format("parquet")
+                    .option("path", loc)
+                    .bucketBy(_BKT_N, key)
+                    .sortBy(key)
+                    .mode("overwrite")
+                    .saveAsTable(name)
+                )
+    for name, _df, _key, _sub in sides:
+        # drop any file listing cached before a concurrent rebuild
+        spark.sql(f"REFRESH TABLE {name}")
     return t_o, t_c
 
 

@@ -307,6 +307,7 @@ _DOCUMENTED_GLOBAL_ORDER = frozenset(
         "q_ml_auc",                    # exact twin of q_ml_auc_binned (scale path)
         "q_rfm_segmentation",          # quintiles over per-customer aggregates
         "q_skyline_parts",             # skyline over the part dimension
+        "q_text_heaps_law",            # cumulative window over the 10-row decile frame
     }
 )
 
@@ -379,6 +380,7 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q_agg_pareto_customers": "cumulative share over per-customer aggregates",
     "q_agg_hhi_supplier_share": "share computation over per-supplier aggregates",
     "q_agg_gini_customer_revenue": "rank over per-customer revenue aggregates",
+    "q_text_heaps_law": "cumulative totals over the 10-row decile frame",
 }
 
 
