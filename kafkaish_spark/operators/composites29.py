@@ -1,6 +1,7 @@
-"""Round-5 third wave: corpus-statistics operators — BM25 ranking,
-PMI collocation mining, Heaps-law vocabulary growth, and a Zipf
-rank-frequency fit.
+"""Round-5 third wave: corpus-statistics and training-layout
+operators — BM25 ranking, PMI collocation mining, Heaps-law
+vocabulary growth, a Zipf rank-frequency fit, leakage-safe
+group-aware splitting, and length-bucketed batch packing.
 
 Reference parity: the reference (kafkaish, ~350 LoC pub/sub over
 MongoDB) computes none of these — all [NS] north-star extensions per
@@ -468,3 +469,242 @@ def q_text_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     ).orderBy("lang")
+
+
+# ------------------------------------------- leakage-safe train/val/test split
+def _hex8_bucket(col, n: int):
+    """md5-derived bucket 0..n-1, identical across engines (the
+    hashing-vectorizer idiom, llm.py)."""
+    return F.conv(F.substring(col, 1, 8), 16, 10).cast("long") % n
+
+
+_SPLIT_CASE = (
+    "CASE WHEN {b} < 8 THEN 'train' WHEN {b} = 8 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, n_chars, md5(text) AS gkey,
+             CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 10
+               AS gb,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10 AS nb
+      FROM documents),
+    lab AS (
+      SELECT doc_id, n_chars, gkey,
+             {_SPLIT_CASE.format(b='gb')} AS split,
+             {_SPLIT_CASE.format(b='nb')} AS naive_split
+      FROM b),
+    docs_per_split AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM lab GROUP BY 1),
+    grp AS (
+      SELECT gkey, MIN(split) AS split,
+             COUNT(DISTINCT naive_split) AS n_naive
+      FROM lab GROUP BY 1),
+    groups_per_split AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS naive_leaked_groups
+      FROM grp GROUP BY 1)
+    SELECT split, n_docs, sum_chars, n_groups, naive_leaked_groups
+    FROM docs_per_split JOIN groups_per_split USING (split)
+    ORDER BY split
+    """,
+)
+def q_split_leakage_safe(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test splitting: the split is decided per
+    DUPLICATE GROUP (here the exact-dup class, md5 of the content —
+    the same key the near-dup clusters would supply), not per
+    document, so two copies of one document can never land in both
+    train and test.  The ``naive_leaked_groups`` column quantifies
+    what doc-level hashing would have leaked: groups whose members the
+    per-doc hash scatters across >1 split.  By construction the
+    group-keyed rule leaks zero — the oracle proves the count of
+    WOULD-BE leaks, the standard argument for group-aware splits
+    (Kandpal et al.'s dedup-before-split finding).
+
+    Exactness: both engines derive the 0..9 bucket from the first 8
+    hex chars of the same md5, so assignment is bit-identical.
+
+    Scale: one hash shuffle on the digest (the exact-dedup shape), one
+    tiny (3-row) aggregate each side, broadcast-free join on the
+    3-value split key at negligible width."""
+    d = t(spark, sf, "documents")
+    cpus = spark.sparkContext.defaultParallelism
+    gkey = F.md5("text")
+
+    def _split(b):
+        return (
+            F.when(b < 8, F.lit("train"))
+            .when(b == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    lab = d.repartition(cpus, "doc_id").select(
+        "doc_id",
+        "n_chars",
+        gkey.alias("gkey"),
+        _split(_hex8_bucket(gkey, 10)).alias("split"),
+        _split(
+            _hex8_bucket(F.md5(F.col("doc_id").cast("string")), 10)
+        ).alias("naive_split"),
+    )
+    docs_per_split = lab.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    grp = lab.groupBy("gkey").agg(
+        F.min("split").alias("split"),
+        F.countDistinct("naive_split").alias("n_naive"),
+    )
+    groups_per_split = grp.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n_naive") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("naive_leaked_groups"),
+    )
+    return (
+        docs_per_split.join(groups_per_split, "split")
+        .select(
+            "split", "n_docs", "sum_chars", "n_groups",
+            "naive_leaked_groups",
+        )
+        .orderBy("split")
+    )
+
+
+# ------------------------------------------- length-bucketed batch packing
+_BATCH_B = 32
+
+
+@query(
+    "q_pack_length_batching",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents),
+    s1 AS (SELECT n_tok,
+                  row_number() OVER (ORDER BY n_tok, doc_id) AS rnk
+           FROM tok),
+    s2 AS (SELECT n_tok, row_number() OVER (ORDER BY doc_id) AS rnk
+           FROM tok),
+    b1 AS (SELECT (rnk - 1) // {_BATCH_B} AS batch, COUNT(*) AS cnt,
+                  MAX(n_tok) AS mx, SUM(n_tok) AS s
+           FROM s1 GROUP BY 1),
+    b2 AS (SELECT (rnk - 1) // {_BATCH_B} AS batch, COUNT(*) AS cnt,
+                  MAX(n_tok) AS mx, SUM(n_tok) AS s
+           FROM s2 GROUP BY 1),
+    a AS (
+      SELECT 'arrival_order' AS strategy,
+             CAST(COUNT(*) AS BIGINT) AS n_batches,
+             CAST(SUM(s) AS BIGINT) AS total_tokens,
+             CAST(SUM(cnt * mx - s) AS BIGINT) AS total_padding
+      FROM b2
+      UNION ALL
+      SELECT 'length_sorted', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(s) AS BIGINT), CAST(SUM(cnt * mx - s) AS BIGINT)
+      FROM b1)
+    SELECT strategy, n_batches, total_tokens, total_padding,
+           round(CAST(total_padding AS DOUBLE)
+                 / (total_padding + total_tokens), 6) AS pad_ratio
+    FROM a ORDER BY strategy
+    """,
+)
+def q_pack_length_batching(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-bucketed batch packing: fixed-size batches of
+    {_BATCH_B}, each padded to its own max length — comparing
+    arrival-order batching against length-sorted batching by total
+    padding waste (the inference/training throughput lever; sorting
+    by length routinely cuts pad waste by an order of magnitude).
+
+    The oracle states both strategies as naive global row_numbers; the
+    Spark plan computes BOTH ranks with the house two-phase
+    decomposition (PROVEN equal): the length-sorted rank is a counting
+    sort — histogram over distinct token lengths (bounded by max doc
+    length), broadcast prefix sums, row_number only within one length
+    — and the arrival rank buckets doc_id into 256 ranges off the
+    broadcast max so no task ever sorts more than ~1/256th of the
+    corpus.  Batch stats then reduce by batch id (one hash shuffle)
+    and collapse to 2 rows.
+
+    Exactness: every column is an exact integer until the single
+    final rounded division."""
+    d = t(spark, sf, "documents")
+    cpus = spark.sparkContext.defaultParallelism
+    tok = d.repartition(cpus, "doc_id").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+
+    def _batch_stats(ranked: DataFrame, strategy: str) -> DataFrame:
+        b = ranked.select(
+            F.expr(f"(rank - 1) div {_BATCH_B}").alias("batch"), "n_tok"
+        )
+        per = b.groupBy("batch").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("n_tok").alias("mx"),
+            F.sum("n_tok").alias("s"),
+        )
+        return per.agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("s").cast("long").alias("total_tokens"),
+            F.sum(F.col("cnt") * F.col("mx") - F.col("s"))
+            .cast("long")
+            .alias("total_padding"),
+        ).select(F.lit(strategy).alias("strategy"), "*")
+
+    # length-sorted rank: counting sort over the bounded length domain
+    hist_l = tok.groupBy("n_tok").agg(F.count(F.lit(1)).alias("hn"))
+    w_pre_l = (
+        Window.orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix_l = hist_l.select(
+        "n_tok",
+        F.coalesce(F.sum("hn").over(w_pre_l), F.lit(0)).alias("off0"),
+    )
+    w_in_l = Window.partitionBy("n_tok").orderBy("doc_id")
+    ranked_l = (
+        tok.withColumn("r", F.row_number().over(w_in_l))
+        .join(F.broadcast(prefix_l), "n_tok")
+        .select((F.col("off0") + F.col("r")).alias("rank"), "n_tok")
+    )
+    # arrival-order rank: 256 doc_id range buckets off the broadcast max
+    m = tok.agg(F.max("doc_id").alias("max_id"))
+    keyed = tok.crossJoin(F.broadcast(m)).withColumn(
+        "rb",
+        F.floor(
+            F.col("doc_id") * 256 / (F.col("max_id") + 1)
+        ).cast("long"),
+    )
+    hist_n = keyed.groupBy("rb").agg(F.count(F.lit(1)).alias("hn"))
+    w_pre_n = (
+        Window.orderBy("rb").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix_n = hist_n.select(
+        "rb",
+        F.coalesce(F.sum("hn").over(w_pre_n), F.lit(0)).alias("off0"),
+    )
+    w_in_n = Window.partitionBy("rb").orderBy("doc_id")
+    ranked_n = (
+        keyed.withColumn("r", F.row_number().over(w_in_n))
+        .join(F.broadcast(prefix_n), "rb")
+        .select((F.col("off0") + F.col("r")).alias("rank"), "n_tok")
+    )
+    out = _batch_stats(ranked_n, "arrival_order").unionByName(
+        _batch_stats(ranked_l, "length_sorted")
+    )
+    ratio = F.round(
+        F.col("total_padding").cast("double")
+        / (F.col("total_padding") + F.col("total_tokens")),
+        6,
+    )
+    return out.select(
+        "strategy", "n_batches", "total_tokens", "total_padding",
+        ratio.alias("pad_ratio"),
+    ).orderBy("strategy")

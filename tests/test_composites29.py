@@ -153,3 +153,88 @@ def test_zipf_rank_window_is_group_limited(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_leakage_safe_split_matches_pure_python_replay(spark):
+    import hashlib
+
+    from kafkaish_spark.operators.composites29 import q_split_leakage_safe
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 10
+
+    def label(b):
+        return "train" if b < 8 else ("val" if b == 8 else "test")
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    per_split = {}
+    grp = {}
+    for doc_id, n_chars, text in docs:
+        gkey = hashlib.md5(text.encode()).hexdigest()
+        split = label(bucket(text))
+        naive = label(bucket(str(doc_id)))
+        d = per_split.setdefault(split, [0, 0])
+        d[0] += 1
+        d[1] += n_chars
+        g = grp.setdefault(gkey, (split, set()))
+        g[1].add(naive)
+    gps = {}
+    for gkey, (split, naives) in grp.items():
+        g = gps.setdefault(split, [0, 0])
+        g[0] += 1
+        g[1] += 1 if len(naives) > 1 else 0
+    want = sorted(
+        (s, per_split[s][0], per_split[s][1], gps[s][0], gps[s][1])
+        for s in per_split
+    )
+    got = [
+        (
+            r["split"], r["n_docs"], r["sum_chars"], r["n_groups"],
+            r["naive_leaked_groups"],
+        )
+        for r in q_split_leakage_safe(spark, SF).collect()
+    ]
+    assert got == want
+    assert sum(r[1] for r in got) == len(docs)
+
+
+def test_length_batching_matches_replay_and_beats_arrival_order(spark):
+    from kafkaish_spark.operators.composites29 import (
+        _BATCH_B,
+        q_pack_length_batching,
+    )
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, len(string_split(text, ' ')) FROM "
+        f"'{SF}/documents.parquet'"
+    ).fetchall()
+
+    def stats(order):
+        n_b = tot = pad = 0
+        for i in range(0, len(order), _BATCH_B):
+            chunk = [n for _d, n in order[i : i + _BATCH_B]]
+            n_b += 1
+            tot += sum(chunk)
+            pad += len(chunk) * max(chunk) - sum(chunk)
+        return n_b, tot, pad
+
+    arrival = stats(sorted(docs, key=lambda x: x[0]))
+    bylen = stats(sorted(docs, key=lambda x: (x[1], x[0])))
+    want = [
+        ("arrival_order", *arrival,
+         round(arrival[2] / (arrival[2] + arrival[1]), 6)),
+        ("length_sorted", *bylen,
+         round(bylen[2] / (bylen[2] + bylen[1]), 6)),
+    ]
+    got = [
+        (
+            r["strategy"], r["n_batches"], r["total_tokens"],
+            r["total_padding"], r["pad_ratio"],
+        )
+        for r in q_pack_length_batching(spark, SF).collect()
+    ]
+    assert got == want
+    # the whole point of length bucketing
+    assert bylen[2] < arrival[2]
