@@ -708,3 +708,110 @@ def q_pack_length_batching(spark: SparkSession, sf: str) -> DataFrame:
         "strategy", "n_batches", "total_tokens", "total_padding",
         ratio.alias("pad_ratio"),
     ).orderBy("strategy")
+
+
+# ------------------------------------------- cross-source overlap matrix
+@query(
+    "q_corpus_source_overlap",
+    oracle="""
+    WITH digests AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(
+                 list_sort(list_distinct(string_split(text, ' '))), ' '))
+               AS gkey
+      FROM documents),
+    per_src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct
+      FROM digests GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM digests a JOIN digests b
+        ON a.gkey = b.gkey AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT src_a, src_b, n_shared,
+           pa.n_distinct AS n_a, pb.n_distinct AS n_b,
+           round(CAST(n_shared AS DOUBLE)
+                 / (pa.n_distinct + pb.n_distinct - n_shared), 6)
+             AS jaccard
+    FROM pairs
+    JOIN per_src pa ON pairs.src_a = pa.source
+    JOIN per_src pb ON pairs.src_b = pb.source
+    ORDER BY src_a, src_b
+    """,
+)
+def q_corpus_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source duplicate-overlap matrix: for every source pair,
+    how many distinct documents both sources carry, and the Jaccard of
+    their fingerprint sets — the diagnostic that finds sources
+    re-crawling or mirroring each other before mixture weights are
+    chosen (double-counted content silently up-weights itself).  The
+    fingerprint is the digest of the SORTED DISTINCT WORD SET (the
+    bag-of-words-exact near-dup class: reordered or repeated-word
+    template twins collide, novel vocabulary does not), the same
+    family the MinHash pipeline approximates.
+
+    Scale: the join key is the content DIGEST (never the text), so the
+    heavy shuffle is the exact-dedup shape; a digest shared by k
+    sources expands to k(k-1)/2 pairs with k bounded by the source
+    COUNT (a catalog dimension, tens), not the corpus — the
+    all-pairs space is sources^2, not docs^2.  Per-source distinct
+    counts are one aggregate off the same distinct-digest frame."""
+    d = t(spark, sf, "documents")
+    cpus = spark.sparkContext.defaultParallelism
+    digests = (
+        d.repartition(cpus, "doc_id")
+        .select(
+            "source",
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.array_sort(F.array_distinct(F.split("text", " "))),
+                )
+            ).alias("gkey"),
+        )
+        .distinct()
+    )
+    per_src = digests.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    a = digests.select(
+        F.col("source").alias("src_a"), "gkey"
+    )
+    b = digests.select(F.col("source").alias("src_b"), "gkey")
+    pairs = (
+        a.join(b, "gkey")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    jac = F.round(
+        F.col("n_shared").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        6,
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("src_a"),
+                    F.col("n_distinct").alias("n_a"),
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("src_b"),
+                    F.col("n_distinct").alias("n_b"),
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a", "src_b", "n_shared", "n_a", "n_b",
+            jac.alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -238,3 +238,45 @@ def test_length_batching_matches_replay_and_beats_arrival_order(spark):
     assert got == want
     # the whole point of length bucketing
     assert bylen[2] < arrival[2]
+
+
+def test_source_overlap_matches_pure_python_replay(spark):
+    import hashlib
+
+    from kafkaish_spark.operators.composites29 import (
+        q_corpus_source_overlap,
+    )
+
+    rows = duckdb.sql(
+        f"SELECT source, text FROM '{SF}/documents.parquet'"
+    ).fetchall()
+    sets = {}
+    for src, text in rows:
+        fp = hashlib.md5(
+            " ".join(sorted(set(text.split(" ")))).encode()
+        ).hexdigest()
+        sets.setdefault(src, set()).add(fp)
+    want = []
+    for a in sorted(sets):
+        for b in sorted(sets):
+            if a >= b:
+                continue
+            shared = len(sets[a] & sets[b])
+            if shared:
+                want.append(
+                    (
+                        a, b, shared, len(sets[a]), len(sets[b]),
+                        round(
+                            shared / len(sets[a] | sets[b]), 6
+                        ),
+                    )
+                )
+    got = [
+        (
+            r["src_a"], r["src_b"], r["n_shared"], r["n_a"], r["n_b"],
+            r["jaccard"],
+        )
+        for r in q_corpus_source_overlap(spark, SF).collect()
+    ]
+    assert got == want
+    assert len(got) > 0  # the fingerprint class must actually fire
