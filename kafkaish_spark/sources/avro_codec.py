@@ -1,0 +1,438 @@
+"""Pure-Python Avro Object Container File codec — the no-jar tier of
+the Avro interchange path.
+
+``spark-avro`` (the JVM datasource) is an external module; when its jar
+is absent (see ``ingest.AVRO_BOOTSTRAP``) this module still closes the
+Avro leg of the interchange matrix by implementing the container-file
+format directly from the public Avro 1.12 specification
+(https://avro.apache.org/docs/1.12.0/specification/): magic ``Obj\\x01``,
+file-metadata map carrying the writer schema JSON, 16-byte sync marker,
+then ``(count, byte-size, rows, sync)`` blocks of binary-encoded records
+(zigzag-varint longs, length-prefixed UTF-8, little-endian IEEE floats,
+union-index-prefixed nullables), ``null`` codec.
+
+Supported type surface (the DataFrame interchange subset): record of
+primitives ``long int double float boolean string bytes`` plus nullable
+unions ``["null", T]`` and the ``timestamp-micros`` / ``date`` logical
+types.  Anything else raises at schema-mapping time — explicit refusal,
+never silent coercion (the same contract as every reader in
+``sources/ingest.py``).
+
+Spec compliance is NOT self-certified: the test suite round-trips files
+against the **Java Avro library** (``org.apache.avro``, which ships
+inside pyspark's core jars) through ``spark._jvm`` in both directions —
+Java reads what this module writes, and this module reads what Java
+writes (tests/test_avro_codec.py).  A codec that only round-trips with
+itself could deviate from the spec arbitrarily; one that interoperates
+with the reference implementation cannot.
+
+Scale shape: ``write_avro_py`` emits ONE container file per input
+partition from inside ``mapInPandas`` (executor-parallel, one block per
+Arrow batch so memory stays bounded); ``read_avro_py`` parallelizes by
+file (Avro blocks are sync-delimited and could split finer, but
+file-level parallelism matches how 100 TB landing zones arrive — many
+files — and is the same guidance the JSONL/XML readers document).  The
+per-row Python encode/decode is the cost of the no-jar tier: on a real
+cluster prefer the spark-avro jar (the registration in ``ingest.py``
+picks it automatically when present).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------- schema map
+
+_PRIMITIVES: dict[type, str] = {
+    T.LongType: "long",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.BooleanType: "boolean",
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+}
+
+
+def _avro_type_of(dt: T.DataType):
+    for klass, name in _PRIMITIVES.items():
+        if isinstance(dt, klass):
+            return name
+    if isinstance(dt, T.TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    raise TypeError(
+        f"avro_codec does not map Spark type {dt.simpleString()}; "
+        "supported: long/int/double/float/boolean/string/binary/"
+        "timestamp/date (see module docstring)"
+    )
+
+
+def avro_schema_of(schema: T.StructType, name: str = "row") -> dict:
+    """Spark StructType -> Avro record schema (nullable fields become
+    ``["null", T]`` unions, matching what spark-avro itself emits)."""
+    fields = []
+    for f in schema.fields:
+        at = _avro_type_of(f.dataType)
+        fields.append(
+            {"name": f.name, "type": ["null", at] if f.nullable else at}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+# ------------------------------------------------------------ binary encoding
+
+
+def _write_long(buf: bytearray, n: int) -> None:
+    n = (n << 1) ^ (n >> 63)  # zigzag; Python's >> is arithmetic
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _read_long(data: bytes, pos: int) -> tuple[int, int]:
+    acc = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _write_bytes(buf: bytearray, b: bytes) -> None:
+    _write_long(buf, len(b))
+    buf += b
+
+
+def _read_bytes(data: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _read_long(data, pos)
+    return data[pos : pos + n], pos + n
+
+
+# One (encode, decode) pair per leaf Avro type.  Encoders take
+# (bytearray, python value); decoders take (bytes, pos) -> (value, pos).
+
+_ENC = {
+    "long": _write_long,
+    "int": _write_long,
+    "boolean": lambda buf, v: buf.append(1 if v else 0),
+    "double": lambda buf, v: buf.extend(struct.pack("<d", v)),
+    "float": lambda buf, v: buf.extend(struct.pack("<f", v)),
+    "string": lambda buf, v: _write_bytes(buf, v.encode("utf-8")),
+    "bytes": lambda buf, v: _write_bytes(buf, bytes(v)),
+}
+
+_DEC = {
+    "long": _read_long,
+    "int": _read_long,
+    "boolean": lambda d, p: (d[p] != 0, p + 1),
+    "double": lambda d, p: (struct.unpack_from("<d", d, p)[0], p + 8),
+    "float": lambda d, p: (struct.unpack_from("<f", d, p)[0], p + 4),
+    "string": lambda d, p: (
+        lambda b, q: (b.decode("utf-8"), q)
+    )(*_read_bytes(d, p)),
+    "bytes": lambda d, p: _read_bytes(d, p),
+}
+
+
+def _leaf(at) -> str:
+    """Avro field type (possibly a logical-type dict) -> leaf name."""
+    return at["type"] if isinstance(at, dict) else at
+
+
+def _field_plan(avro_schema: dict) -> list[tuple[str, str, bool]]:
+    """Record schema -> [(field_name, leaf_type, nullable)] in writer
+    order — the decode/encode walk is driven entirely by the WRITER
+    schema embedded in the file, per the spec's resolution rules."""
+    plan = []
+    for f in avro_schema["fields"]:
+        at = f["type"]
+        nullable = isinstance(at, list)
+        if nullable:
+            branches = [b for b in at if b != "null"]
+            if len(at) != 2 or "null" not in at or len(branches) != 1:
+                raise TypeError(
+                    f"unsupported union {at!r} for field {f['name']}: "
+                    "only [null, T] is mapped"
+                )
+            at = branches[0]
+        plan.append((f["name"], _leaf(at), nullable))
+    return plan
+
+
+# ---------------------------------------------------------- container file IO
+
+
+def _sync_marker(seed: str) -> bytes:
+    import hashlib
+
+    # any 16 bytes work (spec: uniquely-ish per file); deterministic in
+    # the file path so retried task attempts rewrite identical files
+    return hashlib.md5(("kafkaish-avro:" + seed).encode()).digest()
+
+
+def write_container(
+    out: io.BufferedWriter,
+    avro_schema: dict,
+    batches: Iterator[list[tuple]],
+    seed: str,
+) -> int:
+    """Write a complete container file: header, then one data block per
+    non-empty batch of row tuples (values in writer-schema field
+    order).  Returns rows written."""
+    sync = _sync_marker(seed)
+    header = bytearray(MAGIC)
+    meta = {
+        "avro.schema": json.dumps(avro_schema).encode(),
+        "avro.codec": b"null",
+    }
+    _write_long(header, len(meta))
+    for k, v in meta.items():
+        _write_bytes(header, k.encode())
+        _write_bytes(header, v)
+    _write_long(header, 0)  # end of metadata map
+    header += sync
+    out.write(header)
+
+    plan = _field_plan(avro_schema)
+    encs = [(_ENC[leaf], nullable) for _name, leaf, nullable in plan]
+    total = 0
+    for rows in batches:
+        if not rows:
+            continue
+        block = bytearray()
+        for row in rows:
+            for (enc, nullable), v in zip(encs, row):
+                if nullable:
+                    if v is None:
+                        _write_long(block, 0)  # union branch: null
+                        continue
+                    _write_long(block, 1)
+                enc(block, v)
+        head = bytearray()
+        _write_long(head, len(rows))
+        _write_long(head, len(block))
+        out.write(head)
+        out.write(block)
+        out.write(sync)
+        total += len(rows)
+    return total
+
+
+def read_container(path: str) -> tuple[dict, Iterator[list[tuple]]]:
+    """Container file -> (writer schema, iterator of per-block row
+    lists).  Raises on bad magic, unsupported codec, or a corrupt sync
+    marker (torn block) — corruption must fail loudly, not truncate."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != MAGIC:
+        raise ValueError(f"{path}: not an Avro container file (bad magic)")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(data, pos)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count precedes a byte size
+            n = -n
+            _size, pos = _read_long(data, pos)
+        for _ in range(n):
+            k, pos = _read_bytes(data, pos)
+            v, pos = _read_bytes(data, pos)
+            meta[k.decode()] = v
+    codec = meta.get("avro.codec", b"null")
+    if codec != b"null":
+        raise ValueError(
+            f"{path}: codec {codec!r} unsupported (null-codec only)"
+        )
+    schema = json.loads(meta["avro.schema"])
+    sync = data[pos : pos + 16]
+    pos += 16
+
+    plan = _field_plan(schema)
+    decs = [(_DEC[leaf], nullable) for _name, leaf, nullable in plan]
+
+    def blocks() -> Iterator[list[tuple]]:
+        p = pos
+        while p < len(data):
+            count, p = _read_long(data, p)
+            size, p = _read_long(data, p)
+            end = p + size
+            rows = []
+            for _ in range(count):
+                vals = []
+                for dec, nullable in decs:
+                    if nullable:
+                        branch, p = _read_long(data, p)
+                        if branch == 0:
+                            vals.append(None)
+                            continue
+                    v, p = dec(data, p)
+                    vals.append(v)
+                rows.append(tuple(vals))
+            if p != end:
+                raise ValueError(f"{path}: block decoded {p - (end - size)} bytes, header said {size}")
+            if data[p : p + 16] != sync:
+                raise ValueError(f"{path}: sync marker mismatch (torn block)")
+            p += 16
+            yield rows
+
+    return schema, blocks()
+
+
+# ----------------------------------------------------- pandas <-> row tuples
+
+
+def _pdf_to_rows(pdf, schema: T.StructType, tz: str) -> list[tuple]:
+    """pandas DataFrame (Arrow batch from mapInPandas) -> row tuples in
+    schema field order, with Spark-type-aware scalar conversion
+    (timestamps -> epoch micros, dates -> days, NaN/NaT -> None).
+
+    ``tz`` is the Spark session timezone: mapInPandas delivers
+    TimestampType as NAIVE session-local wall-clock, while Avro
+    ``timestamp-micros`` is a UTC instant — localize then convert, so
+    the bytes on disk mean what the spec (and the Java library the
+    tests interop with) says they mean."""
+    import pandas as pd
+
+    cols = []
+    for f in schema.fields:
+        s = pdf[f.name]
+        if isinstance(f.dataType, T.TimestampType):
+            utc = (
+                pd.to_datetime(s).dt.tz_localize(tz).dt.tz_convert("UTC")
+            )
+            vals = [
+                None if pd.isna(v) else int(v.value // 1_000)
+                for v in utc
+            ]
+        elif isinstance(f.dataType, T.DateType):
+            epoch = pd.Timestamp("1970-01-01").date()
+            vals = [
+                None if pd.isna(v) else (v - epoch).days for v in s
+            ]
+        elif isinstance(
+            f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+        ):
+            vals = [None if pd.isna(v) else int(v) for v in s]
+        elif isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            vals = [None if pd.isna(v) else float(v) for v in s]
+        elif isinstance(f.dataType, T.BooleanType):
+            vals = [None if pd.isna(v) else bool(v) for v in s]
+        else:
+            vals = [None if v is None else v for v in s]
+        cols.append(vals)
+    return list(zip(*cols))
+
+
+def _rows_to_pdf(rows: list[tuple], writer_schema: dict, tz: str):
+    import pandas as pd
+
+    plan = _field_plan(writer_schema)
+    names = [n for n, _l, _nb in plan]
+    pdf = pd.DataFrame(rows, columns=names) if rows else pd.DataFrame(
+        {n: [] for n in names}
+    )
+    for (name, leaf, _nb), f in zip(plan, writer_schema["fields"]):
+        at = f["type"]
+        if isinstance(at, list):
+            at = [b for b in at if b != "null"][0]
+        logical = at.get("logicalType") if isinstance(at, dict) else None
+        if logical == "timestamp-micros":
+            # UTC instant on disk -> naive session-local wall-clock,
+            # the dual of the write-side conversion
+            pdf[name] = (
+                pd.to_datetime(pdf[name], unit="us", utc=True)
+                .dt.tz_convert(tz)
+                .dt.tz_localize(None)
+            )
+        elif logical == "date":
+            pdf[name] = pd.to_datetime(pdf[name], unit="D").dt.date
+    return pdf
+
+
+# ------------------------------------------------------------ Spark surface
+
+
+def write_avro_py(df: DataFrame, path: str) -> int:
+    """DataFrame -> directory of Avro container files, one per
+    partition, written executor-side inside ``mapInPandas`` (the
+    driver only collects the tiny per-file stat rows).  Overwrite
+    semantics.  Returns total rows written."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    schema = df.schema
+    avro_schema = avro_schema_of(schema)
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+
+    def _write(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        import pandas as pd
+
+        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        with open(fname, "wb") as out:
+            n = write_container(
+                out,
+                avro_schema,
+                (_pdf_to_rows(pdf, schema, tz) for pdf in batches),
+                seed=fname,
+            )
+        yield pd.DataFrame({"file": [fname], "rows": [n]})
+
+    stats = df.mapInPandas(_write, "file string, rows long").collect()
+    return sum(r["rows"] for r in stats)
+
+
+def read_avro_py(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Directory of Avro container files -> DataFrame with an explicit
+    reader schema (same no-inference contract as every reader in
+    ``ingest.py``).  File-level parallelism: one task per container
+    file; each file streams block-by-block through pandas so memory is
+    bounded by the writer's block size, not the file."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    target = T._parse_datatype_string(schema)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "path string"
+    ).repartition(len(files))
+
+    names = [f.name for f in target.fields]
+
+    def _read(pdfs):
+        for pdf in pdfs:
+            for p in pdf["path"]:
+                _ws, blocks = read_container(p)
+                for rows in blocks:
+                    out = _rows_to_pdf(rows, _ws, tz)
+                    yield out[names]
+
+    return fdf.mapInPandas(_read, target)

@@ -1,0 +1,263 @@
+"""Pure-Python Avro container codec (sources/avro_codec.py).
+
+The load-bearing tests here are the JAVA INTEROP pair: a codec that
+only round-trips with itself could deviate from the Avro spec
+arbitrarily; one whose files the reference Java implementation
+(org.apache.avro, shipped inside pyspark's core jars) reads back
+value-for-value — and which reads Java-written files — cannot.
+"""
+
+import io
+import json
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from kafkaish_spark.sources.avro_codec import (
+    avro_schema_of,
+    read_avro_py,
+    read_container,
+    write_avro_py,
+    write_container,
+)
+
+FULL_SCHEMA = T.StructType(
+    [
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.StringType(), True),
+        T.StructField("c", T.DoubleType(), True),
+        T.StructField("d", T.BooleanType(), False),
+        T.StructField("e", T.BinaryType(), True),
+        T.StructField("f", T.IntegerType(), True),
+    ]
+)
+
+
+def _roundtrip(rows, schema, tmp_path, blocks=None):
+    path = str(tmp_path / "t.avro")
+    with open(path, "wb") as fh:
+        write_container(
+            fh, avro_schema_of(schema), iter(blocks or [rows]), seed=path
+        )
+    _ws, blks = read_container(path)
+    return [r for blk in blks for r in blk]
+
+
+def test_primitive_edge_values_roundtrip(tmp_path):
+    rows = [
+        (-(2**63), "héllo \n\t\"'", 3.5, True, b"\x00\xff", None),
+        (2**63 - 1, None, None, False, None, -(2**31)),
+        (0, "", -0.0, True, b"", 2**31 - 1),
+        (-1, "☃\U0001f600", float("inf"), False, b"\x80", 0),
+    ]
+    assert _roundtrip(rows, FULL_SCHEMA, tmp_path) == rows
+
+
+def test_multi_block_files_concatenate(tmp_path):
+    rows = [(i, str(i), float(i), i % 2 == 0, b"x", i) for i in range(100)]
+    got = _roundtrip(
+        rows, FULL_SCHEMA, tmp_path, blocks=[rows[:7], [], rows[7:]]
+    )
+    assert got == rows
+
+
+@settings(max_examples=50, deadline=None, database=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.one_of(st.none(), st.text(max_size=60)),
+            st.one_of(
+                st.none(),
+                st.floats(allow_nan=False),  # NaN != NaN breaks ==
+            ),
+            st.booleans(),
+            st.one_of(st.none(), st.binary(max_size=40)),
+            st.one_of(
+                st.none(),
+                st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            ),
+        ),
+        max_size=25,
+    )
+)
+def test_fuzz_roundtrip(tmp_path_factory, rows):
+    tmp = tmp_path_factory.mktemp("avro_fuzz")
+    assert _roundtrip(rows, FULL_SCHEMA, tmp) == rows
+
+
+def test_corruption_fails_loudly(tmp_path):
+    path = str(tmp_path / "t.avro")
+    rows = [(1, "x", 1.0, True, b"y", 2)]
+    with open(path, "wb") as fh:
+        write_container(fh, avro_schema_of(FULL_SCHEMA), iter([rows]), seed=path)
+    data = open(path, "rb").read()
+
+    bad = str(tmp_path / "bad_magic.avro")
+    open(bad, "wb").write(b"Nope" + data[4:])
+    with pytest.raises(ValueError, match="magic"):
+        read_container(bad)
+
+    torn = str(tmp_path / "torn.avro")
+    open(torn, "wb").write(data[:-8] + b"\x00" * 8)  # clobber sync tail
+    _ws, blks = read_container(torn)
+    with pytest.raises(ValueError, match="sync|block"):
+        list(blks)
+
+
+def test_unsupported_types_refused():
+    with pytest.raises(TypeError, match="does not map"):
+        avro_schema_of(
+            T.StructType(
+                [T.StructField("m", T.ArrayType(T.LongType()), True)]
+            )
+        )
+
+
+# ----------------------------------------------------------- Java interop
+
+
+def _java_read(spark, avro_file, field_names):
+    jvm = spark._jvm
+    fr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(avro_file),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    out = []
+    while fr.hasNext():
+        rec = fr.next()
+        vals = []
+        for n in field_names:
+            v = rec.get(n)
+            # py4j leaves avro's Utf8 and ByteBuffer as JavaObjects
+            cls = v.getClass().getName() if hasattr(v, "getClass") else None
+            if cls == "org.apache.avro.util.Utf8":
+                v = v.toString()
+            elif cls == "java.nio.HeapByteBuffer":
+                v = bytes(v.array())
+            vals.append(v)
+        out.append(tuple(vals))
+    fr.close()
+    return out
+
+
+def test_java_reads_python_file(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType(), False),
+            T.StructField("b", T.StringType(), True),
+            T.StructField("c", T.DoubleType(), True),
+            T.StructField("d", T.BooleanType(), False),
+        ]
+    )
+    rows = [
+        (-(2**62), "héllo ☃", 3.5, True),
+        (7, None, None, False),
+        (0, "", -1e300, True),
+    ]
+    path = str(tmp_path / "py.avro")
+    with open(path, "wb") as fh:
+        write_container(fh, avro_schema_of(schema), iter([rows]), seed=path)
+    assert _java_read(spark, path, ["a", "b", "c", "d"]) == rows
+
+
+def test_python_reads_java_file(spark, tmp_path):
+    jvm = spark._jvm
+    sch_json = json.dumps(
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": ["null", "string"]},
+                {"name": "c", "type": "double"},
+                {"name": "d", "type": "boolean"},
+            ],
+        }
+    )
+    sch = jvm.org.apache.avro.Schema.Parser().parse(sch_json)
+    w = jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    dfw = jvm.org.apache.avro.file.DataFileWriter(w)
+    path = str(tmp_path / "java.avro")
+    dfw.create(sch, jvm.java.io.File(path))
+    expect = [
+        (-123456789012345, "wörld", 2.25, True),
+        (7, None, -1e300, False),
+    ]
+    for a, b, c, d in expect:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+        rec.put("a", jvm.java.lang.Long.valueOf(a))
+        rec.put("b", b)
+        rec.put("c", jvm.java.lang.Double.valueOf(c))
+        rec.put("d", jvm.java.lang.Boolean.valueOf(d))
+        dfw.append(rec)
+    dfw.close()
+    _ws, blks = read_container(path)
+    assert [r for blk in blks for r in blk] == expect
+
+
+# ---------------------------------------------------------- Spark surface
+
+
+def test_spark_write_read_partitioned(spark, tmp_path):
+    df = spark.range(0, 1000, 1, 6).selectExpr(
+        "id AS a",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('s', id) END AS b",
+        "CAST(id AS DOUBLE) / 3 AS c",
+        "id % 2 = 0 AS d",
+    )
+    path = str(tmp_path / "dir")
+    n = write_avro_py(df, path)
+    assert n == 1000
+    # one container file per input partition
+    assert len([f for f in os.listdir(path) if f.endswith(".avro")]) == 6
+    back = read_avro_py(
+        spark, path, "a long, b string, c double, d boolean"
+    )
+    # nullability differs by construction (DDL schemas parse nullable);
+    # names and types must match exactly
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    got = {r.a: (r.b, r.c, r.d) for r in back.collect()}
+    want = {r.a: (r.b, r.c, r.d) for r in df.collect()}
+    assert got == want
+
+
+def test_spark_timestamps_survive_session_timezone(spark, tmp_path):
+    """timestamp-micros is a UTC instant on disk; the wall-clock a
+    session reads back must equal what it wrote regardless of the
+    session timezone (the write localizes, the read un-localizes)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.sql(
+            "SELECT * FROM VALUES "
+            "(1L, TIMESTAMP '2024-03-15 12:34:56.789', DATE '2024-03-15'),"
+            "(2L, NULL, NULL) AS t(id, ts, d)"
+        )
+        path = str(tmp_path / "ts")
+        write_avro_py(df, path)
+        back = read_avro_py(spark, path, "id long, ts timestamp, d date")
+        got = {r.id: (r.ts, r.d) for r in back.collect()}
+        want = {r.id: (r.ts, r.d) for r in df.collect()}
+        assert got == want
+        # and the on-disk long really is the UTC instant: 12:34 EDT = 16:34 UTC
+        ws, blks = read_container(
+            os.path.join(
+                path,
+                sorted(f for f in os.listdir(path) if f.endswith(".avro"))[0],
+            )
+        )
+        micros = [r[1] for blk in blks for r in blk if r[0] == 1][0]
+        import datetime
+
+        utc = datetime.datetime.fromtimestamp(
+            micros / 1e6, datetime.timezone.utc
+        )
+        assert utc.hour == 16 and utc.minute == 34
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
