@@ -12,11 +12,13 @@ then ``(count, byte-size, rows, sync)`` blocks of binary-encoded records
 union-index-prefixed nullables), ``null`` codec.
 
 Supported type surface (the DataFrame interchange subset): record of
-primitives ``long int double float boolean string bytes`` plus nullable
-unions ``["null", T]`` and the ``timestamp-micros`` / ``date`` logical
-types.  Anything else raises at schema-mapping time — explicit refusal,
-never silent coercion (the same contract as every reader in
-``sources/ingest.py``).
+primitives ``long int double float boolean string bytes``, nullable
+unions ``["null", T]``, the ``timestamp-micros`` / ``date`` logical
+types, ``array`` (recursively, so ``array<float>`` embedding columns
+round-trip), and both spec-required codecs (``null`` and raw-deflate
+via stdlib zlib).  Anything else raises at schema-mapping time —
+explicit refusal, never silent coercion (the same contract as every
+reader in ``sources/ingest.py``).
 
 Spec compliance is NOT self-certified: the test suite round-trips files
 against the **Java Avro library** (``org.apache.avro``, which ships
@@ -73,10 +75,15 @@ def _avro_type_of(dt: T.DataType):
         return {"type": "long", "logicalType": "timestamp-micros"}
     if isinstance(dt, T.DateType):
         return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.ArrayType):
+        items = _avro_type_of(dt.elementType)
+        if dt.containsNull:
+            items = ["null", items]
+        return {"type": "array", "items": items}
     raise TypeError(
         f"avro_codec does not map Spark type {dt.simpleString()}; "
         "supported: long/int/double/float/boolean/string/binary/"
-        "timestamp/date (see module docstring)"
+        "timestamp/date/array (see module docstring)"
     )
 
 
@@ -156,28 +163,95 @@ _DEC = {
 }
 
 
-def _leaf(at) -> str:
-    """Avro field type (possibly a logical-type dict) -> leaf name."""
-    return at["type"] if isinstance(at, dict) else at
+def _unwrap_nullable(at) -> tuple[object, bool]:
+    """``["null", T]`` union -> (T, True); plain type -> (at, False)."""
+    if isinstance(at, list):
+        branches = [b for b in at if b != "null"]
+        if len(at) != 2 or "null" not in at or len(branches) != 1:
+            raise TypeError(
+                f"unsupported union {at!r}: only [null, T] is mapped"
+            )
+        return branches[0], True
+    return at, False
 
 
-def _field_plan(avro_schema: dict) -> list[tuple[str, str, bool]]:
-    """Record schema -> [(field_name, leaf_type, nullable)] in writer
-    order — the decode/encode walk is driven entirely by the WRITER
-    schema embedded in the file, per the spec's resolution rules."""
+def _make_encoder(at):
+    """Avro type (JSON fragment) -> fn(bytearray, value).  Recursive so
+    array items nest; a ``[null, T]`` union writes its branch index
+    first, per the spec."""
+    at, nullable = _unwrap_nullable(at)
+    if isinstance(at, dict) and at.get("type") == "array":
+        item = _make_encoder(at["items"])
+
+        def enc(buf, v, _item=item):
+            if len(v):
+                _write_long(buf, len(v))
+                for x in v:
+                    _item(buf, x)
+            _write_long(buf, 0)
+
+    else:
+        leaf = at["type"] if isinstance(at, dict) else at
+        enc = _ENC[leaf]
+    if not nullable:
+        return enc
+
+    def enc_nullable(buf, v, _enc=enc):
+        if v is None:
+            _write_long(buf, 0)
+        else:
+            _write_long(buf, 1)
+            _enc(buf, v)
+
+    return enc_nullable
+
+
+def _make_decoder(at):
+    """Avro type -> fn(data, pos) -> (value, pos), the dual of
+    ``_make_encoder``.  Array counts follow the spec's block form: a
+    negative count is followed by a byte size (fast-skip hint, which a
+    sequential decode ignores); count 0 terminates."""
+    at, nullable = _unwrap_nullable(at)
+    if isinstance(at, dict) and at.get("type") == "array":
+        item = _make_decoder(at["items"])
+
+        def dec(data, pos, _item=item):
+            out = []
+            while True:
+                n, pos = _read_long(data, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    n = -n
+                    _size, pos = _read_long(data, pos)
+                for _ in range(n):
+                    v, pos = _item(data, pos)
+                    out.append(v)
+
+    else:
+        leaf = at["type"] if isinstance(at, dict) else at
+        dec = _DEC[leaf]
+    if not nullable:
+        return dec
+
+    def dec_nullable(data, pos, _dec=dec):
+        branch, pos = _read_long(data, pos)
+        if branch == 0:
+            return None, pos
+        return _dec(data, pos)
+
+    return dec_nullable
+
+
+def _field_plan(avro_schema: dict) -> list[tuple[str, object, bool]]:
+    """Record schema -> [(field_name, unwrapped_type, nullable)] in
+    writer order — the decode/encode walk is driven entirely by the
+    WRITER schema embedded in the file, per the spec's resolution
+    rules."""
     plan = []
     for f in avro_schema["fields"]:
-        at = f["type"]
-        nullable = isinstance(at, list)
-        if nullable:
-            branches = [b for b in at if b != "null"]
-            if len(at) != 2 or "null" not in at or len(branches) != 1:
-                raise TypeError(
-                    f"unsupported union {at!r} for field {f['name']}: "
-                    "only [null, T] is mapped"
-                )
-            at = branches[0]
-        plan.append((f["name"], _leaf(at), nullable))
+        at, nullable = _unwrap_nullable(f["type"])
+        plan.append((f["name"], at, nullable))
     return plan
 
 
@@ -197,15 +271,19 @@ def write_container(
     avro_schema: dict,
     batches: Iterator[list[tuple]],
     seed: str,
+    codec: str = "null",
 ) -> int:
     """Write a complete container file: header, then one data block per
     non-empty batch of row tuples (values in writer-schema field
-    order).  Returns rows written."""
+    order).  ``codec``: ``null`` or ``deflate`` (raw RFC-1951 per the
+    spec — stdlib zlib, no dependency).  Returns rows written."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
     sync = _sync_marker(seed)
     header = bytearray(MAGIC)
     meta = {
         "avro.schema": json.dumps(avro_schema).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     _write_long(header, len(meta))
     for k, v in meta.items():
@@ -215,26 +293,26 @@ def write_container(
     header += sync
     out.write(header)
 
-    plan = _field_plan(avro_schema)
-    encs = [(_ENC[leaf], nullable) for _name, leaf, nullable in plan]
+    encs = [_make_encoder(f["type"]) for f in avro_schema["fields"]]
     total = 0
     for rows in batches:
         if not rows:
             continue
         block = bytearray()
         for row in rows:
-            for (enc, nullable), v in zip(encs, row):
-                if nullable:
-                    if v is None:
-                        _write_long(block, 0)  # union branch: null
-                        continue
-                    _write_long(block, 1)
+            for enc, v in zip(encs, row):
                 enc(block, v)
+        payload = bytes(block)
+        if codec == "deflate":
+            import zlib
+
+            c = zlib.compressobj(wbits=-15)  # raw deflate, no zlib header
+            payload = c.compress(payload) + c.flush()
         head = bytearray()
         _write_long(head, len(rows))
-        _write_long(head, len(block))
+        _write_long(head, len(payload))
         out.write(head)
-        out.write(block)
+        out.write(payload)
         out.write(sync)
         total += len(rows)
     return total
@@ -261,41 +339,44 @@ def read_container(path: str) -> tuple[dict, Iterator[list[tuple]]]:
             k, pos = _read_bytes(data, pos)
             v, pos = _read_bytes(data, pos)
             meta[k.decode()] = v
-    codec = meta.get("avro.codec", b"null")
-    if codec != b"null":
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
         raise ValueError(
-            f"{path}: codec {codec!r} unsupported (null-codec only)"
+            f"{path}: codec {codec!r} unsupported (null/deflate only)"
         )
     schema = json.loads(meta["avro.schema"])
     sync = data[pos : pos + 16]
     pos += 16
 
-    plan = _field_plan(schema)
-    decs = [(_DEC[leaf], nullable) for _name, leaf, nullable in plan]
+    decs = [_make_decoder(f["type"]) for f in schema["fields"]]
 
     def blocks() -> Iterator[list[tuple]]:
         p = pos
         while p < len(data):
             count, p = _read_long(data, p)
             size, p = _read_long(data, p)
-            end = p + size
-            rows = []
-            for _ in range(count):
-                vals = []
-                for dec, nullable in decs:
-                    if nullable:
-                        branch, p = _read_long(data, p)
-                        if branch == 0:
-                            vals.append(None)
-                            continue
-                    v, p = dec(data, p)
-                    vals.append(v)
-                rows.append(tuple(vals))
-            if p != end:
-                raise ValueError(f"{path}: block decoded {p - (end - size)} bytes, header said {size}")
+            payload = data[p : p + size]
+            p += size
             if data[p : p + 16] != sync:
                 raise ValueError(f"{path}: sync marker mismatch (torn block)")
             p += 16
+            if codec == "deflate":
+                import zlib
+
+                payload = zlib.decompress(payload, wbits=-15)
+            rows = []
+            q = 0
+            for _ in range(count):
+                vals = []
+                for dec in decs:
+                    v, q = dec(payload, q)
+                    vals.append(v)
+                rows.append(tuple(vals))
+            if q != len(payload):
+                raise ValueError(
+                    f"{path}: block decoded {q} bytes, payload has "
+                    f"{len(payload)}"
+                )
             yield rows
 
     return schema, blocks()
@@ -340,10 +421,31 @@ def _pdf_to_rows(pdf, schema: T.StructType, tz: str) -> list[tuple]:
             vals = [None if pd.isna(v) else float(v) for v in s]
         elif isinstance(f.dataType, T.BooleanType):
             vals = [None if pd.isna(v) else bool(v) for v in s]
+        elif isinstance(f.dataType, T.ArrayType):
+            elem = _scalar_conv(f.dataType.elementType)
+            vals = [
+                None
+                if v is None
+                else [None if x is None else elem(x) for x in v]
+                for v in s
+            ]
         else:
             vals = [None if v is None else v for v in s]
         cols.append(vals)
     return list(zip(*cols))
+
+
+def _scalar_conv(dt: T.DataType):
+    """numpy scalar -> the python scalar the encoders expect."""
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return int
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return float
+    if isinstance(dt, T.BooleanType):
+        return bool
+    if isinstance(dt, T.BinaryType):
+        return bytes
+    return lambda x: x
 
 
 def _rows_to_pdf(rows: list[tuple], writer_schema: dict, tz: str):
@@ -375,11 +477,13 @@ def _rows_to_pdf(rows: list[tuple], writer_schema: dict, tz: str):
 # ------------------------------------------------------------ Spark surface
 
 
-def write_avro_py(df: DataFrame, path: str) -> int:
+def write_avro_py(df: DataFrame, path: str, codec: str = "null") -> int:
     """DataFrame -> directory of Avro container files, one per
     partition, written executor-side inside ``mapInPandas`` (the
     driver only collects the tiny per-file stat rows).  Overwrite
-    semantics.  Returns total rows written."""
+    semantics.  ``codec='deflate'`` compresses each block with raw
+    RFC-1951 deflate (stdlib zlib — the spec's required codec besides
+    null).  Returns total rows written."""
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
@@ -401,6 +505,7 @@ def write_avro_py(df: DataFrame, path: str) -> int:
                 avro_schema,
                 (_pdf_to_rows(pdf, schema, tz) for pdf in batches),
                 seed=fname,
+                codec=codec,
             )
         yield pd.DataFrame({"file": [fname], "rows": [n]})
 

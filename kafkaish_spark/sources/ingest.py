@@ -473,6 +473,59 @@ def q_ingest_avro_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "q_ingest_avro_embeddings",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+           CAST(SUM(len(embedding)) AS BIGINT) AS sum_dims,
+           CAST(SUM(list_sum(list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+           ))) AS BIGINT) AS sum_q
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_ingest_avro_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """embeddings (vec_id, array<float> embedding, label) -> Avro ->
+    read back -> per-label fingerprint vs the parquet oracle, with the
+    vector CONTENTS folded in on the repo's integer micro-grid
+    (quantize each element to 1e-6 then sum — order-independent and
+    bit-exact across engines, unlike a float sum).  Proves the codec's
+    array leg end-to-end through Spark: any reordered, truncated, or
+    precision-damaged vector moves sum_q.  Uses the deflate tier on
+    the pure-Python path — embeddings are the payload where wire
+    compression pays at 100 TB."""
+    e = t(spark, sf, "embeddings")
+    path = _scratch(sf, "avro_emb")
+    schema = "vec_id long, embedding array<float>, label int"
+    if HAS_SPARK_AVRO:
+        e.write.mode("overwrite").format("avro").save(path)
+        back = spark.read.schema(schema).format("avro").load(path)
+    else:
+        from kafkaish_spark.sources.avro_codec import (
+            read_avro_py,
+            write_avro_py,
+        )
+
+        write_avro_py(e, path, codec="deflate")
+        back = read_avro_py(spark, path, schema)
+    q = F.expr(
+        "aggregate(embedding, 0L, (acc, x) -> "
+        "acc + CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    return (
+        back.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("vec_id").cast("long").alias("sum_vec_id"),
+            F.sum(F.size("embedding")).cast("long").alias("sum_dims"),
+            F.sum(q).cast("long").alias("sum_q"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
     "q_ingest_orc_roundtrip",
     oracle=_FINGERPRINT_SQL.format(key="lang"),
 )

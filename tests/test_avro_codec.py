@@ -112,9 +112,42 @@ def test_unsupported_types_refused():
     with pytest.raises(TypeError, match="does not map"):
         avro_schema_of(
             T.StructType(
-                [T.StructField("m", T.ArrayType(T.LongType()), True)]
+                [T.StructField("m", T.MapType(T.StringType(), T.LongType()), True)]
             )
         )
+
+
+ARR_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.ArrayType(T.FloatType(), False), True),
+        T.StructField("w", T.ArrayType(T.StringType(), True), False),
+    ]
+)
+
+
+def test_arrays_roundtrip(tmp_path):
+    rows = [
+        (1, [1.5, -2.25, 0.0], ["a", None, ""]),
+        (2, None, []),
+        (3, [], ["x"] * 300),  # >1 varint byte of count
+    ]
+    assert _roundtrip(rows, ARR_SCHEMA, tmp_path) == rows
+
+
+def test_deflate_codec_roundtrip_and_shrinks(tmp_path):
+    rows = [(i, "repetitive " * 50, 1.0, True, b"z" * 100, i) for i in range(200)]
+    p_null = str(tmp_path / "n.avro")
+    p_defl = str(tmp_path / "d.avro")
+    for p, codec in ((p_null, "null"), (p_defl, "deflate")):
+        with open(p, "wb") as fh:
+            write_container(
+                fh, avro_schema_of(FULL_SCHEMA), iter([rows]), seed=p,
+                codec=codec,
+            )
+        _ws, blks = read_container(p)
+        assert [r for blk in blks for r in blk] == rows
+    assert os.path.getsize(p_defl) < os.path.getsize(p_null) / 5
 
 
 # ----------------------------------------------------------- Java interop
@@ -197,6 +230,59 @@ def test_python_reads_java_file(spark, tmp_path):
     dfw.close()
     _ws, blks = read_container(path)
     assert [r for blk in blks for r in blk] == expect
+
+
+def test_java_interop_deflate_and_arrays(spark, tmp_path):
+    """The two extensions beyond scalars — the deflate codec and array
+    fields — interop with the Java library in both directions."""
+    jvm = spark._jvm
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.ArrayType(T.DoubleType(), False), False),
+        ]
+    )
+    rows = [(1, [1.5, -2.0]), (2, []), (3, [0.25] * 40)]
+
+    # Python writes deflate+arrays -> Java reads
+    py_file = str(tmp_path / "py.avro")
+    with open(py_file, "wb") as fh:
+        write_container(
+            fh, avro_schema_of(schema), iter([rows]), seed=py_file,
+            codec="deflate",
+        )
+    fr = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(py_file),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = []
+    while fr.hasNext():
+        rec = fr.next()
+        got.append((rec.get("id"), [x for x in rec.get("v")]))
+    fr.close()
+    assert got == rows
+
+    # Java writes deflate+arrays -> Python reads
+    sch = jvm.org.apache.avro.Schema.Parser().parse(
+        json.dumps(avro_schema_of(schema))
+    )
+    dfw = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    dfw.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    j_file = str(tmp_path / "java.avro")
+    dfw.create(sch, jvm.java.io.File(j_file))
+    for rid, arr in rows:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+        rec.put("id", jvm.java.lang.Long.valueOf(rid))
+        jlist = jvm.java.util.ArrayList()
+        for x in arr:
+            jlist.add(jvm.java.lang.Double.valueOf(x))
+        rec.put("v", jlist)
+        dfw.append(rec)
+    dfw.close()
+    _ws, blks = read_container(j_file)
+    assert [r for blk in blks for r in blk] == rows
 
 
 # ---------------------------------------------------------- Spark surface
