@@ -526,9 +526,14 @@ def read_avro_py(spark: SparkSession, path: str, schema: str) -> DataFrame:
         raise FileNotFoundError(f"no .avro files under {path}")
     target = T._parse_datatype_string(schema)
     tz = spark.conf.get("spark.sql.session.timeZone")
+    # Seed one partition per file at parallelize time: same per-file
+    # task fan-out as repartition(len(files)) but with ZERO exchange
+    # (repartition of a 1-file list plans Exchange SinglePartition,
+    # which the registry contract gate rightly flags).
     fdf = spark.createDataFrame(
-        [(f,) for f in files], "path string"
-    ).repartition(len(files))
+        spark.sparkContext.parallelize([(f,) for f in files], len(files)),
+        "path string",
+    )
 
     names = [f.name for f in target.fields]
 
