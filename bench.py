@@ -22,6 +22,49 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kafkaish_spark.plans.registry import all_queries  # noqa: E402
 from kafkaish_spark.session import get_spark  # noqa: E402
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_PLAN_DIR = os.path.join(_REPO, "bench_plans")
+
+
+def _normalized_plan(df) -> str:
+    """Formatted physical plan with run-varying ids stripped — equal
+    strings across rounds mean the SAME plan, so a timing delta on an
+    unchanged plan is co-tenant noise, not a regression.  Strips:
+    expression ids (#123), plan/stage ids, paths (warehouse fixtures
+    and testdata roots differ per machine), row-count/size statistics,
+    and codegen ids."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    s = buf.getvalue()
+    s = re.sub(r"#\d+", "#_", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=_", s)
+    s = re.sub(r"\[id=#?_?\d*\]", "[id=_]", s)
+    s = re.sub(r"(file|hdfs|s3a?):[^\s,\]\)]+", r"\1:_", s)
+    s = re.sub(r"Location: [^\n]*", "Location: _", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics(_)", s)
+    s = re.sub(r"0x[0-9a-f]+", "0x_", s)
+    return s
+
+
+def _plan_changed(name: str, plan: str) -> bool | None:
+    """Diff against the committed prior-round snapshot in bench_plans/
+    and overwrite it with the current plan.  Returns None when there
+    was no prior snapshot (first round for this query)."""
+    os.makedirs(_PLAN_DIR, exist_ok=True)
+    path = os.path.join(_PLAN_DIR, f"{name}.txt")
+    prior = None
+    if os.path.exists(path):
+        with open(path) as fh:
+            prior = fh.read()
+    with open(path, "w") as fh:
+        fh.write(plan)
+    return None if prior is None else (prior != plan)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -51,6 +94,7 @@ def main() -> None:
     # steady-state path, which is the documented engine design.
     REPS = 2
     timings: dict[str, float] = {}
+    plan_changed: dict[str, bool | None] = {}
     for name, spec in sorted(specs.items()):
         best = None
         for _ in range(REPS):
@@ -62,7 +106,18 @@ def main() -> None:
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
         timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        try:
+            plan_changed[name] = _plan_changed(
+                name, _normalized_plan(spec.fn(spark, sf_dir))
+            )
+        except Exception as ex:  # the flag is advisory, never fatal
+            print(f"# plan snapshot {name} failed: {ex}", file=sys.stderr)
+            plan_changed[name] = None
+        print(
+            f"# {name}: {timings[name]:.3f}s"
+            f" plan_changed={plan_changed[name]}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 4)
     print(
@@ -79,6 +134,11 @@ def main() -> None:
                 # grew 15 -> 17 in round 3)
                 "method": f"min-of-{REPS}",
                 "n_queries": len(timings),
+                # True = physical plan differs from the committed
+                # prior-round snapshot (bench_plans/), False = same
+                # plan (a timing delta is noise), null = first
+                # snapshot for this query
+                "plan_changed": plan_changed,
             }
         )
     )

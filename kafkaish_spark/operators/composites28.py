@@ -913,6 +913,10 @@ def q_ts_exp_smoothing(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------- cleaning funnel
 @query(
     "q_corpus_clean_funnel",
+    bench=True,  # the nightly corpus-cleaning path a 100 TB user runs
+    # (r5 verdict item 6): URL-canonical dedup + exact dedup + quality
+    # gate composed as flag columns in one DAG — two data-grown-key
+    # window shuffles plus one rollup, no per-gate materialization
     oracle=f"""
     WITH urls AS (
       SELECT doc_id, lang, n_chars, md5(text) AS digest,

@@ -130,10 +130,12 @@ def q_publish_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     """Time-bounded replay proven as data: documents are published in
-    doc_id order with synthetic timestamps (2024-01-01 + doc_id
-    minutes), then ``offset_for_time`` (the Kafka offsetsForTimes
-    analog — footer-stats segment pruning, boundary-segment scan)
-    seeks the offset of minute 300 and ``replay(until=seek-1)``
+    doc_id order with synthetic timestamps (a fixed epoch base +
+    doc_id minutes, built with ``timestamp_micros`` so the instant is
+    ABSOLUTE — no session-zone term anywhere), then ``offset_for_time``
+    (the Kafka offsetsForTimes analog — footer-stats segment pruning,
+    boundary-segment scan) seeks the offset of minute 300 **by epoch
+    seconds** (the TZ-safe numeric branch) and ``replay(until=seek-1)``
     reconstructs exactly the first 300 docs — the oracle computes the
     same set directly with ``doc_id < 300``.  A seek that lands one
     message off in either direction moves a count and a sum.
@@ -141,8 +143,10 @@ def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     The publish is a deterministic single-ordered-partition append
     (sortWithinPartitions on one partition), so offset k == doc k+1 —
     what makes the time index oracle-checkable.  Self-healed per sf on
-    a content fingerprint like every warehouse topic."""
-    import datetime
+    a content fingerprint that includes ``sum(unix_micros(ts))``, so a
+    fixture persisted under a skewed session zone (the round-5 red:
+    instants stored at 05:00Z by an America/New_York session) rebuilds
+    instead of silently mis-seeking."""
     import os
 
     from kafkaish_spark.sources.topic_log import Engine
@@ -150,10 +154,14 @@ def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     _REPO_ROOT = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    # 2024-01-01T00:00:00Z as an absolute instant — zone-free by construction
+    BASE_EPOCH_US = 1_704_067_200_000_000
     d = t(spark, sf, "documents")
     n_docs, fp_docs = d.agg(
         F.count(F.lit(1)), F.sum("doc_id").cast("long")
     ).first()
+    # expected sum(unix_micros(ts)) over docs 1..n published at base+id min
+    fp_ts = n_docs * BASE_EPOCH_US + fp_docs * 60_000_000
     root = os.path.join(
         _REPO_ROOT, "spark-warehouse", "_tt",
         os.path.basename(sf.rstrip("/")) or "default",
@@ -165,10 +173,11 @@ def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         row = topic.replay(since=0).agg(
             F.count(F.lit(1)),
             F.sum(F.get_json_object("message", "$.doc_id").cast("long")),
+            F.sum(F.unix_micros("ts")),
         ).first()
-        return row[0], row[1]
+        return row[0], row[1], row[2]
 
-    if topic.latest() != n_docs or _topic_fp() != (n_docs, fp_docs):
+    if topic.latest() != n_docs or _topic_fp() != (n_docs, fp_docs, fp_ts):
         if topic.latest():
             import shutil
 
@@ -179,9 +188,9 @@ def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
             d.select(
                 F.col("lang").alias("event"),
                 F.to_json(F.struct("doc_id")).alias("message"),
-                (
-                    F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-                    + F.make_interval(mins=F.col("doc_id").cast("int"))
+                F.timestamp_micros(
+                    F.lit(BASE_EPOCH_US)
+                    + F.col("doc_id").cast("long") * F.lit(60_000_000)
                 ).alias("ts"),
                 F.col("doc_id"),
             )
@@ -190,12 +199,14 @@ def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
             .drop("doc_id")
         )
         topic.publish_df(payload)
-    # naive datetime = the published wall-clock in the session zone,
-    # per the offset_for_time contract — TZ-proof both ways
-    seek = topic.offset_for_time(
-        datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=300)
-    )
-    assert seek is not None
+    # epoch seconds — offset_for_time's numeric branch, zone-free on
+    # any driver/session combination
+    seek = topic.offset_for_time(BASE_EPOCH_US / 1_000_000 + 300 * 60)
+    if seek is None:
+        raise ValueError(
+            f"offset_for_time found no message at base+300min in {root}; "
+            f"topic latest={topic.latest()} n_docs={n_docs}"
+        )
     back = topic.replay(since=0, until=seek - 1)
     return back.groupBy("event").agg(
         F.count(F.lit(1)).cast("long").alias("n_msgs"),

@@ -163,23 +163,28 @@ _DEC = {
 }
 
 
-def _unwrap_nullable(at) -> tuple[object, bool]:
-    """``["null", T]`` union -> (T, True); plain type -> (at, False)."""
+def _unwrap_nullable(at) -> tuple[object, int | None]:
+    """Two-branch null union -> (T, null_branch_index); plain type ->
+    (at, None).  The null branch's POSITION comes from the writer
+    schema — ``["null", T]`` and ``[T, "null"]`` are both legal Avro
+    and encode different branch indices, so assuming index 0 would
+    silently decode a branch-0 value as None and desync the rest of
+    the block (r5 advice, medium)."""
     if isinstance(at, list):
         branches = [b for b in at if b != "null"]
         if len(at) != 2 or "null" not in at or len(branches) != 1:
             raise TypeError(
-                f"unsupported union {at!r}: only [null, T] is mapped"
+                f"unsupported union {at!r}: only 2-branch null unions are mapped"
             )
-        return branches[0], True
-    return at, False
+        return branches[0], at.index("null")
+    return at, None
 
 
 def _make_encoder(at):
     """Avro type (JSON fragment) -> fn(bytearray, value).  Recursive so
     array items nest; a ``[null, T]`` union writes its branch index
     first, per the spec."""
-    at, nullable = _unwrap_nullable(at)
+    at, null_idx = _unwrap_nullable(at)
     if isinstance(at, dict) and at.get("type") == "array":
         item = _make_encoder(at["items"])
 
@@ -193,14 +198,14 @@ def _make_encoder(at):
     else:
         leaf = at["type"] if isinstance(at, dict) else at
         enc = _ENC[leaf]
-    if not nullable:
+    if null_idx is None:
         return enc
 
-    def enc_nullable(buf, v, _enc=enc):
+    def enc_nullable(buf, v, _enc=enc, _null=null_idx):
         if v is None:
-            _write_long(buf, 0)
+            _write_long(buf, _null)
         else:
-            _write_long(buf, 1)
+            _write_long(buf, 1 - _null)
             _enc(buf, v)
 
     return enc_nullable
@@ -211,7 +216,7 @@ def _make_decoder(at):
     ``_make_encoder``.  Array counts follow the spec's block form: a
     negative count is followed by a byte size (fast-skip hint, which a
     sequential decode ignores); count 0 terminates."""
-    at, nullable = _unwrap_nullable(at)
+    at, null_idx = _unwrap_nullable(at)
     if isinstance(at, dict) and at.get("type") == "array":
         item = _make_decoder(at["items"])
 
@@ -231,13 +236,17 @@ def _make_decoder(at):
     else:
         leaf = at["type"] if isinstance(at, dict) else at
         dec = _DEC[leaf]
-    if not nullable:
+    if null_idx is None:
         return dec
 
-    def dec_nullable(data, pos, _dec=dec):
+    def dec_nullable(data, pos, _dec=dec, _null=null_idx):
         branch, pos = _read_long(data, pos)
-        if branch == 0:
+        if branch == _null:
             return None, pos
+        if branch != 1 - _null:
+            raise ValueError(
+                f"avro union branch {branch} out of range for 2-branch union"
+            )
         return _dec(data, pos)
 
     return dec_nullable
@@ -250,8 +259,8 @@ def _field_plan(avro_schema: dict) -> list[tuple[str, object, bool]]:
     rules."""
     plan = []
     for f in avro_schema["fields"]:
-        at, nullable = _unwrap_nullable(f["type"])
-        plan.append((f["name"], at, nullable))
+        at, null_idx = _unwrap_nullable(f["type"])
+        plan.append((f["name"], at, null_idx is not None))
     return plan
 
 
@@ -401,8 +410,18 @@ def _pdf_to_rows(pdf, schema: T.StructType, tz: str) -> list[tuple]:
     for f in schema.fields:
         s = pdf[f.name]
         if isinstance(f.dataType, T.TimestampType):
+            # DST policy mirrors java.time (what Spark itself applies
+            # to session-local wall-clock): an ambiguous fall-back hour
+            # resolves to the EARLIER offset (ambiguous=True = the DST
+            # occurrence), a nonexistent spring-forward hour shifts
+            # forward by the gap — legal data must never crash the
+            # writer (r5 advice, low)
             utc = (
-                pd.to_datetime(s).dt.tz_localize(tz).dt.tz_convert("UTC")
+                pd.to_datetime(s)
+                .dt.tz_localize(
+                    tz, ambiguous=True, nonexistent="shift_forward"
+                )
+                .dt.tz_convert("UTC")
             )
             vals = [
                 None if pd.isna(v) else int(v.value // 1_000)

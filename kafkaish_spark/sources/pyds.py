@@ -106,32 +106,54 @@ def _segment_files(log_dir: str) -> list[str]:
     return out
 
 
-def _footer_offset_range(file: str) -> tuple[int | None, int | None]:
-    """(min, max) of the ``offset`` column from parquet footer stats —
-    no data pages read.  The column index is resolved BY NAME from the
-    footer schema (not assumed to be physically first): a segment
-    written with a different column order would otherwise be silently
-    mis-pruned.  Returns (None, None) when stats are absent."""
+def _footer_offset_range(
+    file: str,
+) -> tuple[int | None, int | None, bool]:
+    """(min, max, complete) of the ``offset`` column from parquet
+    footer stats — no data pages read.  The column index is resolved BY
+    NAME from the footer schema (not assumed to be physically first): a
+    segment written with a different column order would otherwise be
+    silently mis-pruned.  ``complete`` is True only when EVERY row
+    group carried min/max stats: partial stats are still returned (the
+    max over the row groups that have them) so callers that need an
+    upper bound can fall back to a data read instead of silently
+    treating the file as empty — a segment with one statless row group
+    must never make ``_tail()`` reuse live offsets."""
     import pyarrow.parquet as pq
 
     meta = pq.ParquetFile(file).metadata
     if meta.num_rows == 0:
-        return None, None
+        return None, None, True
     idx = None
     for i in range(meta.num_columns):
         if meta.schema.column(i).name == "offset":
             idx = i
             break
     if idx is None:
-        return None, None
+        return None, None, False
     lo = hi = None
+    complete = True
     for rg in range(meta.num_row_groups):
         st = meta.row_group(rg).column(idx).statistics
         if st is None or not st.has_min_max:
-            return None, None
+            complete = False
+            continue
         lo = st.min if lo is None else min(lo, st.min)
         hi = st.max if hi is None else max(hi, st.max)
-    return lo, hi
+    return lo, hi, complete
+
+
+def _file_offset_max(file: str) -> int | None:
+    """Exact max(offset) by reading ONLY the offset column — the
+    fallback when footer stats are partial.  One column of one file,
+    never the log."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(file, columns=["offset"])
+    if tbl.num_rows == 0:
+        return None
+    return pc.max(tbl["offset"]).as_py()
 
 
 class _SegmentPartition(InputPartition):
@@ -178,8 +200,11 @@ class KafkaishBatchReader(DataSourceReader):
             if pq.ParquetFile(file).metadata.num_rows == 0:
                 continue  # the topic seed file / compacted-away segment
             if prune:
-                lo, hi = _footer_offset_range(file)
-                if lo is not None:
+                # prune only on COMPLETE stats — partial bounds don't
+                # cover the statless row groups, so the file stays in
+                # and read()'s row filter does the work
+                lo, hi, complete = _footer_offset_range(file)
+                if lo is not None and complete:
                     if self.min_excl is not None and hi <= self.min_excl:
                         continue
                     if self.max_incl is not None and lo > self.max_incl:
@@ -252,7 +277,12 @@ class KafkaishPartitionedStreamReader(DataSourceStreamReader):
     def _tail(self) -> int:
         tail = 0
         for file in _segment_files(self.log_dir):
-            _lo, hi = _footer_offset_range(file)
+            _lo, hi, complete = _footer_offset_range(file)
+            if not complete:
+                # partial footer stats: read the offset column for the
+                # exact max — an under-reported tail would reuse live
+                # offsets on the next append
+                hi = _file_offset_max(file)
             if hi is not None:
                 tail = max(tail, hi)
         return tail
@@ -271,8 +301,8 @@ class KafkaishPartitionedStreamReader(DataSourceStreamReader):
         for file in _segment_files(self.log_dir):
             if pq.ParquetFile(file).metadata.num_rows == 0:
                 continue
-            smin, smax = _footer_offset_range(file)
-            if smin is not None and (smax <= lo or smin > hi):
+            smin, smax, complete = _footer_offset_range(file)
+            if complete and smin is not None and (smax <= lo or smin > hi):
                 continue
             parts.append(_RangePartition(file, lo, hi))
         return parts  # an empty range legitimately plans zero partitions
@@ -463,7 +493,9 @@ class KafkaishBatchWriter(DataSourceArrowWriter):
     def _tail(self) -> int:
         tail = 0
         for file in _segment_files(self.log_dir):
-            _lo, hi = _footer_offset_range(file)
+            _lo, hi, complete = _footer_offset_range(file)
+            if not complete:
+                hi = _file_offset_max(file)  # exact max, offset column only
             if hi is not None:
                 tail = max(tail, hi)
         return tail

@@ -69,26 +69,48 @@ def _segment_files(path: str) -> list[str]:
     )
 
 
-def _footer_offset_range(fpath: str) -> tuple[int | None, int | None]:
-    """(min, max) of the offset column from parquet footer stats —
-    no data pages read."""
+def _footer_offset_range(
+    fpath: str,
+) -> tuple[int | None, int | None, bool]:
+    """(min, max, complete) of the offset column from parquet footer
+    stats — no data pages read.  ``complete`` is False when any row
+    group lacks min/max stats; the partial bounds are still returned so
+    tail computations can fall back to a column read instead of
+    silently under-reporting (which would reuse live offsets)."""
     import pyarrow.parquet as pq
 
     try:
         md = pq.ParquetFile(fpath).metadata
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         if "offset" not in idx:
-            return None, None
+            return None, None, False
         lo, hi = None, None
+        complete = True
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx["offset"]).statistics
             if st is None or not st.has_min_max:
-                return None, None
+                complete = False
+                continue
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        return lo, hi
+        return lo, hi, complete
     except Exception:
-        return None, None
+        return None, None, False
+
+
+def _file_offset_max(fpath: str) -> int | None:
+    """Exact max(offset) reading only the offset column — the fallback
+    when footer stats are partial."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    try:
+        tbl = pq.read_table(fpath, columns=["offset"])
+    except Exception:
+        return None
+    if tbl.num_rows == 0:
+        return None
+    return pc.max(tbl["offset"]).as_py()
 
 
 class _SegmentPartition(InputPartition):
@@ -125,8 +147,8 @@ class KafkaishTopicReader(DataSourceReader):
     def partitions(self):
         parts = []
         for f in _segment_files(self.path):
-            _, hi = _footer_offset_range(f)
-            if hi is not None and hi <= self.start_offset:
+            _, hi, complete = _footer_offset_range(f)
+            if complete and hi is not None and hi <= self.start_offset:
                 continue  # footer-stats pruning: segment fully acked
             parts.append(_SegmentPartition(f))
         return parts or [_SegmentPartition("")]
@@ -154,7 +176,9 @@ class KafkaishTopicStreamReader(SimpleDataSourceStreamReader):
     def _max_offset(self) -> int:
         hi = 0
         for f in _segment_files(self.path):
-            _, h = _footer_offset_range(f)
+            _, h, complete = _footer_offset_range(f)
+            if not complete:
+                h = _file_offset_max(f)  # exact, offset column only
             if h is not None:
                 hi = max(hi, h)
         return hi
@@ -174,11 +198,12 @@ class KafkaishTopicStreamReader(SimpleDataSourceStreamReader):
             return []
         out = []
         for f in _segment_files(self.path):
-            flo, fhi = _footer_offset_range(f)
-            if fhi is not None and fhi <= lo:
-                continue
-            if flo is not None and flo > hi:
-                continue
+            flo, fhi, complete = _footer_offset_range(f)
+            if complete:
+                if fhi is not None and fhi <= lo:
+                    continue
+                if flo is not None and flo > hi:
+                    continue
             for batch in _read_segment(f, lo, self.event):
                 for row in batch.to_pylist():
                     if row["offset"] <= hi:

@@ -133,11 +133,17 @@ def publish_transaction(
     # stage->commit window (sorted acquisition: no deadlock with a
     # concurrent transaction touching an overlapping topic set)
     locks = contextlib.ExitStack()
-    for _name in sorted({n for n, _ in publishes}):
-        locks.enter_context(
-            writer_lock(engine.prepare_topic(_name).root, what="transaction")
-        )
     try:
+        # acquisition INSIDE the try: if the Nth topic's lock times
+        # out, locks already entered release via the finally below
+        # instead of blocking other writers until the stale-break
+        # (r5 advice, low)
+        for _name in sorted({n for n, _ in publishes}):
+            locks.enter_context(
+                writer_lock(
+                    engine.prepare_topic(_name).root, what="transaction"
+                )
+            )
         # -- stage: final-format segments, offsets assigned after tails
         for i, (name, df) in enumerate(publishes):
             topic = engine.prepare_topic(name)

@@ -65,18 +65,30 @@ class Subscription:
         return self.query.lastProgress
 
 
-def _start_offset_for(topic: Topic, name: str | None, replay: bool) -> int:
+def _start_offset_for(
+    topic: Topic, name: str | None, replay: bool | int
+) -> int:
     """Where this subscription starts, mirroring the reference's three
     modes: ephemeral = from now (src/topic.js:104-106); durable new name
     with replay = from the beginning (src/topic.js:133-136); durable
-    without replay = from now, remembered across restarts."""
+    without replay = from now, remembered across restarts.  ``replay``
+    may also be an INT: start after that offset (exclusive) — the Kafka
+    consumer ``seek`` analog, composing with ``offset_for_time`` for
+    time-based subscription starts (a mode the reference lacks)."""
     if name is None:
-        return topic.latest()  # ephemeral: misses pre-subscribe messages
+        # ephemeral: misses pre-subscribe messages; an int replay still
+        # applies (seek on a throwaway consumer)
+        return int(replay) if isinstance(replay, int) and not isinstance(
+            replay, bool
+        ) else topic.latest()
     marker = os.path.join(topic.sub_dir, f"{name}.start.json")
     if os.path.exists(marker):
         with open(marker) as fh:
             return int(json.load(fh)["start_offset"])
-    start = 0 if replay else topic.latest()
+    if isinstance(replay, bool):
+        start = 0 if replay else topic.latest()
+    else:
+        start = int(replay)
     with open(marker, "w") as fh:
         json.dump({"start_offset": start}, fh)
     return start
@@ -100,7 +112,7 @@ def subscribe(
     callback: Callable[[str | None, str, int], None],
     event: str | None = None,
     name: str | None = None,
-    replay: bool = False,
+    replay: bool | int = False,
     available_now: bool = True,
     max_files_per_trigger: int | None = _UNSET,
     on_error: str = "raise",
@@ -113,6 +125,11 @@ def subscribe(
     events — and works for live delivery too, fixing the reference's
     broken live wildcard (listener registered under the literal null
     event name, src/topic.js:108 vs emit at :73-74).
+
+    replay: False = from now; True = from the beginning; an INT = from
+    after that offset (exclusive) — the Kafka ``seek`` analog.  Pair
+    with ``topic.offset_for_time(t)`` to start a subscription at a
+    point in time: ``subscribe(..., replay=topic.offset_for_time(t)-1)``.
 
     available_now=True processes the current backlog then stops —
     deterministic tests without wall-clock sleeps.  Pass False for a

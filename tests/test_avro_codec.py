@@ -347,3 +347,89 @@ def test_spark_timestamps_survive_session_timezone(spark, tmp_path):
         assert utc.hour == 16 and utc.minute == 34
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_union_branch_order_t_null(tmp_path):
+    """A writer schema with [T, "null"] (null SECOND — legal Avro) must
+    encode/decode with the null branch at index 1, not assume index 0:
+    branch-0 long 42 is a VALUE, decoding it as None desyncs every
+    following field (r5 advice, medium)."""
+    path = str(tmp_path / "tn.avro")
+    ws = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "x", "type": ["long", "null"]},
+            {"name": "y", "type": ["string", "null"]},
+        ],
+    }
+    rows = [(42, "a"), (None, "b"), (7, None), (None, None)]
+    with open(path, "wb") as fh:
+        write_container(fh, ws, iter([rows]), seed=path)
+    _ws, blks = read_container(path)
+    assert [r for blk in blks for r in blk] == rows
+    # and the raw encoding really used branch index per the schema:
+    # encode a single row by hand and check the first byte is zigzag(0)
+    # (= the long branch) followed by zigzag(42)
+    from kafkaish_spark.sources.avro_codec import _make_encoder
+
+    buf = bytearray()
+    _make_encoder(["long", "null"])(buf, 42)
+    assert bytes(buf) == b"\x00\x54"  # branch 0, then zigzag(42)=84
+    buf2 = bytearray()
+    _make_encoder(["long", "null"])(buf2, None)
+    assert bytes(buf2) == b"\x02"  # branch 1 = null
+    buf3 = bytearray()
+    _make_encoder(["null", "long"])(buf3, None)
+    assert bytes(buf3) == b"\x00"  # null-first: branch 0 = null
+
+
+def test_union_bad_branch_fails_loudly(tmp_path):
+    """A branch index outside {0,1} raises instead of silently
+    misreading."""
+    from kafkaish_spark.sources.avro_codec import _make_decoder
+
+    dec = _make_decoder(["null", "long"])
+    with pytest.raises(ValueError, match="branch"):
+        dec(b"\x04\x54", 0)  # branch 2 of a 2-branch union
+
+
+def test_dst_wall_clock_does_not_crash_writer(spark, tmp_path):
+    """Ambiguous (fall-back) and nonexistent (spring-forward)
+    session-local wall-clock times are legal data: the writer resolves
+    them with the documented java.time-compatible policy instead of
+    raising pandas Ambiguous/NonExistentTimeError (r5 advice, low)."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.sql(
+            "SELECT * FROM VALUES "
+            # 2024-11-03 01:30 EDT/EST — the repeated fall-back hour
+            "(1L, TIMESTAMP '2024-11-03 01:30:00'),"
+            # 2024-03-10 02:30 — inside the spring-forward gap
+            "(2L, TIMESTAMP '2024-03-10 02:30:00')"
+            " AS t(id, ts)"
+        )
+        path = str(tmp_path / "dst")
+        write_avro_py(df, path)  # must not raise
+        back = read_avro_py(spark, path, "id long, ts timestamp")
+        got = {r.id: r.ts for r in back.collect()}
+        assert len(got) == 2 and all(v is not None for v in got.values())
+        # ambiguous hour resolved to the EARLIER instant (EDT, -04):
+        # 01:30 EDT == 05:30Z
+        ws, blks = read_container(
+            os.path.join(
+                path,
+                sorted(f for f in os.listdir(path) if f.endswith(".avro"))[0],
+            )
+        )
+        import datetime
+
+        rows = [r for blk in blks for r in blk]
+        micros = {r[0]: r[1] for r in rows}
+        utc1 = datetime.datetime.fromtimestamp(
+            micros[1] / 1e6, datetime.timezone.utc
+        )
+        assert (utc1.hour, utc1.minute) == (5, 30)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

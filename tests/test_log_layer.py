@@ -703,3 +703,82 @@ def test_concurrent_publishers_serialize_through_lock(engine, spark):
     assert offs == list(range(1, 31))  # unique, dense, total order
     report = topic.fsck()
     assert report.get("ok", True), report
+
+
+def test_txn_lock_timeout_releases_earlier_locks(engine, spark, monkeypatch):
+    """If the SECOND topic's lock acquisition times out, the first
+    topic's already-held lock must release immediately — not linger
+    blocking other writers until the stale-break (r5 advice, low)."""
+    import json
+    import os
+    import time
+
+    import pytest
+
+    from kafkaish_spark.sources import topic_log
+    from kafkaish_spark.sources.transactions import publish_transaction
+
+    monkeypatch.setattr(topic_log, "_LOCK_TIMEOUT_S", 0.3)
+    ta = engine.prepare_topic("txl2_a")
+    tz = engine.prepare_topic("txl2_z")
+    # foreign writer holds the SECOND lock in sorted order
+    with open(os.path.join(tz.root, "_writer.lock"), "w") as f:
+        json.dump({"pid": 99999, "ts": time.time()}, f)
+    df = spark.createDataFrame([("e", "x")], "event string, message string")
+    with pytest.raises(TimeoutError, match="single-writer"):
+        publish_transaction(engine, [("txl2_a", df), ("txl2_z", df)])
+    # the FIRST topic's lock was released on the failure path
+    assert not os.path.exists(os.path.join(ta.root, "_writer.lock"))
+    # and the topic is immediately writable again
+    ta.publish("e", {"ok": 1})
+    assert ta.latest() == 1
+
+
+def test_time_seek_feeds_subscriber_and_bounded_replay(engine, spark):
+    """offset_for_time -> ack -> subscribe closes the loop between the
+    Kafka-analog time seek and the subscriber surface (r5 verdict item
+    7): a durable subscriber pre-acked at seek-1 receives exactly the
+    suffix from the sought instant, and replay(since=0, until=seek-1)
+    is exactly the prefix — together a lossless, overlap-free split of
+    the log at a TIME boundary, on any driver/session zone."""
+    from pyspark.sql import functions as F
+
+    topic = engine.prepare_topic("timeseek")
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z, absolute
+    df = spark.range(1, 21).select(
+        F.lit("e").alias("event"),
+        F.col("id").cast("string").alias("message"),
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * F.lit(60_000_000)
+        ).alias("ts"),
+    ).repartition(1).sortWithinPartitions(F.col("message").cast("int"))
+    # publish in three appends so the seek crosses segment boundaries
+    topic.publish_df(df.filter(F.col("message").cast("int") <= 7))
+    topic.publish_df(
+        df.filter(F.col("message").cast("int").between(8, 14))
+    )
+    topic.publish_df(df.filter(F.col("message").cast("int") >= 15))
+    assert topic.latest() == 20
+
+    # seek minute 10 by epoch seconds — the TZ-safe numeric branch
+    seek = topic.offset_for_time(base_us / 1_000_000 + 10 * 60)
+    assert seek == 10  # offset k == message k by construction
+    # the prefix: bounded replay up to just before the sought instant
+    prefix = topic.replay(since=0, until=seek - 1)
+    pre_ids = sorted(int(r["message"]) for r in prefix.collect())
+    assert pre_ids == list(range(1, 10))  # minutes 1..9 < minute 10
+    # the suffix: a durable subscriber seeked to the sought boundary
+    # (replay=<int> is the Kafka consumer-seek analog)
+    from kafkaish_spark.streaming.subscribe import subscribe
+
+    got = []
+    sub = subscribe(
+        topic,
+        lambda e, m, o: got.append(int(m)),
+        name="seeker",
+        replay=seek - 1,
+        available_now=True,
+    )
+    sub.query.awaitTermination(120)
+    assert sorted(got) == sorted(set(range(1, 21)) - set(pre_ids))
+    assert min(got) == 10  # delivery starts exactly at the instant

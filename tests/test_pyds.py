@@ -491,7 +491,7 @@ def test_footer_offset_lookup_by_name(engine, tmp_path):
     pq.write_table(ext, os.path.join(topic.log_dir, "part-ext.parquet"))
     assert _footer_offset_range(
         os.path.join(topic.log_dir, "part-ext.parquet")
-    ) == (3, 4)
+    ) == (3, 4, True)
     reader = KafkaishBatchReader({"path": engine.root, "topic": "reorder"})
     from kafkaish_spark.sources.pyds import GreaterThan
 
@@ -504,3 +504,40 @@ def test_footer_offset_lookup_by_name(engine, tmp_path):
     list(reader2.pushFilters([GreaterThan(("offset",), 2)]))
     kept = [os.path.basename(p.file) for p in reader2.partitions() if p.file]
     assert kept == ["part-ext.parquet"]
+
+def test_footer_partial_stats_tail_fallback(engine, tmp_path):
+    """A segment whose footer stats are PARTIAL (some row group lacks
+    min/max) must not be treated as empty: _tail() falls back to an
+    exact offset-column read so the next append never reuses live
+    offsets (r5 advice, low)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafkaish_spark.sources.pyds import (
+        KafkaishBatchWriter,
+        _file_offset_max,
+        _footer_offset_range,
+    )
+
+    topic = engine.prepare_topic("partialstats")
+    topic.publish_batch([("a", {"i": 1}), ("a", {"i": 2})])
+    # an externally-written segment with statistics disabled
+    ext = pa.table(
+        {
+            "offset": pa.array([3, 4], pa.int64()),
+            "ts": pa.array([None, None], pa.timestamp("us")),
+            "event": pa.array(["a", "a"], pa.string()),
+            "message": pa.array(["x3", "x4"], pa.string()),
+        }
+    )
+    fpath = os.path.join(topic.log_dir, "part-nostats.parquet")
+    pq.write_table(ext, fpath, write_statistics=False)
+    lo, hi, complete = _footer_offset_range(fpath)
+    assert complete is False
+    assert _file_offset_max(fpath) == 4
+    writer = KafkaishBatchWriter(
+        {"path": engine.root, "topic": "partialstats"}, overwrite=False
+    )
+    assert writer._tail() == 4  # not 2: the statless segment counts

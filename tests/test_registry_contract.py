@@ -442,3 +442,41 @@ def test_pyds_bench_plan_shuffle_budget(spark, sf_dir):
     ]
     assert len(exchanges) == 1 and "hashpartitioning" in exchanges[0], exchanges
     assert "SinglePartition" not in plan
+
+
+def test_warehouse_fixtures_use_absolute_instants():
+    """House rule (r5 verdict item 3): a module that PERSISTS topic or
+    table fixtures under spark-warehouse/ must construct any stored
+    timestamps as absolute instants (timestamp_micros / epoch
+    arithmetic), never via to_timestamp('<literal>') — a session-zone
+    interpretation persisted by one machine and read by another
+    silently shifts every instant (the round-5 q_log_time_travel red:
+    a fixture built under America/New_York stored 05:00Z for
+    'midnight', and a UTC driver's time-seek then missed every row).
+    Mechanical guard: no warehouse-writing module may contain a
+    to_timestamp( call at all — epoch math covers every fixture need,
+    and queries that TRANSFORM (not persist) live in other modules."""
+    import os
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "kafkaish_spark",
+    )
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            with open(path) as fh:
+                src = fh.read()
+            if "spark-warehouse" not in src:
+                continue
+            for i, line in enumerate(src.splitlines(), 1):
+                if "to_timestamp(" in line:
+                    offenders.append(f"{path}:{i}: {line.strip()[:80]}")
+    assert not offenders, (
+        "session-zone timestamp literals in warehouse-fixture modules "
+        "(store absolute instants via timestamp_micros/epoch math): "
+        + "; ".join(offenders)
+    )
