@@ -1,0 +1,670 @@
+"""Round-6 wave: distribution-drift monitoring and corpus QA — the
+"is this week's data still the same data?" checks a 100 TB training
+pipeline runs between ingest and training.
+
+- PSI (population stability index, the scorecard-monitoring standard:
+  Karakoulas 2004 / credit-risk practice) between two periods of a
+  numeric column, binned on REFERENCE-period deciles;
+- Jensen-Shannon divergence (Lin, IEEE IT 1991) between the unigram
+  term distributions of two corpus slices, capped to a top-V
+  vocabulary with an OOV pool so the fold is bounded at any corpus
+  size;
+- Theil-Sen robust trend (Theil 1950 / Sen 1968): median of pairwise
+  slopes over a collapsed calendar frame — the outlier-proof answer
+  to "is volume drifting";
+- embedding-centroid shift between two cohorts (encoder-drift check);
+- tokenizer fertility (subword-per-word / bytes-per-subword — the
+  tokenizer-eval table from the SentencePiece / BPE literature);
+- encoding-artifact audit (U+FFFD, C1 controls, NBSP, non-ASCII
+  ratio — the mojibake gate every web-corpus cleaner ships);
+- stratified k-fold assignment (deterministic hash order, per-stratum
+  round-robin — leakage-free CV folds at corpus scale).
+
+Reference parity: the reference (kafkaish, ~350 LoC pub/sub over
+MongoDB, src/topic.js) computes none of these — [NS] north-star
+extensions per SURVEY.md §2.4.  House exactness rules throughout:
+counts are exact BIGINTs, float reductions are ordered folds
+(functions/folds.py), percentiles are DISCRETE over integer grids,
+and every division is one IEEE op on exact inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkaish_spark.functions.folds import ordered_sum
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+
+# ------------------------------------------------------------------ PSI
+# Reference period 1996, current 1997; 10 bins on reference deciles in
+# integer cents (percentile_disc -> identical member values on both
+# engines); +0.5 pseudocount per bin so an empty current bin stays
+# finite (the standard Laplace-smoothed PSI).
+_PSI_REF_Y, _PSI_CUR_Y = 1996, 1997
+
+
+@query(
+    "q_drift_psi_orders",
+    oracle=f"""
+    WITH ref AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) = {_PSI_REF_Y}),
+    cur AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE EXTRACT(year FROM o_orderdate) = {_PSI_CUR_Y}),
+    edges AS (
+      SELECT list_sort(list(DISTINCT e)) AS es FROM (
+        SELECT unnest(quantile_disc(cents,
+          [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS e
+        FROM ref)),
+    binned AS (
+      SELECT 'ref' AS side,
+             len(list_filter((SELECT es FROM edges), e -> e < cents)) AS bin
+      FROM ref
+      UNION ALL
+      SELECT 'cur' AS side,
+             len(list_filter((SELECT es FROM edges), e -> e < cents)) AS bin
+      FROM cur),
+    counts AS (
+      SELECT bin,
+             count_if(side = 'ref') AS n_ref,
+             count_if(side = 'cur') AS n_cur
+      FROM binned GROUP BY bin),
+    tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM counts),
+    terms AS (
+      SELECT bin,
+             ((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+             * ln(((n_ref + 0.5) / (tr + 5.0))
+                  / ((n_cur + 0.5) / (tc + 5.0))) AS term,
+             n_ref, n_cur
+      FROM counts, tot)
+    SELECT CAST((SELECT tr FROM tot) AS BIGINT) AS n_ref,
+           CAST((SELECT tc FROM tot) AS BIGINT) AS n_cur,
+           round(list_reduce(
+             list_prepend(0.0, list(term ORDER BY bin)),
+             (a, b) -> a + b), 6) AS psi
+    FROM terms
+    """,
+)
+def q_drift_psi_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Population stability index of the order-price distribution,
+    1996 reference vs 1997 current: bin edges are the reference
+    deciles as ACTUAL integer-cent member values (percentile_disc —
+    no interpolation, so both engines pick the identical nine edges),
+    each side is histogrammed against those fixed edges, and
+    PSI = sum (p_i - q_i) * ln(p_i / q_i) over Laplace-smoothed
+    shares.  PSI < 0.1 is stable, > 0.25 is an alert — the monitoring
+    gate run on every incoming data slice before it joins a training
+    mix.
+
+    Scale: the nine edges are a broadcast scalar row (collected once);
+    binning is a codegen projection (no join, array_position against
+    a 9-element literal), and the final fold runs over TEN bin rows
+    ordered by bin id — corpus size only touches the two linear
+    scans.  Exactness: counts exact, five smoothed-share terms per
+    side are each one IEEE expression on exact ints, fold order
+    pinned by bin id."""
+    o = t(spark, sf, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.year("o_orderdate").alias("y"),
+    )
+    ref = o.filter(F.col("y") == _PSI_REF_Y)
+    cur = o.filter(F.col("y") == _PSI_CUR_Y)
+    ref.createOrReplaceTempView("psi_ref_v")
+    cols = ", ".join(
+        f"percentile_disc({x / 10.0}) WITHIN GROUP (ORDER BY cents) AS e{x}"
+        for x in range(1, 10)
+    )
+    edge_row = spark.sql(f"SELECT {cols} FROM psi_ref_v").first()
+    edges = sorted(set(edge_row))
+    edge_arr = F.array(*[F.lit(int(e)) for e in edges])
+
+    def _binned(side: DataFrame, name: str) -> DataFrame:
+        return side.select(
+            F.lit(name).alias("side"),
+            F.size(F.filter(edge_arr, lambda e: e < F.col("cents"))).alias(
+                "bin"
+            ),
+        )
+
+    counts = (
+        _binned(ref, "ref")
+        .unionAll(_binned(cur, "cur"))
+        .groupBy("bin")
+        .agg(
+            F.count_if(F.col("side") == "ref").alias("n_ref"),
+            F.count_if(F.col("side") == "cur").alias("n_cur"),
+        )
+    )
+    tr = F.sum("n_ref")
+    tc = F.sum("n_cur")
+    p = (F.col("n_ref") + 0.5) / (F.col("tr") + 5.0)
+    q = (F.col("n_cur") + 0.5) / (F.col("tc") + 5.0)
+    return (
+        counts.agg(
+            tr.alias("tr"),
+            tc.alias("tc"),
+            F.collect_list(F.struct("bin", "n_ref", "n_cur")).alias("bins"),
+        )
+        .select(
+            F.col("tr").cast("long").alias("n_ref"),
+            F.col("tc").cast("long").alias("n_cur"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort("bins"),
+                        lambda b: (
+                            (b["n_ref"] + 0.5) / (F.col("tr") + 5.0)
+                            - (b["n_cur"] + 0.5) / (F.col("tc") + 5.0)
+                        )
+                        * F.log(
+                            ((b["n_ref"] + 0.5) / (F.col("tr") + 5.0))
+                            / ((b["n_cur"] + 0.5) / (F.col("tc") + 5.0))
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda a, b: a + b,
+                ),
+                6,
+            ).alias("psi"),
+        )
+    )
+
+
+# --------------------------------------------- Jensen-Shannon (terms)
+_JS_TOPV = 500  # bounded vocabulary: top-V by combined count, rest -> OOV
+
+
+@query(
+    "q_drift_js_terms",
+    oracle=f"""
+    WITH words AS (
+      SELECT CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS side,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    cnt AS (
+      SELECT word,
+             count_if(side = 'a') AS ca,
+             count_if(side = 'b') AS cb
+      FROM words GROUP BY word),
+    ranked AS (
+      SELECT word, ca, cb,
+             ROW_NUMBER() OVER (ORDER BY ca + cb DESC, word) AS rk
+      FROM cnt),
+    pooled AS (
+      SELECT CASE WHEN rk <= {_JS_TOPV} THEN word ELSE chr(164) END AS term,
+             SUM(ca) AS ca, SUM(cb) AS cb
+      FROM ranked GROUP BY 1),
+    tot AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb,
+                   COUNT(*) AS v FROM pooled),
+    terms AS (
+      SELECT term,
+             (ca + 0.5) / (ta + 0.5 * v) AS p,
+             (cb + 0.5) / (tb + 0.5 * v) AS q
+      FROM pooled, tot)
+    SELECT CAST((SELECT ta FROM tot) AS BIGINT) AS n_tokens_en,
+           CAST((SELECT tb FROM tot) AS BIGINT) AS n_tokens_other,
+           CAST((SELECT v FROM tot) AS BIGINT) AS n_terms,
+           round(list_reduce(list_prepend(0.0,
+             list(0.5 * p * ln(p / ((p + q) / 2))
+                  + 0.5 * q * ln(q / ((p + q) / 2)) ORDER BY term)),
+             (a, b) -> a + b), 6) AS js_divergence
+    FROM terms
+    """,
+)
+def q_drift_js_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Jensen-Shannon divergence between the English and non-English
+    unigram term distributions — the symmetric, bounded (<= ln 2)
+    corpus-drift measure used to compare data mixes (and the
+    theoretical core of MAUVE-style corpus comparisons).  The
+    vocabulary is CAPPED: the top-{v} terms by combined count keep
+    their identity, everything else pools into one OOV bucket — the
+    fold is bounded at V+1 terms no matter how big the corpus (an
+    uncapped vocabulary would collect 100M+ structs per group at
+    100 TB).  Laplace 0.5 smoothing keeps one-sided terms finite.
+
+    Exactness: term counts exact; each smoothed-share term is one
+    IEEE expression; the final sum folds a TERM-SORTED array
+    left-to-right (Spark aggregate == DuckDB list_reduce), rounded
+    to 6.  Scale: one explode + one term-keyed count shuffle; the
+    top-V selection is orderBy+limit — Spark plans
+    TakeOrderedAndProject (each map partition keeps its own V
+    winners, the driver merges V-sized heaps; the vocabulary NEVER
+    funnels through one task the way a global row_number would) —
+    then a broadcast V-row membership join pools the tail into OOV
+    and a (V+1)-row fold finishes."""
+    d = t(spark, sf, "documents")
+    words = d.select(
+        F.when(F.col("lang") == "en", "a").otherwise("b").alias("side"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    cnt = words.groupBy("word").agg(
+        F.count_if(F.col("side") == "a").alias("ca"),
+        F.count_if(F.col("side") == "b").alias("cb"),
+    )
+    topv = (
+        cnt.orderBy((F.col("ca") + F.col("cb")).desc(), F.col("word"))
+        .limit(_JS_TOPV)
+        .select("word", F.lit(True).alias("keep"))
+    )
+    pooled = (
+        cnt.join(F.broadcast(topv), "word", "left")
+        .select(
+            F.when(F.col("keep"), F.col("word"))
+            .otherwise(F.lit("¤"))
+            .alias("term"),
+            "ca",
+            "cb",
+        )
+        .groupBy("term")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    packed = pooled.agg(
+        F.sum("ca").alias("ta"),
+        F.sum("cb").alias("tb"),
+        F.count(F.lit(1)).alias("v"),
+        F.array_sort(F.collect_list(F.struct("term", "ca", "cb"))).alias(
+            "terms"
+        ),
+    )
+
+    def _term(s):
+        p = (s["ca"] + 0.5) / (F.col("ta") + 0.5 * F.col("v"))
+        q = (s["cb"] + 0.5) / (F.col("tb") + 0.5 * F.col("v"))
+        m = (p + q) / 2
+        return 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+
+    return packed.select(
+        F.col("ta").cast("long").alias("n_tokens_en"),
+        F.col("tb").cast("long").alias("n_tokens_other"),
+        F.col("v").cast("long").alias("n_terms"),
+        F.round(
+            F.aggregate(
+                F.transform("terms", _term), F.lit(0.0), lambda a, b: a + b
+            ),
+            6,
+        ).alias("js_divergence"),
+    )
+
+
+q_drift_js_terms.__doc__ = q_drift_js_terms.__doc__.format(v=_JS_TOPV)
+
+
+# --------------------------------------------------- Theil-Sen trend
+@query(
+    "q_ts_theil_sen",
+    oracle="""
+    WITH days AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(round((b.y - a.y) * 1e6 / (b.d - a.d), 0) AS BIGINT)
+               AS uslope
+      FROM days a JOIN days b
+        ON a.event_type = b.event_type AND b.d > a.d)
+    SELECT event_type,
+           CAST((SELECT COUNT(*) FROM days x
+                 WHERE x.event_type = pairs.event_type) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(quantile_disc(uslope, 0.5) / 1e6, 6) AS sen_slope
+    FROM pairs GROUP BY event_type
+    """,
+)
+def q_ts_theil_sen(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust trend of daily event volume per type: the
+    MEDIAN of all pairwise slopes (y_j - y_i) / (d_j - d_i), j > i —
+    insensitive to up to ~29% outlier days, where an OLS slope (the
+    q_agg_regression_price_qty surface) chases every spike.  The
+    volume-drift detector for ingest monitoring.
+
+    The pairwise join runs over the COLLAPSED (type, day) calendar
+    frame — ~30 rows per type regardless of corpus size, so the
+    quadratic is over days, never events (the house audit-frame
+    exemption).  Slopes are quantized to an integer micro-grid
+    (round(slope * 1e6)) and the median is percentile_DISC — an
+    actual member, so both engines pick the identical value with no
+    interpolation ambiguity; one final /1e6 division is exact."""
+    ev = t(spark, sf, "events")
+    days = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    a = days.alias("a")
+    b = days.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.round(
+            (F.col("b.y") - F.col("a.y"))
+            * 1e6
+            / (F.col("b.d") - F.col("a.d")),
+            0,
+        )
+        .cast("long")
+        .alias("uslope"),
+    )
+    n_days = days.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    pairs.createOrReplaceTempView("ts_sen_pairs_v")
+    med = spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY uslope) AS m
+        FROM ts_sen_pairs_v GROUP BY event_type
+        """
+    )
+    return (
+        n_days.join(med, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.round(F.col("m") / 1e6, 6).alias("sen_slope"),
+        )
+    )
+
+
+# ------------------------------------------- embedding centroid shift
+_EMB_GRID = 1_000_000
+
+
+@query(
+    "q_drift_embedding_shift",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id % 2 AS cohort, g.i AS dim,
+             CAST(round(g.v * {_EMB_GRID}, 0) AS BIGINT) AS qv,
+             vec_id
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS v,
+                           generate_subscripts(embedding, 1) AS i) g),
+    sums AS (
+      SELECT cohort, dim, SUM(qv) AS s,
+             COUNT(DISTINCT vec_id) AS n
+      FROM q GROUP BY cohort, dim),
+    vecs AS (
+      SELECT dim,
+             CAST(MAX(CASE WHEN cohort = 0 THEN s END) AS DOUBLE) AS sa,
+             CAST(MAX(CASE WHEN cohort = 1 THEN s END) AS DOUBLE) AS sb
+      FROM sums GROUP BY dim),
+    dots AS (
+      SELECT
+        list_reduce(list_prepend(0.0, list(sa * sb ORDER BY dim)),
+                    (x, y) -> x + y) AS ab,
+        list_reduce(list_prepend(0.0, list(sa * sa ORDER BY dim)),
+                    (x, y) -> x + y) AS aa,
+        list_reduce(list_prepend(0.0, list(sb * sb ORDER BY dim)),
+                    (x, y) -> x + y) AS bb
+      FROM vecs)
+    SELECT CAST((SELECT MAX(n) FROM sums WHERE cohort = 0) AS BIGINT)
+             AS n_a,
+           CAST((SELECT MAX(n) FROM sums WHERE cohort = 1) AS BIGINT)
+             AS n_b,
+           round(ab / (sqrt(aa) * sqrt(bb)), 6) AS centroid_cosine
+    FROM dots
+    """,
+)
+def q_drift_embedding_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """Cosine between the MEAN embeddings of two cohorts (even / odd
+    vec_id — in production: last week vs this week): the one-number
+    encoder-drift check run before new embeddings join an ANN index
+    built from old ones.  Cosine of means needs no division by n —
+    the scale cancels — so the statistic is computed directly from
+    the per-dimension SUM vectors.
+
+    Exactness: components are quantized to the integer micro-grid
+    before summation (quantize-then-sum is order-independent), the
+    per-cohort sum vector is exact BIGINTs, and the three dot
+    products fold DIM-SORTED 64-element arrays of exact-input IEEE
+    products.  Scale: one narrow (cohort, dim) integer-partial
+    shuffle — 128 cells of state — then driver-size math; the
+    pattern extends q_embed_centroids to a cross-cohort monitor."""
+    e = t(spark, sf, "embeddings")
+    q = e.select(
+        (F.col("vec_id") % 2).alias("cohort"),
+        F.col("vec_id"),
+        F.posexplode("embedding").alias("dim0", "v"),
+    ).select(
+        "cohort",
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(F.col("v").cast("double") * _EMB_GRID, 0)
+        .cast("long")
+        .alias("qv"),
+    )
+    sums = q.groupBy("cohort", "dim").agg(
+        F.sum("qv").alias("s"),
+        F.count_distinct("vec_id").alias("n"),
+    )
+    vecs = sums.groupBy("dim").agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("s")))
+        .cast("double")
+        .alias("sa"),
+        F.max(F.when(F.col("cohort") == 1, F.col("s")))
+        .cast("double")
+        .alias("sb"),
+    )
+    dots = vecs.agg(
+        ordered_sum(F.col("dim"), F.col("sa") * F.col("sb")).alias("ab"),
+        ordered_sum(F.col("dim"), F.col("sa") * F.col("sa")).alias("aa"),
+        ordered_sum(F.col("dim"), F.col("sb") * F.col("sb")).alias("bb"),
+    )
+    ns = sums.groupBy().agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n")))
+        .cast("long")
+        .alias("n_a"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n")))
+        .cast("long")
+        .alias("n_b"),
+    )
+    return ns.crossJoin(dots).select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("ab") / (F.sqrt(F.col("aa")) * F.sqrt(F.col("bb"))), 6
+        ).alias("centroid_cosine"),
+    )
+
+
+# --------------------------------------------------- tokenizer fertility
+@query(
+    "q_text_token_fertility",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(lower(text), '[a-z0-9]{1,3}'))
+               AS n_subwords,
+             strlen(text) AS n_bytes
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_subwords) AS BIGINT) AS n_subwords,
+           round(CAST(SUM(n_subwords) AS DOUBLE) / SUM(n_words), 6)
+             AS fertility,
+           round(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_subwords), 6)
+             AS bytes_per_subword
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_text_token_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens per
+    whitespace word and bytes per subword — the table every
+    tokenizer eval reports (SentencePiece / BPE papers; fertility
+    near 1 means the tokenizer treats the language as native, high
+    fertility means it shreds it).  The subword tokenizer is the
+    deterministic BPE-ish maximal-munch regex ([a-z0-9]{{1,3}}
+    chunks): both engines' regex engines chunk a run of letters
+    left-to-right greedily, so the counts are identical by
+    construction.
+
+    Exactness: all three measures are exact integer sums; the two
+    ratios are single IEEE divisions per lang.  Scale: one linear
+    projection (codegen regex, no explode — counting matches never
+    materializes tokens) and one 5-group rollup."""
+    d = t(spark, sf, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]{1,3}"), 0)
+        ).alias("n_subwords"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_subwords").cast("long").alias("n_subwords"),
+        F.round(
+            F.sum("n_subwords").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.sum("n_subwords"), 6
+        ).alias("bytes_per_subword"),
+    )
+
+
+# ----------------------------------------------- encoding-artifact audit
+@query(
+    "q_text_encoding_audit",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(count_if(contains(text, chr(65533))) AS BIGINT)
+             AS n_replacement_char,
+           CAST(count_if(contains(text, chr(160))) AS BIGINT) AS n_nbsp,
+           CAST(count_if(regexp_matches(text,
+             '[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS BIGINT) AS n_ctrl,
+           CAST(SUM(strlen(text) - length(text)) AS BIGINT)
+             AS extra_utf8_bytes,
+           round(CAST(SUM(strlen(text) - length(text)) AS DOUBLE)
+                 / SUM(strlen(text)), 6) AS nonascii_byte_ratio
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_encoding_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Encoding-artifact audit per language — the mojibake gate every
+    web-corpus cleaner runs before training: documents containing
+    U+FFFD replacement characters (decode failures upstream), NBSP
+    (HTML residue), raw C0 control characters, and the non-ASCII
+    byte ratio (octet_length - char_length over octet_length — near
+    0 for clean English, high for CJK, and ANOMALOUS when it jumps
+    within a language, the classic double-encoding signature).
+
+    Exactness: flags and byte counts are exact integers; one IEEE
+    division per lang.  Scale: a single linear codegen projection
+    (contains + one char-class regex, no explode), one 5-group
+    rollup — the cheapest possible full-corpus pass."""
+    d = t(spark, sf, "documents")
+    extra = F.octet_length("text") - F.length("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_if(F.contains("text", F.lit("�")))
+        .cast("long")
+        .alias("n_replacement_char"),
+        F.count_if(F.contains("text", F.lit(" ")))
+        .cast("long")
+        .alias("n_nbsp"),
+        F.count_if(
+            F.col("text").rlike("[\\x01-\\x08\\x0b\\x0c\\x0e-\\x1f]")
+        )
+        .cast("long")
+        .alias("n_ctrl"),
+        F.sum(extra).cast("long").alias("extra_utf8_bytes"),
+        F.round(
+            F.sum(extra).cast("double") / F.sum(F.octet_length("text")), 6
+        ).alias("nonascii_byte_ratio"),
+    )
+
+
+# --------------------------------------------- stratified k-fold split
+_KFOLDS = 5
+
+
+@query(
+    "q_split_kfold_stratified",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             (ROW_NUMBER() OVER (
+                PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1)
+             % {_KFOLDS} AS fold
+      FROM documents)
+    SELECT lang, CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked GROUP BY lang, fold
+    """,
+)
+def q_split_kfold_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified {k}-fold assignment: within each language stratum,
+    documents are ordered by a content-independent hash (md5 of the
+    id — deterministic, reshuffle-proof) and dealt round-robin to
+    folds, so every fold holds n/k +-1 docs of EVERY stratum — the
+    cross-validation splitter whose per-fold class balance is exact
+    by construction rather than in expectation (the multinomial
+    q_split_train_valid gives expectation only).
+
+    Exactness: fold ids and counts are pure integer arithmetic on a
+    total order (md5 hex strings compare identically everywhere,
+    doc_id tiebreak).  Scale: the per-stratum rank is TWO-PHASE (the
+    q_train_curriculum_order recipe): docs bucket on the first md5
+    byte, rank within (lang, bucket) in parallel, and a broadcast
+    prefix-sum over the langs x 256 bucket histogram stitches global
+    per-stratum positions — no stratum ever funnels through one task,
+    which a plain PARTITION BY lang window would force at 100 TB."""
+    d = t(spark, sf, "documents")
+    keyed = d.select(
+        "lang",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("skey"),
+        F.col("doc_id"),
+    ).withColumn(
+        "bucket", F.conv(F.substring("skey", 1, 2), 16, 10).cast("long")
+    )
+    hist = keyed.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    w_prefix = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = hist.select(
+        "lang",
+        "bucket",
+        F.coalesce(F.sum("n").over(w_prefix), F.lit(0)).alias("offset0"),
+    )
+    w_bucket = Window.partitionBy("lang", "bucket").orderBy("skey", "doc_id")
+    ranked = (
+        keyed.withColumn("r", F.row_number().over(w_bucket))
+        .join(F.broadcast(prefix), ["lang", "bucket"])
+        .select(
+            "lang",
+            "n_chars",
+            ((F.col("offset0") + F.col("r") - 1) % _KFOLDS).alias("fold"),
+        )
+    )
+    return ranked.groupBy(
+        "lang", F.col("fold").cast("long").alias("fold")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+q_split_kfold_stratified.__doc__ = q_split_kfold_stratified.__doc__.format(
+    k=_KFOLDS
+)

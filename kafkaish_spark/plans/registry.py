@@ -79,6 +79,7 @@ def _load_all() -> None:
     import kafkaish_spark.operators.composites31  # noqa: F401
     import kafkaish_spark.operators.composites32  # noqa: F401
     import kafkaish_spark.operators.composites33  # noqa: F401
+    import kafkaish_spark.operators.composites35  # noqa: F401
     import kafkaish_spark.operators.cdc  # noqa: F401
     import kafkaish_spark.sources.ingest  # noqa: F401
     import kafkaish_spark.sources.pyds  # noqa: F401
@@ -251,7 +252,10 @@ def all_queries() -> dict[str, QuerySpec]:
         if n in _REGISTRY and _REGISTRY[n].oracle is not None:
             ordered[n] = _REGISTRY[n]
     for n in _DRIVER_PRIORITY:
-        if n in _REGISTRY and n not in ordered:
+        # a priority name that already HAS a green driver row must not
+        # occupy a window slot: with 52 candidates for 50 slots (r6),
+        # stale priorities would push never-checked names out
+        if n in _REGISTRY and n not in ordered and n not in checked:
             ordered[n] = _REGISTRY[n]
     for n, s in _REGISTRY.items():
         if n not in ordered and n not in checked and s.oracle is not None:
