@@ -481,3 +481,25 @@ def test_warehouse_fixtures_use_absolute_instants():
         "(store absolute instants via timestamp_micros/epoch math): "
         + "; ".join(offenders)
     )
+
+
+def test_clean_funnel_bench_plan_shuffle_budget(spark, sf_dir):
+    """The cleaning-funnel bench entry's plan budget (r5 verdict item
+    6): the three gates are FLAG COLUMNS over one scan — exactly three
+    hash exchanges (canon_url window, digest window, lang rollup) with
+    a partial aggregate below the rollup, no SinglePartition, and no
+    per-gate re-materialization of the corpus."""
+    spec = _registry()["q_corpus_clean_funnel"]
+    plan = (
+        spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) == 3, exchanges
+    assert all("hashpartitioning" in e for e in exchanges), exchanges
+    assert "partial_count" in plan  # map-side combine before the rollup
+    assert plan.count("FileScan parquet") == 1, plan  # one corpus pass
