@@ -349,6 +349,34 @@ class Topic:
             df = df.filter(F.col("event") == F.lit(event))
         return df.orderBy("offset")
 
+    def replay_between_times(
+        self,
+        since_time=None,
+        until_time=None,
+        event: str | None = None,
+    ) -> DataFrame:
+        """Time-bounded replay: every message whose publish instant is
+        >= ``since_time`` and < ``until_time`` (half-open, like Kafka
+        consumer time windows), resolved to OFFSET bounds via
+        ``offset_for_time`` so the scan still prunes parquet segments
+        on footer offset stats.  Each bound accepts what
+        ``offset_for_time`` does — epoch seconds (TZ-safe), an aware
+        datetime, or a naive driver-local datetime.  A ``since_time``
+        newer than the log replays nothing; an unmatched
+        ``until_time`` (nothing that recent) replays to the tail."""
+        since = 0
+        if since_time is not None:
+            seek = self.offset_for_time(since_time)
+            if seek is None:
+                return self.replay(since=self.latest(), event=event)
+            since = seek - 1
+        until = None
+        if until_time is not None:
+            seek = self.offset_for_time(until_time)
+            if seek is not None:
+                until = seek - 1
+        return self.replay(since=since, event=event, until=until)
+
     # -- ack / subscriber offsets -------------------------------------
 
     def _ack_path(self, name: str) -> str:

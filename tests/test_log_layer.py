@@ -782,3 +782,43 @@ def test_time_seek_feeds_subscriber_and_bounded_replay(engine, spark):
     sub.query.awaitTermination(120)
     assert sorted(got) == sorted(set(range(1, 21)) - set(pre_ids))
     assert min(got) == 10  # delivery starts exactly at the instant
+
+
+def test_replay_between_times_half_open_window(engine, spark):
+    """replay_between_times resolves time bounds to offset bounds via
+    offset_for_time (half-open [since, until) like Kafka time windows)
+    and composes with the event filter; out-of-range bounds degrade to
+    empty / to-the-tail replays."""
+    from pyspark.sql import functions as F
+
+    topic = engine.prepare_topic("timewin")
+    base_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+    df = spark.range(1, 13).select(
+        F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("event"),
+        F.col("id").cast("string").alias("message"),
+        F.timestamp_micros(
+            F.lit(base_us) + F.col("id") * F.lit(60_000_000)
+        ).alias("ts"),
+    ).repartition(1).sortWithinPartitions(F.col("id"))
+    topic.publish_df(df)
+    t = lambda m: base_us / 1_000_000 + m * 60  # noqa: E731
+
+    got = [
+        int(r["message"])
+        for r in topic.replay_between_times(t(4), t(9)).collect()
+    ]
+    assert got == [4, 5, 6, 7, 8]  # half-open: minute 9 excluded
+    # event filter composes
+    evens = [
+        int(r["message"])
+        for r in topic.replay_between_times(t(4), t(9), event="even").collect()
+    ]
+    assert evens == [4, 6, 8]
+    # until beyond the tail -> to the end; since beyond the tail -> empty
+    assert [
+        int(r["message"])
+        for r in topic.replay_between_times(t(10), t(99)).collect()
+    ] == [10, 11, 12]
+    assert topic.replay_between_times(t(99)).count() == 0
+    # no bounds -> full replay
+    assert topic.replay_between_times().count() == 12
