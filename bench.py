@@ -43,6 +43,11 @@ def _normalized_plan(df) -> str:
     s = buf.getvalue()
     s = re.sub(r"#\d+", "#_", s)
     s = re.sub(r"plan_id=\d+", "plan_id=_", s)
+    # partition counts track the env (SPARK_GRAFT_CPUS / AQE), not the
+    # plan shape — hashpartitioning(k#_, 32) == hashpartitioning(k#_, 8)
+    s = re.sub(r"partitioning\(([^)]*?),\s*\d+\)", r"partitioning(\1, _)", s)
+    s = re.sub(r"RoundRobinPartitioning\(\d+\)", "RoundRobinPartitioning(_)", s)
+    s = re.sub(r"coalesced from \d+", "coalesced from _", s)
     s = re.sub(r"\[id=#?_?\d*\]", "[id=_]", s)
     s = re.sub(r"(file|hdfs|s3a?):[^\s,\]\)]+", r"\1:_", s)
     s = re.sub(r"Location: [^\n]*", "Location: _", s)
