@@ -81,6 +81,7 @@ def _load_all() -> None:
     import kafkaish_spark.operators.composites33  # noqa: F401
     import kafkaish_spark.operators.composites35  # noqa: F401
     import kafkaish_spark.operators.composites36  # noqa: F401
+    import kafkaish_spark.operators.composites37  # noqa: F401
     import kafkaish_spark.operators.cdc  # noqa: F401
     import kafkaish_spark.sources.ingest  # noqa: F401
     import kafkaish_spark.sources.pyds  # noqa: F401
