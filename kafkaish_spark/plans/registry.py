@@ -79,15 +79,17 @@ def _load_all() -> None:
     import kafkaish_spark.operators.composites31  # noqa: F401
     import kafkaish_spark.operators.composites32  # noqa: F401
     import kafkaish_spark.operators.composites33  # noqa: F401
-    import kafkaish_spark.operators.composites35  # noqa: F401
-    import kafkaish_spark.operators.composites36  # noqa: F401
-    import kafkaish_spark.operators.composites37  # noqa: F401
     import kafkaish_spark.operators.cdc  # noqa: F401
     import kafkaish_spark.sources.ingest  # noqa: F401
     import kafkaish_spark.sources.pyds  # noqa: F401
     import kafkaish_spark.sources.typed  # noqa: F401
     import kafkaish_spark.sources.transactions  # noqa: F401
     import kafkaish_spark.sources.idempotent  # noqa: F401
+    # round-6 waves LAST: never-checked queries enter the driver window
+    # in registration order, and the round-5 pool has waited longer
+    import kafkaish_spark.operators.composites35  # noqa: F401
+    import kafkaish_spark.operators.composites36  # noqa: F401
+    import kafkaish_spark.operators.composites37  # noqa: F401
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries
