@@ -698,3 +698,71 @@ def q_multimodal_wav_resample(spark: SparkSession, sf: str) -> DataFrame:
     return wav_media_table(spark, sf).mapInPandas(
         wav_resample_batches(4000), RESAMPLE_SCHEMA
     )
+
+
+# ------------------------------------------------- ViT-style patching
+PATCH_SCHEMA = (
+    "doc_id long, grid_h long, grid_w long, n_patches long, "
+    "mean_patch_range long, max_patch_range long, patches_sha string"
+)
+
+
+def ppm_patch_batches(target: int = 32, patch: int = 8):
+    """mapInPandas kernel: REAL decode -> NN-resize to target ->
+    non-overlapping patch x patch tiling (the ViT tokenization step,
+    Dosovitskiy et al. 2021) -> per-patch intensity range stats and a
+    sha over the patch tensor in row-major patch order.  Range stats
+    are exact uint8 integer arithmetic; the patch tensor hash pins the
+    exact tiling layout (a transposed or off-by-one tiling changes
+    it), which is what the pure-python replay test checks."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "grid_h", "grid_w", "n_patches",
+                "mean_patch_range", "max_patch_range", "patches_sha")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = resize_nn(decode_ppm(bytes(payload)), target)
+                gh, gw = img.shape[0] // patch, img.shape[1] // patch
+                crop = img[: gh * patch, : gw * patch]
+                # (gh, gw, patch, patch, 3) row-major patch grid
+                tiles = (
+                    crop.reshape(gh, patch, gw, patch, 3)
+                    .swapaxes(1, 2)
+                )
+                flat = tiles.reshape(gh * gw, -1).astype(np.int64)
+                rng = flat.max(axis=1) - flat.min(axis=1)
+                out["doc_id"].append(doc_id)
+                out["grid_h"].append(gh)
+                out["grid_w"].append(gw)
+                out["n_patches"].append(gh * gw)
+                out["mean_patch_range"].append(int(rng.sum()) // (gh * gw))
+                out["max_patch_range"].append(int(rng.max()))
+                out["patches_sha"].append(
+                    hashlib.sha256(
+                        tiles.astype(np.uint8).tobytes()
+                    ).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+@query("q_multimodal_ppm_patches", oracle=None)
+def q_multimodal_ppm_patches(spark: SparkSession, sf: str) -> DataFrame:
+    """ViT-style patch extraction over REAL decoded images: resize to
+    32, tile into 8x8 patches, emit exact per-patch intensity-range
+    stats and the patch-tensor hash — the tokenization step a
+    multimodal training pipeline runs between decode and the vision
+    encoder.  Rows-only by design (binary pipelines have no SQL
+    oracle); tests/test_multimodal_real.py replays decode -> resize ->
+    tile in pure python/numpy and matches every column, hash included.
+    Same 100 TB plan as the other multimodal kernels: metadata prune
+    -> Arrow-batched mapInPandas -> fixed-width rows; patching is
+    linear in pixels and embarrassingly parallel."""
+    return ppm_media_table(spark, sf).mapInPandas(
+        ppm_patch_batches(32, 8), PATCH_SCHEMA
+    )

@@ -90,6 +90,8 @@ def _load_all() -> None:
     import kafkaish_spark.operators.composites35  # noqa: F401
     import kafkaish_spark.operators.composites36  # noqa: F401
     import kafkaish_spark.operators.composites37  # noqa: F401
+    import kafkaish_spark.operators.composites38  # noqa: F401
+    import kafkaish_spark.operators.composites39  # noqa: F401
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries

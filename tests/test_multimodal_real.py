@@ -173,3 +173,42 @@ def test_wav_resample_bit_exact_and_length_law(spark, sf_dir):
             wave.open(io.BytesIO(b), "rb").readframes(g["n_in"]), dtype="<i2"
         )
         assert abs(int(np.abs(q).max()) - int(np.abs(src).max())) <= 50
+
+
+def test_ppm_patches_bit_exact_replay(spark, sf_dir):
+    """ViT-style patching replayed in pure numpy: grid shape, exact
+    per-patch range stats, and the patch-tensor sha must all match —
+    the sha pins the exact row-major tiling layout (a transposed or
+    off-by-one tiling changes it)."""
+    from kafkaish_spark.operators.multimodal import (
+        decode_ppm,
+        make_ppm,
+        q_multimodal_ppm_patches,
+        resize_nn,
+    )
+
+    texts = _doc_texts(spark, sf_dir)
+    got = {
+        r.doc_id: r
+        for r in q_multimodal_ppm_patches(spark, sf_dir).collect()
+        if r.doc_id in texts
+    }
+    assert set(got) == set(texts)
+    patch = 8
+    for did, text in texts.items():
+        seed = hashlib.sha256(text.encode()).digest()
+        img = resize_nn(decode_ppm(make_ppm(did, seed)), 32)
+        gh, gw = img.shape[0] // patch, img.shape[1] // patch
+        crop = img[: gh * patch, : gw * patch]
+        tiles = crop.reshape(gh, patch, gw, patch, 3).swapaxes(1, 2)
+        flat = tiles.reshape(gh * gw, -1).astype(np.int64)
+        rng = flat.max(axis=1) - flat.min(axis=1)
+        r = got[did]
+        assert (r.grid_h, r.grid_w, r.n_patches) == (gh, gw, gh * gw)
+        assert r.mean_patch_range == int(rng.sum()) // (gh * gw)
+        assert r.max_patch_range == int(rng.max())
+        assert r.patches_sha == hashlib.sha256(
+            tiles.astype(np.uint8).tobytes()
+        ).hexdigest()
+        # the resize target bounds the grid
+        assert 1 <= gh <= 4 and 1 <= gw <= 4
