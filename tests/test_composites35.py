@@ -263,3 +263,53 @@ def test_kfold_is_stratified_and_deterministic(spark):
         for r in q_split_kfold_stratified(spark, SF).collect()
     }
     assert again == got
+
+
+def test_two_phase_fold_equals_naive_rank_hypothesis():
+    """Property check of the two-phase fold assignment's algebra: for
+    ANY multiset of (stratum, key) pairs, bucketing on the first key
+    byte, ranking within (stratum, bucket), and adding the bucket
+    prefix offset yields EXACTLY the stratum-global rank — i.e. fold
+    ids equal the naive single-window formulation the oracle states.
+    Pure python, no Spark: the property is about the decomposition,
+    which both engines then evaluate mechanically."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["en", "de", "zh"]),
+                st.text(alphabet="0123456789abcdef", min_size=4, max_size=8),
+                st.integers(0, 10_000),
+            ),
+            max_size=60,
+        )
+    )
+    def check(rows):
+        K = 5
+        # naive: global rank per stratum over (key, tiebreak)
+        naive = {}
+        for lang in {r[0] for r in rows}:
+            items = sorted(
+                (key, tb) for lg, key, tb in rows if lg == lang
+            )
+            for rn, item in enumerate(items):
+                naive[(lang, item)] = rn % K
+        # two-phase: bucket on first TWO hex chars, rank within
+        # (stratum, bucket), add prefix offset
+        two = {}
+        for lang in {r[0] for r in rows}:
+            items = [(key, tb) for lg, key, tb in rows if lg == lang]
+            buckets = {}
+            for item in items:
+                buckets.setdefault(int(item[0][:2], 16), []).append(item)
+            offset = 0
+            for b in sorted(buckets):
+                for r, item in enumerate(sorted(buckets[b])):
+                    two[(lang, item)] = (offset + r) % K
+                offset += len(buckets[b])
+        assert two == naive
+
+    check()
