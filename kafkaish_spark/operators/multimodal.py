@@ -766,3 +766,69 @@ def q_multimodal_ppm_patches(spark: SparkSession, sf: str) -> DataFrame:
     return ppm_media_table(spark, sf).mapInPandas(
         ppm_patch_batches(32, 8), PATCH_SCHEMA
     )
+
+
+# -------------------------------------------------- training augmentation
+AUG_SCHEMA = (
+    "doc_id long, aug string, width long, height long, "
+    "sum_r long, sum_g long, sum_b long, aug_sha string"
+)
+
+
+def ppm_augment_batches(target: int = 32):
+    """mapInPandas kernel: decode -> resize -> THREE deterministic
+    augmentations per image (identity, horizontal flip, rot90) — the
+    training-time augmentation fan-out, one output row per (image,
+    aug).  Channel sums are invariant under flip/rot (a pixel
+    permutation), which the replay test pins as a structural
+    invariant, while the sha changes — proving the kernel really
+    permutes pixels rather than copying."""
+
+    def kernel(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "aug", "width", "height",
+                "sum_r", "sum_g", "sum_b", "aug_sha")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                base = resize_nn(decode_ppm(bytes(payload)), target)
+                for aug, img in (
+                    ("id", base),
+                    ("hflip", base[:, ::-1]),
+                    ("rot90", np.rot90(base)),
+                ):
+                    sums = img.astype(np.int64).sum(axis=(0, 1))
+                    out["doc_id"].append(doc_id)
+                    out["aug"].append(aug)
+                    out["height"].append(img.shape[0])
+                    out["width"].append(img.shape[1])
+                    out["sum_r"].append(int(sums[0]))
+                    out["sum_g"].append(int(sums[1]))
+                    out["sum_b"].append(int(sums[2]))
+                    out["aug_sha"].append(
+                        hashlib.sha256(
+                            np.ascontiguousarray(img).tobytes()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+@query("q_multimodal_ppm_augment", oracle=None)
+def q_multimodal_ppm_augment(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic image-augmentation fan-out over REAL decoded
+    PPMs: identity / horizontal-flip / rot90 per image, with exact
+    channel sums (invariant under the pixel permutations — pinned)
+    and per-variant hashes (different — pinned).  The multiplication
+    step a vision training pipeline runs between decode and batching;
+    3x rows out, each fixed-width.  Rows-only by design;
+    tests/test_multimodal_real.py replays all three variants
+    bit-for-bit in numpy.  Scale: same Arrow-batched mapInPandas
+    envelope as the other multimodal kernels — linear in pixels,
+    embarrassingly parallel, no shuffle at all."""
+    return ppm_media_table(spark, sf).mapInPandas(
+        ppm_augment_batches(32), AUG_SCHEMA
+    )

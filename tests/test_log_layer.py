@@ -822,3 +822,29 @@ def test_replay_between_times_half_open_window(engine, spark):
     assert topic.replay_between_times(t(99)).count() == 0
     # no bounds -> full replay
     assert topic.replay_between_times().count() == 12
+
+
+def test_ephemeral_subscription_accepts_seek_offset(engine, spark):
+    """replay=<int> on an EPHEMERAL subscription (no name) starts the
+    throwaway consumer at the given offset instead of the tail — the
+    Kafka seek-on-assignment pattern for one-off inspection tooling."""
+    from kafkaish_spark.streaming.subscribe import subscribe
+
+    topic = engine.prepare_topic("eseek")
+    topic.publish_batch([("e", {"i": k}) for k in range(1, 9)])
+    got = []
+    sub = subscribe(
+        topic,
+        lambda e, m, o: got.append(o),
+        replay=5,  # exclusive: delivery starts at offset 6
+        available_now=True,
+    )
+    sub.query.awaitTermination(120)
+    assert got == [6, 7, 8]
+    # plain ephemeral (replay=False) still starts at the tail
+    got2 = []
+    sub2 = subscribe(
+        topic, lambda e, m, o: got2.append(o), available_now=True
+    )
+    sub2.query.awaitTermination(120)
+    assert got2 == []

@@ -212,3 +212,55 @@ def test_ppm_patches_bit_exact_replay(spark, sf_dir):
         ).hexdigest()
         # the resize target bounds the grid
         assert 1 <= gh <= 4 and 1 <= gw <= 4
+
+
+def test_ppm_augment_bit_exact_and_invariants(spark, sf_dir):
+    """All three augmentation variants replayed in numpy: hashes match
+    bit-for-bit, channel sums are permutation-invariant across
+    variants, and the three variant hashes are pairwise distinct for
+    non-degenerate images."""
+    from kafkaish_spark.operators.multimodal import (
+        decode_ppm,
+        make_ppm,
+        q_multimodal_ppm_augment,
+        resize_nn,
+    )
+
+    texts = _doc_texts(spark, sf_dir, n=10)
+    rows = [
+        r
+        for r in q_multimodal_ppm_augment(spark, sf_dir).collect()
+        if r.doc_id in texts
+    ]
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.aug] = r
+    assert set(by_doc) == set(texts)
+    for did, text in texts.items():
+        seed = hashlib.sha256(text.encode()).digest()
+        base = resize_nn(decode_ppm(make_ppm(did, seed)), 32)
+        variants = {
+            "id": base,
+            "hflip": base[:, ::-1],
+            "rot90": np.rot90(base),
+        }
+        got = by_doc[did]
+        assert set(got) == set(variants)
+        sums = {
+            aug: tuple(
+                int(s) for s in img.astype(np.int64).sum(axis=(0, 1))
+            )
+            for aug, img in variants.items()
+        }
+        # permutation invariance: all variants share the channel sums
+        assert len(set(sums.values())) == 1
+        for aug, img in variants.items():
+            r = got[aug]
+            assert (r.height, r.width) == img.shape[:2]
+            assert (r.sum_r, r.sum_g, r.sum_b) == sums[aug]
+            assert r.aug_sha == hashlib.sha256(
+                np.ascontiguousarray(img).tobytes()
+            ).hexdigest()
+        # rot90 swaps dims for non-square, and hashes must differ
+        shas = {got[a].aug_sha for a in variants}
+        assert len(shas) == 3
