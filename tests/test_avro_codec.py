@@ -433,3 +433,38 @@ def test_dst_wall_clock_does_not_crash_writer(spark, tmp_path):
         assert (utc1.hour, utc1.minute) == (5, 30)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+            st.one_of(st.none(), st.text(max_size=40)),
+        ),
+        max_size=20,
+    ),
+    st.booleans(),
+    st.booleans(),
+)
+def test_fuzz_union_order_roundtrip(tmp_path_factory, rows, x_first, y_first):
+    """Both legal null-union orders, fuzzed: [T, 'null'] and
+    ['null', T] writer schemas roundtrip arbitrary null/value mixes
+    bit-for-bit (the r5-advice branch-order class, generalized)."""
+    import os
+    import uuid
+
+    ws = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "x", "type": ["long", "null"] if x_first else ["null", "long"]},
+            {"name": "y", "type": ["string", "null"] if y_first else ["null", "string"]},
+        ],
+    }
+    tmp = tmp_path_factory.mktemp("avro_union_fuzz")
+    path = os.path.join(str(tmp), f"{uuid.uuid4().hex}.avro")
+    with open(path, "wb") as fh:
+        write_container(fh, ws, iter([rows]), seed=path)
+    _ws, blks = read_container(path)
+    assert [r for blk in blks for r in blk] == rows
