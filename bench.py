@@ -58,17 +58,31 @@ def _normalized_plan(df) -> str:
 
 def _plan_changed(name: str, plan: str) -> bool | None:
     """Diff against the committed prior-round snapshot in bench_plans/
-    and overwrite it with the current plan.  Returns None when there
-    was no prior snapshot (first round for this query)."""
+    WITHOUT overwriting it — repeated bench runs inside a round stay
+    idempotent against the committed baseline (r6 ADVICE: the old
+    overwrite-on-read meant a second run reported plan_changed=False
+    for a genuinely changed plan and destroyed the baseline before
+    review).  A differing plan is staged to ``<name>.txt.new`` for
+    explicit promotion (tools/promote_bench_plans.py) once the change
+    is reviewed; an unchanged plan removes any stale staging file.
+    Returns None when there was no prior snapshot (first round for
+    this query — the snapshot is then written directly)."""
     os.makedirs(_PLAN_DIR, exist_ok=True)
     path = os.path.join(_PLAN_DIR, f"{name}.txt")
-    prior = None
-    if os.path.exists(path):
-        with open(path) as fh:
-            prior = fh.read()
-    with open(path, "w") as fh:
-        fh.write(plan)
-    return None if prior is None else (prior != plan)
+    staged = path + ".new"
+    if not os.path.exists(path):
+        with open(path, "w") as fh:
+            fh.write(plan)
+        return None
+    with open(path) as fh:
+        prior = fh.read()
+    if prior != plan:
+        with open(staged, "w") as fh:
+            fh.write(plan)
+        return True
+    if os.path.exists(staged):
+        os.remove(staged)
+    return False
 
 
 def main() -> None:

@@ -143,10 +143,15 @@ def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     The publish is a deterministic single-ordered-partition append
     (sortWithinPartitions on one partition), so offset k == doc k+1 —
     what makes the time index oracle-checkable.  Self-healed per sf on
-    a content fingerprint that includes ``sum(unix_micros(ts))``, so a
-    fixture persisted under a skewed session zone (the round-5 red:
-    instants stored at 05:00Z by an America/New_York session) rebuilds
-    instead of silently mis-seeking."""
+    a content fingerprint that includes the BASE-RELATIVE timestamp sum
+    ``sum((unix_micros(ts) - BASE_EPOCH_US) :: decimal(38,0))`` — the
+    absolute form ``sum(unix_micros(ts))`` overflows int64 under ANSI
+    mode past ~5.4k rows (each term is ~1.7e15 µs), while the delta sum
+    is exactly ``sum(doc_id) * 60_000_000`` and decimal(38,0) holds it
+    at any scale factor.  A fixture persisted under a skewed session
+    zone (the round-5 red: instants stored at 05:00Z by an
+    America/New_York session) shifts every delta and rebuilds instead
+    of silently mis-seeking."""
     import os
 
     from kafkaish_spark.sources.topic_log import Engine
@@ -160,8 +165,9 @@ def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     n_docs, fp_docs = d.agg(
         F.count(F.lit(1)), F.sum("doc_id").cast("long")
     ).first()
-    # expected sum(unix_micros(ts)) over docs 1..n published at base+id min
-    fp_ts = n_docs * BASE_EPOCH_US + fp_docs * 60_000_000
+    # expected sum(unix_micros(ts) - BASE) over docs published at base+id min;
+    # Python ints are unbounded, and the Spark side sums on decimal(38,0)
+    fp_ts = fp_docs * 60_000_000
     root = os.path.join(
         _REPO_ROOT, "spark-warehouse", "_tt",
         os.path.basename(sf.rstrip("/")) or "default",
@@ -173,9 +179,11 @@ def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         row = topic.replay(since=0).agg(
             F.count(F.lit(1)),
             F.sum(F.get_json_object("message", "$.doc_id").cast("long")),
-            F.sum(F.unix_micros("ts")),
+            F.sum(
+                (F.unix_micros("ts") - F.lit(BASE_EPOCH_US)).cast("decimal(38,0)")
+            ),
         ).first()
-        return row[0], row[1], row[2]
+        return row[0], row[1], None if row[2] is None else int(row[2])
 
     if topic.latest() != n_docs or _topic_fp() != (n_docs, fp_docs, fp_ts):
         if topic.latest():

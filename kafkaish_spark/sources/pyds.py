@@ -146,11 +146,16 @@ def _footer_offset_range(
 def _file_offset_max(file: str) -> int | None:
     """Exact max(offset) by reading ONLY the offset column — the
     fallback when footer stats are partial.  One column of one file,
-    never the log."""
+    never the log.  A segment lacking the column entirely (how
+    ``complete=False`` can arise) returns None instead of crashing the
+    tail computation — matching pyds_topic._file_offset_max."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(file, columns=["offset"])
+    try:
+        tbl = pq.read_table(file, columns=["offset"])
+    except Exception:
+        return None
     if tbl.num_rows == 0:
         return None
     return pc.max(tbl["offset"]).as_py()

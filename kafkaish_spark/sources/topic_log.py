@@ -76,6 +76,41 @@ _LOCK_STALE_S = 600.0
 import contextlib  # noqa: E402
 
 
+def _break_stale_lock(path: str) -> bool:
+    """Break a lockfile the caller has judged stale, safely against the
+    double-break race (r6 verdict item 5): two waiters that both
+    observed a stale mtime must not both end up removing — the loser
+    would delete the winner's FRESH lock and both would acquire.
+
+    Protocol: atomically RENAME the lock to a unique name (rename moves
+    exactly one inode — concurrent breakers cannot both succeed on the
+    same lock), then re-check staleness on the renamed inode we now
+    exclusively own (rename preserves mtime).  If it really was stale,
+    delete it and report broken.  If it is FRESH — we are the loser of
+    the race and just stole the winner's new lock — restore it with
+    ``os.link`` (atomic, refuses if a newer lock already appeared) and
+    report not-broken.  Returns True iff a stale lock was removed."""
+    broken = f"{path}.break.{os.getpid()}.{uuid4().hex}"
+    try:
+        os.rename(path, broken)
+    except OSError:
+        return False  # someone else broke or released it first
+    try:
+        stale = time.time() - os.stat(broken).st_mtime > _LOCK_STALE_S
+    except OSError:
+        return False
+    if stale:
+        with contextlib.suppress(OSError):
+            os.remove(broken)
+        return True
+    # fresh: the double-break race — put the rightful owner's lock back
+    with contextlib.suppress(OSError):
+        os.link(broken, path)
+    with contextlib.suppress(OSError):
+        os.remove(broken)
+    return False
+
+
 @contextlib.contextmanager
 def writer_lock(topic_root: str, what: str = "publish"):
     """Advisory single-writer guard for every offset-assigning path.
@@ -88,18 +123,30 @@ def writer_lock(topic_root: str, what: str = "publish"):
     topic root serializes writers across PROCESSES on the same
     filesystem; a second writer waits up to ``_LOCK_TIMEOUT_S`` then
     fails loudly instead of interleaving duplicate offsets, and a lock
-    older than ``_LOCK_STALE_S`` (crashed writer) is broken.  On object
-    stores without atomic create, deploy one logical writer per topic
-    (the Kafka partition-leader model) and treat this as best-effort.
+    older than ``_LOCK_STALE_S`` (crashed writer) is broken via the
+    rename-to-unique protocol of ``_break_stale_lock`` (double-break
+    race-safe).  Each lock carries a unique token; release removes the
+    lockfile only while it still holds our token, so a breaker that
+    somehow replaced the lock is never un-locked by us.  On object
+    stores without atomic create/rename/link, deploy one logical writer
+    per topic (the Kafka partition-leader model) and treat this as
+    best-effort.
     """
     path = os.path.join(topic_root, "_writer.lock")
+    token = uuid4().hex
     deadline = time.time() + _LOCK_TIMEOUT_S
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             with os.fdopen(fd, "w") as f:
                 json.dump(
-                    {"pid": os.getpid(), "ts": time.time(), "what": what}, f
+                    {
+                        "pid": os.getpid(),
+                        "ts": time.time(),
+                        "what": what,
+                        "token": token,
+                    },
+                    f,
                 )
             break
         except FileExistsError:
@@ -108,8 +155,7 @@ def writer_lock(topic_root: str, what: str = "publish"):
             except OSError:
                 continue  # released between attempts
             if age > _LOCK_STALE_S:
-                with contextlib.suppress(OSError):
-                    os.remove(path)
+                _break_stale_lock(path)
                 continue
             if time.time() > deadline:
                 raise TimeoutError(
@@ -121,8 +167,14 @@ def writer_lock(topic_root: str, what: str = "publish"):
     try:
         yield
     finally:
-        with contextlib.suppress(OSError):
-            os.remove(path)
+        try:
+            with open(path) as fh:
+                ours = json.load(fh).get("token") == token
+        except (OSError, ValueError):
+            ours = False
+        if ours:
+            with contextlib.suppress(OSError):
+                os.remove(path)
 
 
 def _assign_contiguous_ids(df: DataFrame, start: int) -> DataFrame:

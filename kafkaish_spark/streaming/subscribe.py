@@ -66,7 +66,7 @@ class Subscription:
 
 
 def _start_offset_for(
-    topic: Topic, name: str | None, replay: bool | int
+    topic: Topic, name: str | None, replay: bool | int | None
 ) -> int:
     """Where this subscription starts, mirroring the reference's three
     modes: ephemeral = from now (src/topic.js:104-106); durable new name
@@ -74,7 +74,12 @@ def _start_offset_for(
     without replay = from now, remembered across restarts.  ``replay``
     may also be an INT: start after that offset (exclusive) — the Kafka
     consumer ``seek`` analog, composing with ``offset_for_time`` for
-    time-based subscription starts (a mode the reference lacks)."""
+    time-based subscription starts (a mode the reference lacks).
+    ``replay=None`` == ``replay=False`` (tail start): it is what
+    ``offset_for_time`` yields when no message is that recent, so the
+    composed call needs no None guard."""
+    if replay is None:
+        replay = False
     if name is None:
         # ephemeral: misses pre-subscribe messages; an int replay still
         # applies (seek on a throwaway consumer)
@@ -112,7 +117,7 @@ def subscribe(
     callback: Callable[[str | None, str, int], None],
     event: str | None = None,
     name: str | None = None,
-    replay: bool | int = False,
+    replay: bool | int | None = False,
     available_now: bool = True,
     max_files_per_trigger: int | None = _UNSET,
     on_error: str = "raise",
@@ -129,7 +134,14 @@ def subscribe(
     replay: False = from now; True = from the beginning; an INT = from
     after that offset (exclusive) — the Kafka ``seek`` analog.  Pair
     with ``topic.offset_for_time(t)`` to start a subscription at a
-    point in time: ``subscribe(..., replay=topic.offset_for_time(t)-1)``.
+    point in time::
+
+        seek = topic.offset_for_time(t)   # None = nothing that recent
+        sub = subscribe(topic, cb, replay=seek - 1 if seek else False)
+
+    ``offset_for_time`` returns None when no message is at/after ``t``;
+    ``replay=None`` is accepted and means the same as ``replay=False``
+    (start at the tail), so ``replay=seek and seek - 1`` is also safe.
 
     available_now=True processes the current backlog then stops —
     deterministic tests without wall-clock sleeps.  Pass False for a

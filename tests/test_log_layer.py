@@ -295,6 +295,28 @@ def test_offset_for_time_seeks_boundary(engine):
     assert topic.offset_for_time(ts3) == 3
 
 
+def test_time_travel_fingerprint_survives_int64_overflow_scale(spark):
+    """Regression (r6 ADVICE, medium): the time-travel fixture
+    fingerprint used sum(unix_micros(ts)) — each term ~1.7e15 µs, so
+    under Spark 4's default ANSI mode the int64 sum throws
+    ARITHMETIC_OVERFLOW past ~5,412 rows (sf0.1's 5,000 docs were at
+    92% of the limit).  The fix sums the BASE-RELATIVE delta on a
+    decimal(38,0) grid; this pins that exact expression shape at 6,000
+    rows — the row count the old form verifiably crashed at — and
+    checks it equals the Python-side expectation sum(doc_id) * 60e6."""
+    BASE_EPOCH_US = 1_704_067_200_000_000
+    n = 6_000
+    df = spark.range(1, n + 1).select(
+        F.timestamp_micros(
+            F.lit(BASE_EPOCH_US) + F.col("id") * F.lit(60_000_000)
+        ).alias("ts")
+    )
+    got = df.agg(
+        F.sum((F.unix_micros("ts") - F.lit(BASE_EPOCH_US)).cast("decimal(38,0)"))
+    ).first()[0]
+    assert int(got) == n * (n + 1) // 2 * 60_000_000
+
+
 def test_compact_keyed_keeps_latest_per_key(engine):
     """Kafka log compaction: latest record per key survives, offsets
     and tail preserved, superseded records dropped."""

@@ -150,3 +150,130 @@ def test_sharded_union_is_per_shard_total_order(engine_factory, shard_batches):
         assert [m for _, m in rows] == sent[name]
         # and the shard handle's own tail agrees with the union view
         assert eng.prepare_topic(name).latest() == len(rows)
+
+
+# ----------------------------------------------------------------- lock
+# Double-break race hardening (r6 verdict item 5): breaking a stale
+# writer lock renames-to-unique and re-checks, so two waiters that both
+# saw a stale mtime cannot both acquire, and a breaker that raced onto a
+# freshly recreated lock restores it instead of deleting it.
+
+
+def _locked_interval_worker(root, out_path, tag, hold_s):
+    """Real-process worker: acquire the topic writer lock, record the
+    held interval.  Module-level so multiprocessing can spawn it."""
+    import time as _t
+
+    from kafkaish_spark.sources.topic_log import writer_lock
+
+    with writer_lock(root, what=f"race-{tag}"):
+        t0 = _t.time()
+        _t.sleep(hold_s)
+        t1 = _t.time()
+    with open(out_path, "a") as fh:
+        fh.write(f"{tag} {t0:.6f} {t1:.6f}\n")
+
+
+def test_writer_lock_two_processes_one_forced_stale_lock(tmp_path):
+    """The verdict's requested race test: two REAL processes contend
+    over a forced-stale lock.  Exactly one breaks it at a time; the
+    held intervals never overlap; no lock debris survives."""
+    import json
+    import multiprocessing as mp
+    import os
+    import time
+
+    root = str(tmp_path / "racetopic")
+    os.makedirs(root)
+    path = os.path.join(root, "_writer.lock")
+    with open(path, "w") as fh:
+        json.dump({"pid": 0, "ts": 0.0, "what": "crashed"}, fh)
+    old = time.time() - 100_000
+    os.utime(path, (old, old))  # forced stale
+
+    out = str(tmp_path / "intervals.txt")
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(
+            target=_locked_interval_worker, args=(root, out, f"w{i}", 0.4)
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(60)
+        assert p.exitcode == 0
+    with open(out) as fh:
+        ivals = sorted(
+            (float(a), float(b)) for _, a, b in (ln.split() for ln in fh)
+        )
+    assert len(ivals) == 2
+    assert ivals[0][1] <= ivals[1][0], f"held intervals overlap: {ivals}"
+    assert not os.path.exists(path)
+    assert not [f for f in os.listdir(root) if ".break." in f]
+
+
+def test_break_stale_lock_restores_fresh_lock_it_raced_onto(tmp_path):
+    """The double-break loser: a waiter whose staleness verdict is out
+    of date (the lock was broken and RECREATED under it) must not
+    remove the new owner's lock — _break_stale_lock re-checks on the
+    renamed inode and restores it byte-identically."""
+    import json
+    import os
+
+    from kafkaish_spark.sources.topic_log import _break_stale_lock
+
+    root = str(tmp_path)
+    path = os.path.join(root, "_writer.lock")
+    fresh = {"pid": 1234, "ts": 1.0, "what": "publish", "token": "winner"}
+    with open(path, "w") as fh:
+        json.dump(fresh, fh)  # current mtime: a live lock
+
+    assert _break_stale_lock(path) is False
+    with open(path) as fh:
+        assert json.load(fh) == fresh  # restored, not stolen
+    assert not [f for f in os.listdir(root) if ".break." in f]
+
+
+def test_break_stale_lock_removes_genuinely_stale(tmp_path):
+    import json
+    import os
+    import time
+
+    from kafkaish_spark.sources.topic_log import _break_stale_lock
+
+    path = os.path.join(str(tmp_path), "_writer.lock")
+    with open(path, "w") as fh:
+        json.dump({"pid": 0, "ts": 0.0}, fh)
+    old = time.time() - 100_000
+    os.utime(path, (old, old))
+    assert _break_stale_lock(path) is True
+    assert not os.path.exists(path)
+
+
+def test_writer_lock_release_only_removes_own_token(tmp_path):
+    """Release is token-checked: if the lockfile was replaced while we
+    held it (a breaker raced past every guard), our exit must not
+    remove the foreign owner's lock."""
+    import json
+    import os
+
+    from kafkaish_spark.sources.topic_log import writer_lock
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    path = os.path.join(root, "_writer.lock")
+    with writer_lock(root):
+        with open(path) as fh:
+            assert "token" in json.load(fh)
+        foreign = {"pid": 9, "ts": 9.0, "what": "x", "token": "foreign"}
+        with open(path, "w") as fh:
+            json.dump(foreign, fh)
+    with open(path) as fh:
+        assert json.load(fh) == foreign  # left in place
+    os.remove(path)
+    # normal path: own lock removed on exit
+    with writer_lock(root):
+        assert os.path.exists(path)
+    assert not os.path.exists(path)

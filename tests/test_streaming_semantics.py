@@ -93,6 +93,24 @@ def test_durable_without_replay_starts_now(engine):
     assert [n for _, n, _ in got2] == [5, 6, 7, 8, 9, 10]
 
 
+def test_replay_none_means_tail_start(engine):
+    """Regression (r6 ADVICE): the documented time-seek composition
+    ``subscribe(replay=topic.offset_for_time(t))`` must be None-safe —
+    offset_for_time returns None when nothing is that recent, and
+    replay=None means the same as replay=False (start at the tail)."""
+    import time as _time
+
+    topic = engine.prepare_topic("s_seeknone")
+    topic.publish_batch([("ev", {"number": i}) for i in range(1, 4)])
+    seek = topic.offset_for_time(_time.time() + 3600)  # future: nothing
+    assert seek is None
+    got = _drain(topic, name="seeker", replay=seek and seek - 1)
+    assert got == []  # tail start: backlog 1-3 not delivered
+    topic.publish_batch([("ev", {"number": 4})])
+    got2 = _drain(topic, name="seeker", replay=seek and seek - 1)
+    assert [n for _, n, _ in got2] == [4]
+
+
 def test_event_routing_and_wildcard(engine):
     """README.md:81-87 — event filter routes; null event receives all
     (including live, fixing the reference's broken live wildcard,
