@@ -88,6 +88,7 @@ _PSI_REF_Y, _PSI_CUR_Y = 1996, 1997
              (a, b) -> a + b), 6) AS psi
     FROM terms
     """,
+    bench=True,
 )
 def q_drift_psi_orders(spark: SparkSession, sf: str) -> DataFrame:
     """Population stability index of the order-price distribution,

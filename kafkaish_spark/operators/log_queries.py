@@ -118,6 +118,78 @@ def q_publish_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     return topic.replay(since=0).select("offset", "event", "message")
 
 
+# 2024-01-01T00:00:00Z as an absolute instant — zone-free by construction
+_TT_BASE_EPOCH_US = 1_704_067_200_000_000
+
+
+def _docs_tt_topic(spark: SparkSession, sf: str):
+    """The shared time-travel warehouse fixture: the documents table
+    published into a real topic log in doc_id order, each doc's ts an
+    ABSOLUTE instant at base + doc_id minutes (timestamp_micros — no
+    session-zone term), one ordered partition so offset k == doc k.
+    Self-healed per sf on a content fingerprint whose timestamp term is
+    the BASE-RELATIVE delta summed on decimal(38,0) — the absolute
+    ``sum(unix_micros(ts))`` overflows int64 under ANSI mode past ~5.4k
+    rows, while the delta sum is exactly ``sum(doc_id) * 60_000_000``
+    at any scale factor, and still shifts (rebuild) if a fixture was
+    persisted under a skewed session zone (the round-5 red).  Returns
+    (topic, n_docs)."""
+    import os
+
+    from kafkaish_spark.sources.topic_log import Engine
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    d = t(spark, sf, "documents")
+    n_docs, fp_docs = d.agg(
+        F.count(F.lit(1)), F.sum("doc_id").cast("long")
+    ).first()
+    fp_ts = fp_docs * 60_000_000
+    root = os.path.join(
+        repo_root, "spark-warehouse", "_tt",
+        os.path.basename(sf.rstrip("/")) or "default",
+    )
+    eng = Engine(spark, root)
+    topic = eng.prepare_topic("docs_tt")
+
+    def _topic_fp():
+        row = topic.replay(since=0).agg(
+            F.count(F.lit(1)),
+            F.sum(F.get_json_object("message", "$.doc_id").cast("long")),
+            F.sum(
+                (F.unix_micros("ts") - F.lit(_TT_BASE_EPOCH_US)).cast(
+                    "decimal(38,0)"
+                )
+            ),
+        ).first()
+        return row[0], row[1], None if row[2] is None else int(row[2])
+
+    if topic.latest() != n_docs or _topic_fp() != (n_docs, fp_docs, fp_ts):
+        if topic.latest():
+            import shutil
+
+            shutil.rmtree(os.path.join(root, "docs_tt"))
+            eng = Engine(spark, root)
+            topic = eng.prepare_topic("docs_tt")
+        payload = (
+            d.select(
+                F.col("lang").alias("event"),
+                F.to_json(F.struct("doc_id")).alias("message"),
+                F.timestamp_micros(
+                    F.lit(_TT_BASE_EPOCH_US)
+                    + F.col("doc_id").cast("long") * F.lit(60_000_000)
+                ).alias("ts"),
+                F.col("doc_id"),
+            )
+            .repartition(1)
+            .sortWithinPartitions("doc_id")
+            .drop("doc_id")
+        )
+        topic.publish_df(payload)
+    return topic, n_docs
+
+
 # ---------------------------------------------------------------- L7b time travel
 @query(
     "q_log_time_travel",
@@ -142,81 +214,55 @@ def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
 
     The publish is a deterministic single-ordered-partition append
     (sortWithinPartitions on one partition), so offset k == doc k+1 —
-    what makes the time index oracle-checkable.  Self-healed per sf on
-    a content fingerprint that includes the BASE-RELATIVE timestamp sum
-    ``sum((unix_micros(ts) - BASE_EPOCH_US) :: decimal(38,0))`` — the
-    absolute form ``sum(unix_micros(ts))`` overflows int64 under ANSI
-    mode past ~5.4k rows (each term is ~1.7e15 µs), while the delta sum
-    is exactly ``sum(doc_id) * 60_000_000`` and decimal(38,0) holds it
-    at any scale factor.  A fixture persisted under a skewed session
-    zone (the round-5 red: instants stored at 05:00Z by an
-    America/New_York session) shifts every delta and rebuilds instead
-    of silently mis-seeking."""
-    import os
-
-    from kafkaish_spark.sources.topic_log import Engine
-
-    _REPO_ROOT = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    # 2024-01-01T00:00:00Z as an absolute instant — zone-free by construction
-    BASE_EPOCH_US = 1_704_067_200_000_000
-    d = t(spark, sf, "documents")
-    n_docs, fp_docs = d.agg(
-        F.count(F.lit(1)), F.sum("doc_id").cast("long")
-    ).first()
-    # expected sum(unix_micros(ts) - BASE) over docs published at base+id min;
-    # Python ints are unbounded, and the Spark side sums on decimal(38,0)
-    fp_ts = fp_docs * 60_000_000
-    root = os.path.join(
-        _REPO_ROOT, "spark-warehouse", "_tt",
-        os.path.basename(sf.rstrip("/")) or "default",
-    )
-    eng = Engine(spark, root)
-    topic = eng.prepare_topic("docs_tt")
-
-    def _topic_fp():
-        row = topic.replay(since=0).agg(
-            F.count(F.lit(1)),
-            F.sum(F.get_json_object("message", "$.doc_id").cast("long")),
-            F.sum(
-                (F.unix_micros("ts") - F.lit(BASE_EPOCH_US)).cast("decimal(38,0)")
-            ),
-        ).first()
-        return row[0], row[1], None if row[2] is None else int(row[2])
-
-    if topic.latest() != n_docs or _topic_fp() != (n_docs, fp_docs, fp_ts):
-        if topic.latest():
-            import shutil
-
-            shutil.rmtree(os.path.join(root, "docs_tt"))
-            eng = Engine(spark, root)
-            topic = eng.prepare_topic("docs_tt")
-        payload = (
-            d.select(
-                F.col("lang").alias("event"),
-                F.to_json(F.struct("doc_id")).alias("message"),
-                F.timestamp_micros(
-                    F.lit(BASE_EPOCH_US)
-                    + F.col("doc_id").cast("long") * F.lit(60_000_000)
-                ).alias("ts"),
-                F.col("doc_id"),
-            )
-            .repartition(1)
-            .sortWithinPartitions("doc_id")
-            .drop("doc_id")
-        )
-        topic.publish_df(payload)
+    what makes the time index oracle-checkable.  Fixture construction
+    and overflow-safe self-healing live in ``_docs_tt_topic``."""
+    topic, n_docs = _docs_tt_topic(spark, sf)
     # epoch seconds — offset_for_time's numeric branch, zone-free on
     # any driver/session combination
-    seek = topic.offset_for_time(BASE_EPOCH_US / 1_000_000 + 300 * 60)
+    seek = topic.offset_for_time(_TT_BASE_EPOCH_US / 1_000_000 + 300 * 60)
     if seek is None:
         raise ValueError(
-            f"offset_for_time found no message at base+300min in {root}; "
+            f"offset_for_time found no message at base+300min; "
             f"topic latest={topic.latest()} n_docs={n_docs}"
         )
     back = topic.replay(since=0, until=seek - 1)
     return back.groupBy("event").agg(
+        F.count(F.lit(1)).cast("long").alias("n_msgs"),
+        F.sum(F.get_json_object("message", "$.doc_id").cast("long"))
+        .cast("long")
+        .alias("sum_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------- L7c window replay
+@query(
+    "q_log_replay_window",
+    oracle="""
+    SELECT lang AS event,
+           CAST(COUNT(*) AS BIGINT) AS n_msgs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents WHERE doc_id >= 100 AND doc_id < 300 GROUP BY lang
+    """,
+)
+def q_log_replay_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Half-open time-window replay proven as data (r6 verdict item 6):
+    ``Topic.replay_between_times(t1, t2)`` must deliver exactly the
+    messages with t1 <= publish instant < t2 — Kafka consumer
+    time-window semantics.  Over the shared ``_docs_tt_topic`` fixture
+    (doc k published at base + k minutes, offset k == doc k), the
+    window [base+100min, base+300min) is exactly docs 100..299, which
+    the oracle computes directly as ``doc_id >= 100 AND doc_id < 300``.
+    Both bounds pass as EPOCH SECONDS (offset_for_time's numeric,
+    TZ-safe branch); a boundary off by one message in either direction
+    at either end moves a count and a sum.  The window resolves to
+    offset bounds via two footer-pruned seeks, so the scan itself still
+    prunes parquet segments on offset stats — time travel never costs a
+    full log read (100 TB shape: two footer walks + a bounded range
+    scan)."""
+    topic, _ = _docs_tt_topic(spark, sf)
+    base_s = _TT_BASE_EPOCH_US / 1_000_000
+    window = topic.replay_between_times(base_s + 100 * 60, base_s + 300 * 60)
+    return window.groupBy("event").agg(
         F.count(F.lit(1)).cast("long").alias("n_msgs"),
         F.sum(F.get_json_object("message", "$.doc_id").cast("long"))
         .cast("long")

@@ -484,6 +484,36 @@ def test_warehouse_fixtures_use_absolute_instants():
     )
 
 
+def test_drift_psi_bench_plan_shuffle_budget(spark, sf_dir):
+    """The PSI drift monitor's bench plan budget (r6 verdict item 4):
+    the nightly 100 TB gate must be two linear scans + one bin shuffle.
+    Exactly two exchanges — the hashpartitioning(bin) histogram
+    shuffle with a partial count below it (map-side combine), and the
+    SinglePartition finalize whose input is the ALREADY-AGGREGATED
+    ≤11 bin rows (the documented-safe class) with its own partial agg
+    below.  Two pruned scans of orders (ref year / cur year), no join,
+    no window: corpus size touches only the linear scans."""
+    spec = _registry()["q_drift_psi_orders"]
+    plan = (
+        spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) == 2, exchanges
+    assert sum("hashpartitioning" in e for e in exchanges) == 1, exchanges
+    assert sum("SinglePartition" in e for e in exchanges) == 1, exchanges
+    # map-side combine below the bin shuffle; the finalize's input is
+    # partial aggregates of bin rows, never raw orders
+    assert "partial_count" in plan
+    assert "partial_sum" in plan
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" not in plan
+
+
 def test_clean_funnel_bench_plan_shuffle_budget(spark, sf_dir):
     """The cleaning-funnel bench entry's plan budget (r5 verdict item
     6): the three gates are FLAG COLUMNS over one scan — exactly three
