@@ -97,6 +97,8 @@ def _load_all() -> None:
     import kafkaish_spark.operators.composites42  # noqa: F401
     import kafkaish_spark.operators.composites43  # noqa: F401
     import kafkaish_spark.operators.composites44  # noqa: F401
+    # round-7 wave
+    import kafkaish_spark.operators.composites45  # noqa: F401
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries

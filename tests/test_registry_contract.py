@@ -308,6 +308,7 @@ _DOCUMENTED_GLOBAL_ORDER = frozenset(
         "q_rfm_segmentation",          # quintiles over per-customer aggregates
         "q_skyline_parts",             # skyline over the part dimension
         "q_text_heaps_law",            # cumulative window over the 10-row decile frame
+        "q_source_quality_wilson",     # rank over per-source aggregates (#sources rows)
     }
 )
 
