@@ -97,8 +97,9 @@ def _load_all() -> None:
     import kafkaish_spark.operators.composites42  # noqa: F401
     import kafkaish_spark.operators.composites43  # noqa: F401
     import kafkaish_spark.operators.composites44  # noqa: F401
-    # round-7 wave
+    # round-7 waves
     import kafkaish_spark.operators.composites45  # noqa: F401
+    import kafkaish_spark.operators.composites46  # noqa: F401
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries
