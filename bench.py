@@ -43,6 +43,13 @@ def _normalized_plan(df) -> str:
     s = buf.getvalue()
     s = re.sub(r"#\d+", "#_", s)
     s = re.sub(r"plan_id=\d+", "plan_id=_", s)
+    # session-global counters: lambda variables (lambda x_341),
+    # common-subexpression aliases (_common_expr_21), RDD ids — same
+    # plan, different session, different numbers (the r7
+    # false-positive class)
+    s = re.sub(r"\blambda ([A-Za-z]+)_\d+", r"lambda \1_", s)
+    s = re.sub(r"_common_expr_\d+", "_common_expr__", s)
+    s = re.sub(r"RDD\[\d+\]", "RDD[_]", s)
     # partition counts track the env (SPARK_GRAFT_CPUS / AQE), not the
     # plan shape — hashpartitioning(k#_, 32) == hashpartitioning(k#_, 8)
     s = re.sub(r"partitioning\(([^)]*?),\s*\d+\)", r"partitioning(\1, _)", s)
