@@ -415,7 +415,13 @@ class Topic:
         ``offset_for_time`` does — epoch seconds (TZ-safe), an aware
         datetime, or a naive driver-local datetime.  A ``since_time``
         newer than the log replays nothing; an unmatched
-        ``until_time`` (nothing that recent) replays to the tail."""
+        ``until_time`` (nothing that recent) replays to the tail.
+        Assumes publish instants are monotone in offset — true for any
+        log written through publish (``ts`` is assigned at publish
+        time), the same assumption Kafka's offsetsForTimes makes; a log
+        whose ``ts`` column was supplied out of order resolves bounds
+        from the FIRST offset at/after each instant (property-tested in
+        tests/test_log_properties.py)."""
         since = 0
         if since_time is not None:
             seek = self.offset_for_time(since_time)

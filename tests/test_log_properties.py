@@ -277,3 +277,49 @@ def test_writer_lock_release_only_removes_own_token(tmp_path):
     with writer_lock(root):
         assert os.path.exists(path)
     assert not os.path.exists(path)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(1, 12),
+    a=st.integers(0, 14),
+    b=st.integers(0, 14),
+)
+def test_replay_between_times_is_half_open_window(
+    engine_factory, spark, n, a, b
+):
+    """For ANY publish sequence with known instants and ANY window
+    bounds, replay_between_times(t1, t2) delivers exactly the messages
+    with t1 <= publish instant < t2 (half-open, Kafka time-window
+    semantics) — the property behind q_log_replay_window's single
+    driver-checked case.  Bounds land before, inside, between, and
+    after the published range; empty windows deliver nothing."""
+    from pyspark.sql import functions as F
+
+    BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+    topic = engine_factory().prepare_topic("prop_tt")
+    payload = (
+        spark.range(1, n + 1)
+        .select(
+            F.lit("e").alias("event"),
+            F.col("id").cast("string").alias("message"),
+            F.timestamp_micros(
+                F.lit(BASE_US) + F.col("id") * F.lit(60_000_000)
+            ).alias("ts"),
+        )
+        .repartition(1)
+        .sortWithinPartitions(F.col("message").cast("long"))
+    )
+    topic.publish_df(payload)
+    t1 = BASE_US / 1_000_000 + a * 60
+    t2 = BASE_US / 1_000_000 + b * 60
+    got = sorted(
+        int(r["message"])
+        for r in topic.replay_between_times(t1, t2).collect()
+    )
+    want = [i for i in range(1, n + 1) if a <= i < b]
+    assert got == want
