@@ -166,27 +166,42 @@ def _docs_tt_topic(spark: SparkSession, sf: str):
         return row[0], row[1], None if row[2] is None else int(row[2])
 
     if topic.latest() != n_docs or _topic_fp() != (n_docs, fp_docs, fp_ts):
-        if topic.latest():
-            import shutil
+        # Serialize the heal across processes (the bucketed-layout
+        # fixture pattern): without this, two sessions that both judge
+        # the fixture stale interleave rmtree with publish.  The
+        # fingerprint is RE-CHECKED under the lock — the loser of the
+        # race sees the winner's fresh fixture and skips its own heal.
+        from kafkaish_spark.sources.topic_log import writer_lock
 
-            shutil.rmtree(os.path.join(root, "docs_tt"))
+        with writer_lock(root, "tt-fixture-heal"):
             eng = Engine(spark, root)
             topic = eng.prepare_topic("docs_tt")
-        payload = (
-            d.select(
-                F.col("lang").alias("event"),
-                F.to_json(F.struct("doc_id")).alias("message"),
-                F.timestamp_micros(
-                    F.lit(_TT_BASE_EPOCH_US)
-                    + F.col("doc_id").cast("long") * F.lit(60_000_000)
-                ).alias("ts"),
-                F.col("doc_id"),
-            )
-            .repartition(1)
-            .sortWithinPartitions("doc_id")
-            .drop("doc_id")
-        )
-        topic.publish_df(payload)
+            if topic.latest() != n_docs or _topic_fp() != (
+                n_docs,
+                fp_docs,
+                fp_ts,
+            ):
+                if topic.latest():
+                    import shutil
+
+                    shutil.rmtree(os.path.join(root, "docs_tt"))
+                    eng = Engine(spark, root)
+                    topic = eng.prepare_topic("docs_tt")
+                payload = (
+                    d.select(
+                        F.col("lang").alias("event"),
+                        F.to_json(F.struct("doc_id")).alias("message"),
+                        F.timestamp_micros(
+                            F.lit(_TT_BASE_EPOCH_US)
+                            + F.col("doc_id").cast("long") * F.lit(60_000_000)
+                        ).alias("ts"),
+                        F.col("doc_id"),
+                    )
+                    .repartition(1)
+                    .sortWithinPartitions("doc_id")
+                    .drop("doc_id")
+                )
+                topic.publish_df(payload)
     return topic, n_docs
 
 
