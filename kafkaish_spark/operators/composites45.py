@@ -435,11 +435,11 @@ def q_source_quality_wilson(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------- gate agreement
 @query(
     "q_gate_agreement_kappa",
-    oracle="""
+    oracle=f"""
     WITH flags AS (
       SELECT len(string_split(text, ' ')) >= 50 AS ga,
              len(list_intersect(list_distinct(string_split(text, ' ')),
-                 ['the', 'a', 'of', 'to', 'and'])) >= 2 AS gb
+                 [{', '.join("'" + s + "'" for s in _STOPWORDS)}])) >= 2 AS gb
       FROM documents),
     c AS (
       SELECT count_if(ga AND gb) AS n11,

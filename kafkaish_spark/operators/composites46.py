@@ -25,7 +25,7 @@ frame; shares are single IEEE divisions on exact ints.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafkaish_spark.plans.registry import query
@@ -57,20 +57,27 @@ def q_audit_join_key_skew(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale (100 TB): one hash shuffle on the DATA key (l_orderkey,
     map-side partial counts), then a rollup over the BOUNDED set of
-    distinct fanout values; the total is a driver scalar broadcast
-    back as a literal (the q_agg_share_of_total pattern).  Exactness:
-    counts exact; each share is one IEEE division on exact ints."""
+    distinct fanout values; the grand total is the fanout frame's own
+    1-row sum cross-joined back broadcast (the q_agg_share_of_total
+    pattern — Spark reuses the exchange, so the fact table is scanned
+    ONCE).  Exactness: counts exact; each share is one IEEE division
+    on exact ints."""
     li = t(spark, sf, "lineitem")
-    f = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
-    total = int(li.count())
-    return f.groupBy("k").agg(
+    hist = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+    total = hist.agg(F.sum(F.col("k") * F.col("n_keys")).alias("total"))
+    return hist.crossJoin(F.broadcast(total)).select(
         F.col("k").cast("long").alias("fanout"),
-        F.count(F.lit(1)).cast("long").alias("n_keys"),
-        (F.col("k") * F.count(F.lit(1))).cast("long").alias("n_rows"),
-        F.round(
-            (F.col("k") * F.count(F.lit(1))) / F.lit(total), 6
-        ).alias("row_share"),
-    ).select("fanout", "n_keys", "n_rows", "row_share")
+        F.col("n_keys").cast("long").alias("n_keys"),
+        (F.col("k") * F.col("n_keys")).cast("long").alias("n_rows"),
+        F.round((F.col("k") * F.col("n_keys")) / F.col("total"), 6).alias(
+            "row_share"
+        ),
+    )
 
 
 # ------------------------------------------------------- Hill index
@@ -186,10 +193,14 @@ def q_train_shard_balance(spark: SparkSession, sf: str) -> DataFrame:
     q_pack_sequences) before the job, not after.
 
     Scale: one projection (md5 + split are codegen) and one
-    {_N_SHARDS}-group rollup with map-side partials; the total is the
-    sum of {_N_SHARDS} rows (driver scalar, broadcast literal —
-    q_agg_share_of_total pattern).  Exactness: budgets exact BIGINTs,
-    each share one IEEE division."""
+    {_N_SHARDS}-group rollup with map-side partials; the grand total
+    is a global window over the {_N_SHARDS} ALREADY-AGGREGATED rows
+    (the bounded post-aggregate frame class, like the whitelisted
+    decile/histogram windows — a cross-join total here would not
+    reuse the exchange because column pruning splits the two agg
+    subtrees, costing a second scan+tokenize of the corpus).  The
+    corpus is scanned and tokenized ONCE.  Exactness: budgets exact
+    BIGINTs, each share one IEEE division."""
     d = t(spark, sf, "documents")
     shard = (
         F.conv(
@@ -211,12 +222,10 @@ def q_train_shard_balance(spark: SparkSession, sf: str) -> DataFrame:
     ).groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("nw").alias("n_tokens")
     )
-    total = int(
-        d.select(F.sum(F.size(F.split(F.col("text"), " ")))).first()[0]
-    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
     return g.select(
         F.col("shard").cast("long").alias("shard"),
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(F.col("n_tokens") / F.lit(total), 6).alias("token_share"),
+        F.round(F.col("n_tokens") / total, 6).alias("token_share"),
     )

@@ -126,7 +126,9 @@ def _docs_tt_topic(spark: SparkSession, sf: str):
     """The shared time-travel warehouse fixture: the documents table
     published into a real topic log in doc_id order, each doc's ts an
     ABSOLUTE instant at base + doc_id minutes (timestamp_micros — no
-    session-zone term), one ordered partition so offset k == doc k.
+    session-zone term), one ordered partition so offset k holds doc
+    k-1 (doc_id is 0-based, offsets are 1-based; all seeks below
+    derive bounds from TIMESTAMPS, which track doc_id exactly).
     Self-healed per sf on a content fingerprint whose timestamp term is
     the BASE-RELATIVE delta summed on decimal(38,0) — the absolute
     ``sum(unix_micros(ts))`` overflows int64 under ANSI mode past ~5.4k
@@ -228,9 +230,10 @@ def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
     message off in either direction moves a count and a sum.
 
     The publish is a deterministic single-ordered-partition append
-    (sortWithinPartitions on one partition), so offset k == doc k+1 —
-    what makes the time index oracle-checkable.  Fixture construction
-    and overflow-safe self-healing live in ``_docs_tt_topic``."""
+    (sortWithinPartitions on one partition), so offset k holds doc k-1
+    (0-based doc_id, 1-based offsets) — what makes the time index
+    oracle-checkable.  Fixture construction and overflow-safe
+    self-healing live in ``_docs_tt_topic``."""
     topic, n_docs = _docs_tt_topic(spark, sf)
     # epoch seconds — offset_for_time's numeric branch, zone-free on
     # any driver/session combination
@@ -264,7 +267,7 @@ def q_log_replay_window(spark: SparkSession, sf: str) -> DataFrame:
     ``Topic.replay_between_times(t1, t2)`` must deliver exactly the
     messages with t1 <= publish instant < t2 — Kafka consumer
     time-window semantics.  Over the shared ``_docs_tt_topic`` fixture
-    (doc k published at base + k minutes, offset k == doc k), the
+    (doc k published at base + k minutes, held at offset k+1), the
     window [base+100min, base+300min) is exactly docs 100..299, which
     the oracle computes directly as ``doc_id >= 100 AND doc_id < 300``.
     Both bounds pass as EPOCH SECONDS (offset_for_time's numeric,

@@ -146,16 +146,22 @@ def _footer_offset_range(
 def _file_offset_max(file: str) -> int | None:
     """Exact max(offset) by reading ONLY the offset column — the
     fallback when footer stats are partial.  One column of one file,
-    never the log.  A segment lacking the column entirely (how
-    ``complete=False`` can arise) returns None instead of crashing the
-    tail computation — matching pyds_topic._file_offset_max."""
+    never the log.  A segment lacking the column entirely (one way
+    ``complete=False`` arises) returns None; any OTHER read failure
+    (transient I/O, corrupt data page) RAISES — this feeds the
+    writer's tail computation, and silently dropping a live segment's
+    offsets from max() would let the next append reuse live offsets
+    (the duplicate-offset corruption the single-writer lock exists to
+    prevent).  Loud beats wrong here."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    try:
-        tbl = pq.read_table(file, columns=["offset"])
-    except Exception:
+    meta = pq.ParquetFile(file).metadata
+    if "offset" not in {
+        meta.schema.column(i).name for i in range(meta.num_columns)
+    }:
         return None
+    tbl = pq.read_table(file, columns=["offset"])
     if tbl.num_rows == 0:
         return None
     return pc.max(tbl["offset"]).as_py()

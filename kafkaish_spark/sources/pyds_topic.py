@@ -100,14 +100,20 @@ def _footer_offset_range(
 
 def _file_offset_max(fpath: str) -> int | None:
     """Exact max(offset) reading only the offset column — the fallback
-    when footer stats are partial."""
+    when footer stats are partial.  A segment lacking the column
+    entirely returns None; any OTHER read failure RAISES (matching
+    pyds._file_offset_max): a silently understated tail would hide a
+    live segment's messages from the stream bound, and loud beats
+    wrong."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    try:
-        tbl = pq.read_table(fpath, columns=["offset"])
-    except Exception:
+    meta = pq.ParquetFile(fpath).metadata
+    if "offset" not in {
+        meta.schema.column(i).name for i in range(meta.num_columns)
+    }:
         return None
+    tbl = pq.read_table(fpath, columns=["offset"])
     if tbl.num_rows == 0:
         return None
     return pc.max(tbl["offset"]).as_py()

@@ -76,39 +76,61 @@ _LOCK_STALE_S = 600.0
 import contextlib  # noqa: E402
 
 
+# Breaking a stale lock takes microseconds; a breaker guard older than
+# this belongs to a crashed breaker and is itself removed.
+_BREAKER_STALE_S = 5.0
+_BREAKER_WAIT_S = 10.0
+
+
 def _break_stale_lock(path: str) -> bool:
     """Break a lockfile the caller has judged stale, safely against the
     double-break race (r6 verdict item 5): two waiters that both
     observed a stale mtime must not both end up removing — the loser
     would delete the winner's FRESH lock and both would acquire.
 
-    Protocol: atomically RENAME the lock to a unique name (rename moves
-    exactly one inode — concurrent breakers cannot both succeed on the
-    same lock), then re-check staleness on the renamed inode we now
-    exclusively own (rename preserves mtime).  If it really was stale,
-    delete it and report broken.  If it is FRESH — we are the loser of
-    the race and just stole the winner's new lock — restore it with
-    ``os.link`` (atomic, refuses if a newer lock already appeared) and
-    report not-broken.  Returns True iff a stale lock was removed."""
-    broken = f"{path}.break.{os.getpid()}.{uuid4().hex}"
+    Protocol: breakers serialize through a short-lived BREAKER GUARD
+    (``<path>.breaker``, O_EXCL).  Under the guard, staleness is
+    RE-JUDGED from the lockfile's current mtime — the loser of the
+    original race sees either the winner's fresh lock (not stale →
+    back off) or no lock at all (→ back off; the outer loop races on
+    O_EXCL create, which is atomic).  Only a lock that is STILL stale
+    under the guard is removed, so a freshly recreated lock can never
+    be deleted and the lock path is never left absent while a live
+    writer believes it holds it.  A guard older than
+    ``_BREAKER_STALE_S`` (crashed breaker — the critical section is
+    two stats and an unlink) is itself removed; a breaker that cannot
+    get the guard within ``_BREAKER_WAIT_S`` backs off to the outer
+    wait loop.  Returns True iff a stale lock was removed."""
+    guard = path + ".breaker"
+    deadline = time.time() + _BREAKER_WAIT_S
+    while True:
+        try:
+            os.close(os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(guard).st_mtime > _BREAKER_STALE_S:
+                    with contextlib.suppress(OSError):
+                        os.remove(guard)
+                    continue
+            except OSError:
+                continue  # guard released between attempts
+            if time.time() > deadline:
+                return False  # another breaker is at it; outer loop re-waits
+            time.sleep(0.01)
     try:
-        os.rename(path, broken)
-    except OSError:
-        return False  # someone else broke or released it first
-    try:
-        stale = time.time() - os.stat(broken).st_mtime > _LOCK_STALE_S
-    except OSError:
-        return False
-    if stale:
+        try:
+            stale = time.time() - os.stat(path).st_mtime > _LOCK_STALE_S
+        except OSError:
+            return False  # already broken or released
+        if not stale:
+            return False  # recreated fresh after the earlier break
         with contextlib.suppress(OSError):
-            os.remove(broken)
+            os.remove(path)
         return True
-    # fresh: the double-break race — put the rightful owner's lock back
-    with contextlib.suppress(OSError):
-        os.link(broken, path)
-    with contextlib.suppress(OSError):
-        os.remove(broken)
-    return False
+    finally:
+        with contextlib.suppress(OSError):
+            os.remove(guard)
 
 
 @contextlib.contextmanager
@@ -124,7 +146,7 @@ def writer_lock(topic_root: str, what: str = "publish"):
     filesystem; a second writer waits up to ``_LOCK_TIMEOUT_S`` then
     fails loudly instead of interleaving duplicate offsets, and a lock
     older than ``_LOCK_STALE_S`` (crashed writer) is broken via the
-    rename-to-unique protocol of ``_break_stale_lock`` (double-break
+    breaker-guard protocol of ``_break_stale_lock`` (double-break
     race-safe).  Each lock carries a unique token; release removes the
     lockfile only while it still holds our token, so a breaker that
     somehow replaced the lock is never un-locked by us.  On object

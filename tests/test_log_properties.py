@@ -153,10 +153,10 @@ def test_sharded_union_is_per_shard_total_order(engine_factory, shard_batches):
 
 
 # ----------------------------------------------------------------- lock
-# Double-break race hardening (r6 verdict item 5): breaking a stale
-# writer lock renames-to-unique and re-checks, so two waiters that both
-# saw a stale mtime cannot both acquire, and a breaker that raced onto a
-# freshly recreated lock restores it instead of deleting it.
+# Double-break race hardening (r6 verdict item 5): breakers serialize
+# through a short-lived breaker guard and RE-JUDGE staleness under it,
+# so two waiters that both saw a stale mtime cannot both remove, and a
+# freshly recreated lock is never deleted by a late breaker.
 
 
 def _locked_interval_worker(root, out_path, tag, hold_s):
@@ -211,14 +211,14 @@ def test_writer_lock_two_processes_one_forced_stale_lock(tmp_path):
     assert len(ivals) == 2
     assert ivals[0][1] <= ivals[1][0], f"held intervals overlap: {ivals}"
     assert not os.path.exists(path)
-    assert not [f for f in os.listdir(root) if ".break." in f]
+    assert not [f for f in os.listdir(root) if ".breaker" in f]
 
 
-def test_break_stale_lock_restores_fresh_lock_it_raced_onto(tmp_path):
+def test_break_stale_lock_leaves_fresh_lock_untouched(tmp_path):
     """The double-break loser: a waiter whose staleness verdict is out
     of date (the lock was broken and RECREATED under it) must not
-    remove the new owner's lock — _break_stale_lock re-checks on the
-    renamed inode and restores it byte-identically."""
+    remove the new owner's lock — _break_stale_lock re-judges
+    staleness under the breaker guard and backs off."""
     import json
     import os
 
@@ -232,8 +232,41 @@ def test_break_stale_lock_restores_fresh_lock_it_raced_onto(tmp_path):
 
     assert _break_stale_lock(path) is False
     with open(path) as fh:
-        assert json.load(fh) == fresh  # restored, not stolen
-    assert not [f for f in os.listdir(root) if ".break." in f]
+        assert json.load(fh) == fresh  # untouched
+    assert not os.path.exists(path + ".breaker")  # guard released
+
+
+def test_break_stale_lock_backs_off_while_another_breaker_holds_guard(
+    tmp_path, monkeypatch
+):
+    """A breaker that cannot get the guard within its wait budget backs
+    off (returns False) instead of double-breaking; a CRASHED breaker's
+    stale guard is removed and breaking proceeds."""
+    import json
+    import os
+    import time
+
+    from kafkaish_spark.sources import topic_log
+
+    path = os.path.join(str(tmp_path), "_writer.lock")
+    with open(path, "w") as fh:
+        json.dump({"pid": 0, "ts": 0.0}, fh)
+    old = time.time() - 100_000
+    os.utime(path, (old, old))  # genuinely stale lock
+
+    # a live breaker holds the guard -> this breaker backs off fast
+    guard = path + ".breaker"
+    open(guard, "w").close()
+    monkeypatch.setattr(topic_log, "_BREAKER_WAIT_S", 0.2)
+    assert topic_log._break_stale_lock(path) is False
+    assert os.path.exists(path)  # nothing was broken
+
+    # the guard goes stale (crashed breaker) -> it is removed and the
+    # stale lock is finally broken
+    os.utime(guard, (old, old))
+    assert topic_log._break_stale_lock(path) is True
+    assert not os.path.exists(path)
+    assert not os.path.exists(guard)
 
 
 def test_break_stale_lock_removes_genuinely_stale(tmp_path):

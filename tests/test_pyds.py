@@ -541,3 +541,35 @@ def test_footer_partial_stats_tail_fallback(engine, tmp_path):
         {"path": engine.root, "topic": "partialstats"}, overwrite=False
     )
     assert writer._tail() == 4  # not 2: the statless segment counts
+
+
+def test_file_offset_max_none_only_for_missing_column(tmp_path):
+    """r7 review fix: _file_offset_max returns None ONLY when the
+    offset column is absent from the footer schema; any other read
+    failure raises — a silently understated tail in the writer path
+    would let the next append reuse live offsets."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from kafkaish_spark.sources import pyds, pyds_topic
+
+    no_off = os.path.join(str(tmp_path), "no_offset.parquet")
+    pq.write_table(pa.table({"event": pa.array(["a"], pa.string())}), no_off)
+    assert pyds._file_offset_max(no_off) is None
+    assert pyds_topic._file_offset_max(no_off) is None
+
+    ok = os.path.join(str(tmp_path), "ok.parquet")
+    pq.write_table(pa.table({"offset": pa.array([7, 9], pa.int64())}), ok)
+    assert pyds._file_offset_max(ok) == 9
+    assert pyds_topic._file_offset_max(ok) == 9
+
+    corrupt = os.path.join(str(tmp_path), "corrupt.parquet")
+    with open(corrupt, "wb") as fh:
+        fh.write(b"PAR1 this is not a parquet footer")
+    with pytest.raises(Exception):
+        pyds._file_offset_max(corrupt)
+    with pytest.raises(Exception):
+        pyds_topic._file_offset_max(corrupt)

@@ -309,6 +309,7 @@ _DOCUMENTED_GLOBAL_ORDER = frozenset(
         "q_skyline_parts",             # skyline over the part dimension
         "q_text_heaps_law",            # cumulative window over the 10-row decile frame
         "q_source_quality_wilson",     # rank over per-source aggregates (#sources rows)
+        "q_train_shard_balance",       # global total over the 8-row shard aggregate
     }
 )
 
