@@ -135,12 +135,15 @@ def q_text_hill_tail_index(spark: SparkSession, sf: str) -> DataFrame:
             F.collect_list(F.struct((-F.col("c")).alias("nc"), "word", "c"))
         ).alias("arr")
     ).select(
-        F.element_at("arr", _HILL_K)["c"].cast("long").alias("x_k"),
+        # try_element_at: a corpus with < _HILL_K distinct words yields
+        # NULL x_k / hill_alpha (matching the oracle's empty-subquery
+        # NULL) instead of an ANSI INVALID_ARRAY_INDEX crash (r7 advice)
+        F.try_element_at("arr", F.lit(_HILL_K))["c"].cast("long").alias("x_k"),
         F.aggregate(
             F.transform(
                 F.slice("arr", 1, _HILL_K - 1),
                 lambda s: F.log(
-                    s["c"] / F.element_at(F.col("arr"), _HILL_K)["c"]
+                    s["c"] / F.try_element_at(F.col("arr"), F.lit(_HILL_K))["c"]
                 ),
             ),
             F.lit(0.0),

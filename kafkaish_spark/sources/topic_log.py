@@ -110,8 +110,18 @@ def _break_stale_lock(path: str) -> bool:
         except FileExistsError:
             try:
                 if time.time() - os.stat(guard).st_mtime > _BREAKER_STALE_S:
+                    # second staleness judgment immediately before the
+                    # unlink (r7 advice): if the guard was replaced by a
+                    # fresh breaker between the first stat and now, back
+                    # off instead of deleting the live breaker's guard —
+                    # that deletion is how two breakers could both enter
+                    # the critical section.
                     with contextlib.suppress(OSError):
-                        os.remove(guard)
+                        if (
+                            time.time() - os.stat(guard).st_mtime
+                            > _BREAKER_STALE_S
+                        ):
+                            os.remove(guard)
                     continue
             except OSError:
                 continue  # guard released between attempts
@@ -148,11 +158,15 @@ def writer_lock(topic_root: str, what: str = "publish"):
     older than ``_LOCK_STALE_S`` (crashed writer) is broken via the
     breaker-guard protocol of ``_break_stale_lock`` (double-break
     race-safe).  Each lock carries a unique token; release removes the
-    lockfile only while it still holds our token, so a breaker that
-    somehow replaced the lock is never un-locked by us.  On object
-    stores without atomic create/rename/link, deploy one logical writer
-    per topic (the Kafka partition-leader model) and treat this as
-    best-effort.
+    lockfile only after reading back our token, which keeps a foreign
+    lock safe in every practical schedule but is read-then-unlink, not
+    atomic: a holder that keeps the lock PAST ``_LOCK_STALE_S`` can race
+    a breaker between its token check and the remove and unlink the
+    breaker's successor.  Holders must therefore finish (or re-acquire)
+    within ``_LOCK_STALE_S`` — heal paths publishing large fixtures are
+    the likeliest to approach it.  On object stores without atomic
+    create/rename/link, deploy one logical writer per topic (the Kafka
+    partition-leader model) and treat this as best-effort.
     """
     path = os.path.join(topic_root, "_writer.lock")
     token = uuid4().hex

@@ -91,3 +91,18 @@ def test_shard_balance_matches_replay(spark):
     assert got == want
     # every doc landed in exactly one shard
     assert sum(v[0] for v in want.values()) == len(rows)
+
+
+def test_hill_tail_index_degenerate_vocab_yields_null(spark, tmp_path):
+    """A corpus with fewer than _HILL_K distinct words must yield NULL
+    x_k / hill_alpha (the oracle's empty-subquery NULL), not an ANSI
+    INVALID_ARRAY_INDEX crash (r7 advice item 3 — try_element_at)."""
+    from kafkaish_spark.operators.composites46 import q_text_hill_tail_index
+
+    spark.createDataFrame(
+        [(1, "alpha beta gamma alpha")], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    row = q_text_hill_tail_index(spark, str(tmp_path)).collect()[0]
+    assert row["n_vocab"] == 3
+    assert row["x_k"] is None
+    assert row["hill_alpha"] is None

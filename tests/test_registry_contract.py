@@ -536,3 +536,109 @@ def test_clean_funnel_bench_plan_shuffle_budget(spark, sf_dir):
     assert all("hashpartitioning" in e for e in exchanges), exchanges
     assert "partial_count" in plan  # map-side combine before the rollup
     assert plan.count("FileScan parquet") == 1, plan  # one corpus pass
+
+
+def _final_adaptive_plan(df) -> str:
+    """Execute the frame through its OWN QueryExecution and return the
+    FINAL adaptive plan section (AQE finishes exchange reuse only at
+    runtime; the pre-execution string still shows the initial plan's
+    duplicate subtrees).  The trailing '== Initial Plan ==' echo is
+    sliced off so scan/exchange counts refer to what actually ran."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan.splitlines()[0]
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_audit_join_key_skew_plan_one_fact_scan(spark, sf_dir):
+    """The join-key skew audit's one-scan budget (r7 verdict item 4):
+    the grand total is derived from the fanout-histogram AGGREGATE
+    frame, so in the final adaptive plan the second aggregation branch
+    is a ReusedExchange of the first — lineitem is scanned ONCE.  The
+    only SinglePartition exchange feeds the 1-row total over already-
+    aggregated fanout rows (documented-safe class); the data shuffles
+    are hashpartitioning(l_orderkey) then hashpartitioning(k), both
+    with map-side partial counts below."""
+    plan = _final_adaptive_plan(
+        _registry()["q_audit_join_key_skew"].fn(spark, sf_dir)
+    )
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "ReusedExchange" in plan, plan
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert sum("hashpartitioning" in e for e in exchanges) == 2, exchanges
+    assert sum("SinglePartition" in e for e in exchanges) == 1, exchanges
+    assert "partial_count" in plan  # map-side combine below the shuffles
+    assert "CartesianProduct" not in plan
+
+
+def test_train_shard_balance_plan_one_corpus_scan(spark, sf_dir):
+    """The shard-balance audit's one-scan budget (r7 verdict item 4):
+    the corpus is scanned and tokenized ONCE — one hashpartitioning
+    (shard) exchange with map-side partials, then the global window
+    runs over the 8 ALREADY-AGGREGATED shard rows (the bounded
+    post-aggregate SinglePartition class).  No join, no second scan."""
+    plan = _final_adaptive_plan(
+        _registry()["q_train_shard_balance"].fn(spark, sf_dir)
+    )
+    assert plan.count("FileScan parquet") == 1, plan
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Reused" not in ln
+    ]
+    assert len(exchanges) == 2, exchanges
+    assert sum("hashpartitioning" in e for e in exchanges) == 1, exchanges
+    assert sum("SinglePartition" in e for e in exchanges) == 1, exchanges
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "Join" not in plan, plan
+
+
+def test_queries_md_driver_proof_header_fresh():
+    """QUERIES.md's driver-proof header must agree with a FRESH parse
+    of the CORRECTNESS_r*.json files (r7 verdict item 3 — the header
+    shipped stale two rounds running; this makes freshness structural:
+    the suite fails until tools/dump_queries.py is re-run after driver
+    files land).  The comparison recomputes every header number with
+    the same registry + history logic the generator uses."""
+    import os
+    import re
+
+    from kafkaish_spark.plans.registry import _driver_history
+
+    qs = _registry()
+    checked, reds = _driver_history()
+    checked &= set(qs)
+    n_sql = sum(1 for s in qs.values() if s.oracle)
+    n_checked_oracle = sum(1 for n in checked if qs[n].oracle)
+    never_oracle = sum(1 for n, s in qs.items() if s.oracle and n not in checked)
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "QUERIES.md",
+    )
+    with open(path) as fh:
+        head = fh.read(4000)
+    m = re.search(
+        r"\*\*(\d+) queries\*\*, (\d+) DuckDB-oracle-checked", head
+    )
+    assert m, "QUERIES.md header not found — run tools/dump_queries.py"
+    assert (int(m.group(1)), int(m.group(2))) == (len(qs), n_sql), (
+        f"QUERIES.md inventory header says {m.groups()} but the registry "
+        f"has {(len(qs), n_sql)} — run tools/dump_queries.py"
+    )
+    m = re.search(
+        r"driver-checked \*\*(\d+)\*\* \((\d+) oracle-backed\), "
+        r"latest-red \*\*(\d+)\*\*.*?never-driver-checked\s+"
+        r"oracle-backed \*\*(\d+)\*\*",
+        head,
+        re.S,
+    )
+    assert m, "QUERIES.md driver-proof line not found — run tools/dump_queries.py"
+    got = tuple(int(g) for g in m.groups())
+    want = (len(checked), n_checked_oracle, len(reds), never_oracle)
+    assert got == want, (
+        f"QUERIES.md driver-proof header is stale: header {got} vs fresh "
+        f"CORRECTNESS parse {want} — run tools/dump_queries.py"
+    )

@@ -5,6 +5,19 @@ envelope is ~10 messages publish+replay < 65 s on localhost mongod
 (test/topic.js:223) and one-doc-at-a-time delivery (src/topic.js:81).
 This measures our equivalents at meaningful sizes.
 
+Methodology (r8 — the fix for the r1->r7 "publish drift"): the r1-r7
+numbers timed publish as the FIRST Spark action of the session, so the
+publish plan's whole-stage-codegen JIT (~0.5-1 s) and first-job setup
+were billed to the message rate, and single-shot timing let the box's
+documented +/-40% co-tenant band masquerade as a trend (33k -> 24.7k
+msgs/s).  tools/profile_publish.py attributed the path component by
+component: writer lock ~0.25 ms/call, persist pin and tail read ~0.1 s
+each at n=100k, everything else JIT + noise.  So this bench now (a)
+runs one UNTIMED warm-up publish+replay+drain on a throwaway topic to
+compile the plans, and (b) times each stage REPS times — publish on a
+FRESH topic per rep (appends would grow the log mid-measurement) — and
+reports the minimum, the same min-of-N rule bench.py documents.
+
 Usage: PYTHONPATH=/root/repo python tools/bench_log.py [n_messages]
 Prints one JSON line.
 """
@@ -25,6 +38,34 @@ from pyspark.sql import functions as F  # noqa: E402
 from kafkaish_spark.session import get_spark  # noqa: E402
 from kafkaish_spark.sources.topic_log import Engine  # noqa: E402
 
+REPS = 3
+
+
+def _source(spark, n):
+    src = spark.range(n).select(
+        F.concat(F.lit("e"), (F.col("id") % 8).cast("string")).alias("event"),
+        F.to_json(F.struct(F.col("id").alias("k"))).alias("message"),
+    )
+    src.count()  # materialize the generator outside the clock
+    return src
+
+
+def _drain(topic, ck_dir: str) -> int:
+    drained = {"rows": 0}
+
+    def sink(df, _bid):
+        drained["rows"] += df.count()
+
+    q = (
+        topic.stream()
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck_dir)
+        .start()
+    )
+    q.awaitTermination()
+    return drained["rows"]
+
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
@@ -32,43 +73,52 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="kafkaish_logbench_")
     eng = Engine(spark, root)
-    topic = eng.prepare_topic("bench")
+    src = _source(spark, n)
 
-    src = spark.range(n).select(
-        F.concat(F.lit("e"), (F.col("id") % 8).cast("string")).alias("event"),
-        F.to_json(F.struct(F.col("id").alias("k"))).alias("message"),
-    )
-    src.count()  # materialize the generator outside the clock
+    # untimed warm-up: compile the publish/replay/drain plans once so
+    # codegen JIT isn't billed to the first timed rep
+    warm = eng.prepare_topic("warmup")
+    warm.publish_df(_source(spark, 1000))
+    warm.replay(since=0).count()
+    warm.replay(event="e3").count()
+    _drain(warm, os.path.join(root, "warm_ck"))
 
-    t0 = time.perf_counter()
-    topic.publish_df(src)
-    publish_s = time.perf_counter() - t0
+    publish_s = None
+    topic = None
+    for i in range(REPS):
+        t = eng.prepare_topic(f"bench{i}")  # fresh log per rep
+        t0 = time.perf_counter()
+        t.publish_df(src)
+        el = time.perf_counter() - t0
+        publish_s = el if publish_s is None else min(publish_s, el)
+        print(f"# publish rep{i}: {el:.3f}s", file=sys.stderr)
+        topic = t
 
-    t0 = time.perf_counter()
-    assert topic.replay(since=0).count() == n
-    replay_s = time.perf_counter() - t0
+    replay_s = None
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        assert topic.replay(since=0).count() == n
+        el = time.perf_counter() - t0
+        replay_s = el if replay_s is None else min(replay_s, el)
 
-    t0 = time.perf_counter()
-    assert topic.replay(event="e3").count() == n // 8
-    replay_filtered_s = time.perf_counter() - t0
+    replay_filtered_s = None
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        assert topic.replay(event="e3").count() == n // 8
+        el = time.perf_counter() - t0
+        replay_filtered_s = (
+            el if replay_filtered_s is None else min(replay_filtered_s, el)
+        )
 
     # streaming drain: full backlog through a checkpointed query
-    drained = {"rows": 0}
-
-    def sink(df, _bid):
-        drained["rows"] += df.count()
-
-    t0 = time.perf_counter()
-    q = (
-        topic.stream()
-        .writeStream.foreachBatch(sink)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(root, "drain_ck"))
-        .start()
-    )
-    q.awaitTermination()
-    drain_s = time.perf_counter() - t0
-    assert drained["rows"] == n
+    # (fresh checkpoint per rep — a reused one would drain nothing)
+    drain_s = None
+    for i in range(REPS):
+        t0 = time.perf_counter()
+        rows = _drain(topic, os.path.join(root, f"drain_ck{i}"))
+        el = time.perf_counter() - t0
+        drain_s = el if drain_s is None else min(drain_s, el)
+        assert rows == n
 
     shutil.rmtree(root, ignore_errors=True)
     print(
@@ -76,6 +126,7 @@ def main() -> None:
             {
                 "metric": "log_layer_throughput",
                 "n_messages": n,
+                "method": f"min-of-{REPS}, warmed plans, fresh topic per publish rep",
                 "publish_msgs_per_sec": round(n / publish_s),
                 "replay_msgs_per_sec": round(n / replay_s),
                 "replay_filtered_sec": round(replay_filtered_s, 3),
