@@ -28,6 +28,7 @@ def salted_join(
     *,
     how: str = "inner",
     salt_buckets: int = 16,
+    dim_hint: str | None = None,
 ) -> DataFrame:
     """Equi-join ``fact`` with ``dim`` on column ``on``, salting the key
     across ``salt_buckets`` shuffle partitions per value.
@@ -36,7 +37,15 @@ def salted_join(
     (monotonically_increasing_id), so even FULLY IDENTICAL duplicate
     rows — the common hot-key shape — spread across buckets; position
     is deterministic for a deterministic input, so retries stay
-    consistent (unlike rand())."""
+    consistent (unlike rand()).
+
+    ``dim_hint`` (e.g. ``"merge"``/``"shuffle_hash"``) pins the join
+    strategy on the exploded dimension: salting only matters in the
+    SHUFFLE-join regime (a broadcastable dim has no skew problem — the
+    fact side never shuffles), so a demonstration or a pipeline that
+    knows its dim will exceed the broadcast threshold at production
+    scale declares the shuffle strategy instead of letting a small test
+    sf broadcast the problem away."""
     fact_salted = fact.withColumn(
         _SALT,
         F.pmod(
@@ -47,5 +56,7 @@ def salted_join(
     dim_exploded = dim.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
+    if dim_hint is not None:
+        dim_exploded = dim_exploded.hint(dim_hint)
     out = fact_salted.join(dim_exploded, [on, _SALT], how)
     return out.drop(_SALT)

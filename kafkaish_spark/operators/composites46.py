@@ -14,7 +14,11 @@ shard balance.
   actually uses;
 - training-shard balance: deterministic md5 shard assignment and the
   per-shard doc/token budgets — the "will every data-parallel worker
-  get the same amount of work" check run before a training job.
+  get the same amount of work" check run before a training job;
+- (r8) skew-STRESS salted join: the remedy the skew audit gates,
+  exercised on a deliberately pathological synthesized hot key at
+  bench scale (q_join_skew_stress_salted, bench-flagged; the 3-way
+  plain/AQE/salted comparison lives in tools/bench_skew.py).
 
 Reference parity: the reference (kafkaish, ~350 LoC pub/sub over
 MongoDB, src/topic.js) computes none of these — [NS] north-star
@@ -231,4 +235,79 @@ def q_train_shard_balance(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.col("n_tokens") / total, 6).alias("token_share"),
+    )
+
+
+# ------------------------------------------------- skew-stress salted
+_STRESS_SALTS = 16
+
+
+@query(
+    "q_join_skew_stress_salted",
+    oracle="""
+    WITH f AS (
+      SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0 ELSE l_orderkey END
+               AS hot_key,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem),
+    d AS (
+      SELECT DISTINCT
+             CASE WHEN o_orderkey % 4 <> 0 THEN 0 ELSE o_orderkey END
+               AS hot_key
+      FROM orders),
+    d2 AS (SELECT hot_key, hot_key % 7 AS band FROM d)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM f JOIN d2 USING (hot_key) GROUP BY band
+    """,
+    bench=True,
+)
+def q_join_skew_stress_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-STRESS join (r7 verdict item 5): a deliberately pathological
+    key — every l_orderkey not divisible by 4 collapses onto key 0, so
+    ~75% of the fact table carries ONE join key — joined to its unique
+    dimension through ``functions.skew.salted_join``.  This is the
+    remedy the q_audit_join_key_skew fanout histogram gates: plain
+    shuffle-join puts 3/4 of the fact rows in a single reducer task
+    (the straggler that kills a 1000-executor job); the salt spreads
+    key 0 over {_STRESS_SALTS} tasks and the dimension is replicated
+    x{_STRESS_SALTS} to match.  ``dim_hint="merge"`` pins the
+    shuffle-join regime — at a test sf Spark would broadcast the dim
+    and there would be no skew to fix; at 100 TB the dim side
+    (every distinct key) exceeds any broadcast threshold, which is
+    exactly when salting is the only portable fix (AQE's skew split
+    can't help bucketed/stream joins and can't split one key's rows
+    inside a single sort-merge group).  The salt is dropped before the
+    rollup, so the result is bit-identical to the plain join — the
+    oracle IS the plain join.  tools/bench_skew.py measures this plan
+    against the unsalted and AQE-skew variants at bench scale.
+    Exactness: counts and integer cents."""
+    from kafkaish_spark.functions.skew import salted_join
+
+    li = t(spark, sf, "lineitem")
+    o = t(spark, sf, "orders")
+
+    def hot(col: str):
+        return (
+            F.when(F.col(col) % 4 != 0, F.lit(0))
+            .otherwise(F.col(col))
+            .cast("long")
+        )
+
+    fact = li.select(
+        hot("l_orderkey").alias("hot_key"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    dim = (
+        o.select(hot("o_orderkey").alias("hot_key"))
+        .distinct()
+        .select("hot_key", (F.col("hot_key") % 7).cast("long").alias("band"))
+    )
+    joined = salted_join(
+        fact, dim, "hot_key", salt_buckets=_STRESS_SALTS, dim_hint="merge"
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("cents"),
     )

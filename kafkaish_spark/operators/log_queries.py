@@ -94,7 +94,7 @@ def q_subscriber_lag(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- L4 (rows-only)
-@query("q_publish_roundtrip", oracle=None)
+@query("q_publish_roundtrip", oracle=None, bench=True)
 def q_publish_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Publish -> replay round trip through a real topic log (ref:
     publish + confirm callback, src/topic.js:25-40; test
@@ -286,3 +286,32 @@ def q_log_replay_window(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("sum_doc_id"),
     )
+
+
+@query("q_log_mirror_roundtrip", oracle=None)
+def q_log_mirror_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Offset-preserving topic replication end-to-end (Topic.mirror_to,
+    the MirrorMaker analog): publish the first 500 events into a fresh
+    source topic, mirror it to an empty destination, and return the
+    DESTINATION's full replay — which carries the source's offsets
+    verbatim (a durable subscriber can fail over without offset
+    translation).  Rows-only check (temp paths aren't SQL-visible);
+    the offset-identity, incremental-delta, and idempotence invariants
+    are pinned by tests/test_log_mirror.py."""
+    from kafkaish_spark.sources.topic_log import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="kafkaish_mirror_"))
+    src_topic = eng.prepare_topic("src")
+    dst_topic = eng.prepare_topic("dst")
+    ev = (
+        t(spark, sf, "events")
+        .filter(F.col("event_id") <= 500)
+        .select(
+            F.col("event_type").alias("event"),
+            F.col("props").alias("message"),
+            F.col("ts"),
+        )
+    )
+    src_topic.publish_df(ev)
+    src_topic.mirror_to(dst_topic)
+    return dst_topic.replay(since=0).select("offset", "event", "message")

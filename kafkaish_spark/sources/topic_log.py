@@ -1105,6 +1105,49 @@ class Topic:
             df = df.filter(F.col("event") == F.lit(event))
         return df
 
+    def mirror_to(self, dst: "Topic") -> int:
+        """Offset-PRESERVING replication into ``dst`` — the MirrorMaker
+        analog for DR / cross-region migration the reference lacks
+        (its only replication story is MongoDB's, src/topic.js has
+        none).  Every message with ``offset > dst.latest()`` is copied
+        VERBATIM (offset, ts, event, message — no reassignment), so a
+        durable subscriber can fail over to the mirror and resume from
+        its last acked offset unchanged (identity offset translation —
+        the property MirrorMaker 2 needs a translation service for).
+
+        Incremental and idempotent: re-running mirrors only the delta;
+        a no-op mirror returns 0.  ``dst`` must be a prefix-mirror of
+        this topic (same offsets — start it empty or keep it mirrored;
+        ``dst.fsck()`` verifies density/contiguity after).  A
+        retention-trimmed source mirrors from its surviving first
+        offset, which fsck treats as the legal trimmed-prefix shape.
+        Runs under ``dst``'s writer lock; the source is only read.
+
+        Scale: one pushed-down scan of the source tail (offset
+        predicate prunes segments on footer stats) and one parquet
+        append — no shuffle, no offset rewrite.  Returns the number of
+        rows mirrored."""
+        with writer_lock(dst.root, what="mirror"):
+            tail = dst.latest()
+            pending = (
+                self.log()
+                .filter(F.col("offset") > F.lit(int(tail)))
+                .select("offset", "ts", "event", "message")
+            )
+            n = pending.count()
+            if n == 0:
+                return 0
+            if dst.partitioned:
+                (
+                    pending.withColumn("pub_date", F.to_date("ts"))
+                    .write.mode("append")
+                    .partitionBy("pub_date")
+                    .parquet(dst.log_dir)
+                )
+            else:
+                pending.write.mode("append").parquet(dst.log_dir)
+            return n
+
     def close(self) -> None:
         """Mark the handle closed (ref closes its tail cursor,
         src/topic.js:20-24; streaming subscriptions here own their
