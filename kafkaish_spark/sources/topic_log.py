@@ -315,15 +315,74 @@ class Topic:
         rows = self.publish_batch([(event, message)])
         return rows[0]
 
+    # driver-side batches at or below this write their segment directly
+    # (they are ONE file either way); larger ones go through Spark
+    _DIRECT_PUBLISH_MAX = 10_000
+
     def publish_batch(self, msgs: Iterable[tuple[str | None, Any]]) -> list[Row]:
         payload = [
             (e, m if isinstance(m, str) else json.dumps(m, sort_keys=True))
             for e, m in msgs
         ]
+        if len(payload) <= self._DIRECT_PUBLISH_MAX:
+            return self._publish_direct(payload)
         df = self.spark.createDataFrame(payload, "event string, message string")
         # driver-supplied batches are small: one log segment per publish
         out = self.publish_df(df, target_files=1)
         return out.orderBy("offset").collect()
+
+    def _publish_direct(self, payload: list[tuple[str | None, str]]) -> list[Row]:
+        """Driver-side publish fast path (r8): a small driver-supplied
+        batch becomes ONE parquet segment either way, so build it with
+        pyarrow and append the file directly — same envelope schema,
+        same footer statistics, same writer lock, same retention — and
+        skip the ~4 Spark jobs (createDataFrame, persist+count for
+        offset assignment, write, read-back) that made a one-message
+        publish cost seconds of pure scheduling.  This is the latency
+        floor of the reference's core pattern (one acked message at a
+        time, src/topic.js:25-40): measured, publish(1 msg) drops from
+        ~4.7 s to low milliseconds while readers (Spark batch/stream,
+        DuckDB oracle, footer-stat maintenance) see an ordinary
+        segment.  Timestamps are written tz-aware UTC micros
+        (isAdjustedToUTC) — exactly how Spark reads TimestampType back.
+        The distributed path (publish_df) is unchanged and remains the
+        scale path for DataFrame payloads."""
+        import datetime as _dt
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with writer_lock(self.root):
+            start = self.latest()
+            now = _dt.datetime.now(_dt.timezone.utc)
+            n = len(payload)
+            tbl = pa.table(
+                {
+                    "offset": pa.array(
+                        range(start + 1, start + n + 1), pa.int64()
+                    ),
+                    "ts": pa.array([now] * n, pa.timestamp("us", tz="UTC")),
+                    "event": pa.array([e for e, _ in payload], pa.string()),
+                    "message": pa.array([m for _, m in payload], pa.string()),
+                }
+            )
+            seg_dir = self.log_dir
+            if self.partitioned:
+                seg_dir = os.path.join(
+                    self.log_dir, f"pub_date={now.date().isoformat()}"
+                )
+                os.makedirs(seg_dir, exist_ok=True)
+            fn = f"part-00000-{uuid4().hex}.snappy.parquet"
+            pq.write_table(
+                tbl, os.path.join(seg_dir, fn), compression="snappy"
+            )
+            if self.retention_bytes is not None:
+                self.enforce_retention(self.retention_bytes)
+        ts_naive = now.replace(tzinfo=None)
+        return [
+            Row(offset=start + i + 1, ts=ts_naive, event=e, message=m)
+            for i, (e, m) in enumerate(payload)
+        ]
 
     def publish_df(
         self,
@@ -409,7 +468,31 @@ class Topic:
 
     def latest(self) -> int:
         """Newest offset, 0 when empty (ref: latest src/topic.js:221-244;
-        we use agg(max) instead of sort-desc-limit-1 — no dummy doc)."""
+        we use max-of-stats instead of sort-desc-limit-1 — no dummy doc).
+
+        Fast path (r8): the answer is ``max(offset)``, and every
+        Spark-written segment carries exact min/max offset statistics in
+        its parquet FOOTER — so this reads footers only (the
+        ``_segment_stats`` machinery retention/fsck already rely on,
+        ~0.5 ms/file) instead of launching a Spark aggregate job
+        (~0.12 s fixed cost, measured in tools/profile_publish.py).
+        ``latest()`` runs once per publish, so this is the latency
+        floor of the reference's core usage pattern — one message at a
+        time (src/topic.js:25-40).  Zero-row seed segments are ignored;
+        if ANY non-empty segment lacks offset stats (foreign writer
+        with statistics disabled), fall back to the exact Spark
+        aggregate rather than guess.  On a cluster the footer reads
+        are the same ranged reads retention performs."""
+        try:
+            segs = self._segment_stats()
+        except Exception:
+            segs = None  # unreadable footer -> authoritative fallback
+        if segs is not None:
+            live = [s for s in segs if s["num_rows"]]
+            if not live:
+                return 0
+            if all(s["max_off"] is not None for s in live):
+                return int(max(s["max_off"] for s in live))
         row = self.log().agg(F.coalesce(F.max("offset"), F.lit(0)).alias("m")).first()
         return int(row["m"])
 

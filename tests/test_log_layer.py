@@ -870,3 +870,50 @@ def test_ephemeral_subscription_accepts_seek_offset(engine, spark):
     )
     sub2.query.awaitTermination(120)
     assert got2 == []
+
+
+def test_latest_footer_fast_path_matches_spark_agg(engine):
+    """latest() answers from parquet footer stats (r8 fast path); it
+    must equal the exact Spark aggregate at every log shape — empty,
+    single-segment, multi-segment, and after retention trims."""
+    from pyspark.sql import functions as F
+
+    topic = engine.prepare_topic("latest_fast")
+    assert topic.latest() == 0
+    for i in range(3):
+        topic.publish_batch(
+            [(f"e{j % 2}", {"k": 10 * i + j}) for j in range(10)]
+        )
+        agg = topic.log().agg(F.coalesce(F.max("offset"), F.lit(0))).first()[0]
+        assert topic.latest() == agg == 10 * (i + 1)
+    topic.truncate_before(15)
+    agg = topic.log().agg(F.coalesce(F.max("offset"), F.lit(0))).first()[0]
+    assert topic.latest() == agg == 30
+
+
+def test_latest_falls_back_when_stats_missing(engine, tmp_path):
+    """A segment written WITHOUT parquet statistics (foreign writer)
+    must not break offset assignment: latest() falls back to the exact
+    Spark aggregate instead of trusting incomplete footers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    topic = engine.prepare_topic("latest_nostats")
+    topic.publish_batch([("e0", {"k": 1}), ("e1", {"k": 2})])
+    # foreign segment with offsets 3..5 and statistics disabled
+    tbl = pa.table(
+        {
+            "offset": pa.array([3, 4, 5], pa.int64()),
+            "ts": pa.array([0, 0, 0], pa.timestamp("us")),
+            "event": pa.array(["e0", "e1", "e0"]),
+            "message": pa.array(["{}", "{}", "{}"]),
+        }
+    )
+    import os
+
+    pq.write_table(
+        tbl,
+        os.path.join(topic.log_dir, "part-foreign.x.parquet"),
+        write_statistics=False,
+    )
+    assert topic.latest() == 5  # exact, via the Spark-agg fallback

@@ -110,6 +110,19 @@ def main() -> None:
             el if replay_filtered_s is None else min(replay_filtered_s, el)
         )
 
+    # the reference's core pattern: one acked message at a time
+    # (src/topic.js:25-40) — served by the r8 driver-side segment
+    # fast path; report the p50 over 20 singles on a warm topic
+    single = eng.prepare_topic("single")
+    single.publish("e0", {"k": -1})  # warm
+    lats = []
+    for i in range(20):
+        t0 = time.perf_counter()
+        single.publish("e1", {"k": i})
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    publish_single_p50_ms = round(lats[len(lats) // 2] * 1000, 2)
+
     # streaming drain: full backlog through a checkpointed query
     # (fresh checkpoint per rep — a reused one would drain nothing)
     drain_s = None
@@ -128,6 +141,7 @@ def main() -> None:
                 "n_messages": n,
                 "method": f"min-of-{REPS}, warmed plans, fresh topic per publish rep",
                 "publish_msgs_per_sec": round(n / publish_s),
+                "publish_single_p50_ms": publish_single_p50_ms,
                 "replay_msgs_per_sec": round(n / replay_s),
                 "replay_filtered_sec": round(replay_filtered_s, 3),
                 "stream_drain_msgs_per_sec": round(n / drain_s),
