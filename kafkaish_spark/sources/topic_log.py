@@ -352,6 +352,8 @@ class Topic:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if not payload:
+            return []  # nothing to write; never materialize junk segments
         with writer_lock(self.root):
             start = self.latest()
             now = _dt.datetime.now(_dt.timezone.utc)
@@ -372,10 +374,14 @@ class Topic:
                     self.log_dir, f"pub_date={now.date().isoformat()}"
                 )
                 os.makedirs(seg_dir, exist_ok=True)
+            # write hidden (dot-prefix: Spark's listing ignores it) then
+            # rename atomically, so a concurrent batch/stream reader can
+            # never see a segment with a half-written footer — the same
+            # visibility contract Spark's own commit protocol gives
             fn = f"part-00000-{uuid4().hex}.snappy.parquet"
-            pq.write_table(
-                tbl, os.path.join(seg_dir, fn), compression="snappy"
-            )
+            tmp = os.path.join(seg_dir, "." + fn + ".inprogress")
+            pq.write_table(tbl, tmp, compression="snappy")
+            os.replace(tmp, os.path.join(seg_dir, fn))
             if self.retention_bytes is not None:
                 self.enforce_retention(self.retention_bytes)
         ts_naive = now.replace(tzinfo=None)
