@@ -172,7 +172,17 @@ def q_audit_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
         contain = (
-            rcnt.join(lcnt.select("k").withColumn("_hit", F.lit(1)), "k", "left")
+            # non-null keys only: the oracle's COUNT(DISTINCT r.k) drops
+            # NULL while a groupBy includes the null-key group — filter
+            # both sides so the engines agree on null-keyed data too
+            rcnt.filter(F.col("k").isNotNull())
+            .join(
+                lcnt.select("k")
+                .filter(F.col("k").isNotNull())
+                .withColumn("_hit", F.lit(1)),
+                "k",
+                "left",
+            )
             .agg(
                 F.round(
                     F.count(F.when(F.col("_hit").isNotNull(), F.lit(1)))
