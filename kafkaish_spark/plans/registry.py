@@ -100,8 +100,9 @@ def _load_all() -> None:
     # round-7 waves
     import kafkaish_spark.operators.composites45  # noqa: F401
     import kafkaish_spark.operators.composites46  # noqa: F401
-    # round-8 wave
+    # round-8 waves
     import kafkaish_spark.operators.composites47  # noqa: F401
+    import kafkaish_spark.operators.composites48  # noqa: F401
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries

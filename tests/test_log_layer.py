@@ -917,3 +917,23 @@ def test_latest_falls_back_when_stats_missing(engine, tmp_path):
         write_statistics=False,
     )
     assert topic.latest() == 5  # exact, via the Spark-agg fallback
+
+
+def test_direct_publish_orphan_inprogress_is_invisible(engine):
+    """A crash between the hidden write and the rename leaves a
+    '.part-*.inprogress' file: readers (batch, footer stats, fsck)
+    must ignore it and the next publish must proceed normally."""
+    import os
+
+    topic = engine.prepare_topic("orphan")
+    topic.publish_batch([("e0", {"k": 1})])
+    # simulate the crash artifact
+    orphan = os.path.join(topic.log_dir, ".part-00000-dead.snappy.parquet.inprogress")
+    with open(orphan, "wb") as fh:
+        fh.write(b"half-written garbage, not a parquet footer")
+    assert topic.latest() == 1  # footer path skips the hidden file
+    assert topic.log().count() == 1  # Spark listing ignores dot-files
+    assert topic.fsck()["ok"]
+    topic.publish_batch([("e1", {"k": 2})])
+    assert topic.latest() == 2
+    assert [r["offset"] for r in topic.replay(since=0).collect()] == [1, 2]

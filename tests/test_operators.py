@@ -1257,3 +1257,52 @@ def test_levenshtein_fastss_completeness_fuzz(spark):
     assert got == truth, (
         f"missed={sorted(truth - got)[:5]} spurious={sorted(got - truth)[:5]}"
     )
+
+
+def test_salted_join_property_random_frames(spark):
+    """Hypothesis property: for ANY small fact/dim pair — including
+    duplicate fact rows (the hot-key shape), keys missing from either
+    side, and every how in (inner, left) — salted_join's multiset of
+    result rows equals the plain join's, at several salt widths."""
+    from collections import Counter
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafkaish_spark.functions.skew import salted_join
+
+    facts = st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-3, 3)), min_size=0, max_size=25
+    )
+    dims = st.lists(st.integers(0, 7), min_size=0, max_size=8, unique=True)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(fact_rows=facts, dim_keys=dims, salts=st.sampled_from([2, 5]),
+           how=st.sampled_from(["inner", "left"]))
+    def run(fact_rows, dim_keys, salts, how):
+        fact = spark.createDataFrame(
+            fact_rows or [(None, None)], "k int, v int"
+        )
+        if not fact_rows:
+            fact = fact.filter("k IS NOT NULL")  # empty frame, kept schema
+        dim = spark.createDataFrame(
+            [(k, k * 10) for k in dim_keys] or [(None, None)],
+            "k int, attr int",
+        )
+        if not dim_keys:
+            dim = dim.filter("k IS NOT NULL")
+        plain = Counter(
+            (r["k"], r["v"], r["attr"])
+            for r in fact.join(dim, "k", how).collect()
+        )
+        salted = Counter(
+            (r["k"], r["v"], r["attr"])
+            for r in salted_join(fact, dim, "k", how=how, salt_buckets=salts).collect()
+        )
+        assert salted == plain
+
+    run()
