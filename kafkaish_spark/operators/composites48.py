@@ -64,27 +64,13 @@ def _acf_oracle() -> str:
     """
 
 
-@query("q_ts_acf_daily_revenue", oracle=_acf_oracle())
-def q_ts_acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    """Sample autocorrelation of the daily order-revenue series at lags
-    1..{_ACF_MAX_LAG}: r_k = sum_t (x_t - xbar)(x_t+k - xbar) /
-    sum_t (x_t - xbar)^2 with the full-series mean and denominator
-    (the standard sample ACF) — the weekly-seasonality / persistence
-    diagnostic next to q_ts_mase and q_ts_exp_smoothing, and the
-    whiteness check run on forecast residuals.  Lags index the
-    date-ordered OBSERVED series (one row per distinct order date).
-
-    Exactness (the corr/regr recipe): the numerator expands to
-    sxy - xbar*ssum + cnt*xbar^2 over EXACT integer-cents moment sums
-    on decimal(38,0) (a plain double sum would be accumulation-order-
-    dependent and int64 products of daily totals overflow at scale),
-    combined in one fixed IEEE sequence identical in both engines.
-
-    Scale: ONE shuffle collapses orders to the daily frame (map-side
-    partial sums); every window/lead below runs on that BOUNDED
-    #days frame (the whitelisted collapsed-days class), and the 7
-    lags come from one window pass (7 leads -> explode) rather than 7
-    scans."""
+def _acf_components(spark: SparkSession, sf: str):
+    """Shared ACF pipeline: the collapsed daily-cents frame's global
+    moment row ``g`` (n, sx, s2 — exact decimal sums) and the per-lag
+    pair-moment frame ``a`` (lag, cnt, sxy, ssum) for lags
+    1..{_ACF_MAX_LAG}, all from ONE daily rollup + ONE window pass.
+    Used by q_ts_acf_daily_revenue (the per-lag r_k report) and
+    q_ts_ljung_box (the portmanteau fold over the same r_k)."""
     daily = (
         t(spark, sf, "orders")
         .groupBy(F.col("o_orderdate").alias("d"))
@@ -124,6 +110,13 @@ def q_ts_acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("x").cast("decimal(38,0)") + F.col("xk")).alias("ssum"),
         )
     )
+    return g, a
+
+
+def _acf_exprs():
+    """(numerator, denominator) Column expressions for r_k over the
+    joined (a x g) frame — built lazily (Columns need a live session,
+    so module import must not construct them)."""
     xbar = F.col("sx").cast("double") / F.col("n")
     num = (
         F.col("sxy").cast("double")
@@ -131,6 +124,32 @@ def q_ts_acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
         + F.col("cnt") * xbar * xbar
     )
     den = F.col("s2").cast("double") - F.col("n") * xbar * xbar
+    return num, den
+
+
+@query("q_ts_acf_daily_revenue", oracle=_acf_oracle())
+def q_ts_acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Sample autocorrelation of the daily order-revenue series at lags
+    1..{_ACF_MAX_LAG}: r_k = sum_t (x_t - xbar)(x_t+k - xbar) /
+    sum_t (x_t - xbar)^2 with the full-series mean and denominator
+    (the standard sample ACF) — the weekly-seasonality / persistence
+    diagnostic next to q_ts_mase and q_ts_exp_smoothing, and the
+    whiteness check run on forecast residuals.  Lags index the
+    date-ordered OBSERVED series (one row per distinct order date).
+
+    Exactness (the corr/regr recipe): the numerator expands to
+    sxy - xbar*ssum + cnt*xbar^2 over EXACT integer-cents moment sums
+    on decimal(38,0) (a plain double sum would be accumulation-order-
+    dependent and int64 products of daily totals overflow at scale),
+    combined in one fixed IEEE sequence identical in both engines.
+
+    Scale: ONE shuffle collapses orders to the daily frame (map-side
+    partial sums); every window/lead below runs on that BOUNDED
+    #days frame (the whitelisted collapsed-days class), and the 7
+    lags come from one window pass (7 leads -> explode) rather than 7
+    scans."""
+    g, a = _acf_components(spark, sf)
+    num, den = _acf_exprs()
     return a.crossJoin(F.broadcast(g)).select(
         F.col("lag").cast("long").alias("lag"),
         F.col("cnt").cast("long").alias("n_pairs"),
@@ -295,4 +314,88 @@ def q_sketch_kmv_setops(spark: SparkSession, sf: str) -> DataFrame:
             * est("c_u", "hk_u"),
             6,
         ).alias("est_intersection"),
+    )
+
+
+def _ljung_box_oracle() -> str:
+    pair_selects = " UNION ALL ".join(
+        f"SELECT {k} AS lag, x, lead(x, {k}) OVER (ORDER BY d) AS xk FROM daily"
+        for k in range(1, _ACF_MAX_LAG + 1)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY 1),
+    g AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS s2
+      FROM daily),
+    p AS ({pair_selects}),
+    a AS (
+      SELECT lag, COUNT(*) AS cnt,
+             SUM(CAST(x AS DECIMAL(38,0)) * xk) AS sxy,
+             SUM(CAST(x AS DECIMAL(38,0)) + xk) AS ssum
+      FROM p WHERE xk IS NOT NULL GROUP BY lag),
+    r AS (
+      SELECT lag,
+             (CAST(sxy AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / n) * CAST(ssum AS DOUBLE)
+              + cnt * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+             / (CAST(s2 AS DOUBLE)
+                - n * (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n))
+               AS rk,
+             n
+      FROM a, g)
+    SELECT CAST(ANY_VALUE(n) AS BIGINT) AS n_obs,
+           CAST({_ACF_MAX_LAG} AS BIGINT) AS max_lag,
+           round(ANY_VALUE(n) * (ANY_VALUE(n) + 2)
+                 * list_reduce(list_prepend(0.0,
+                     list(rk * rk / (n - lag) ORDER BY lag)),
+                   (acc, v) -> acc + v),
+                 6) AS q_stat
+    FROM r
+    """
+
+
+@query("q_ts_ljung_box", oracle=_ljung_box_oracle())
+def q_ts_ljung_box(spark: SparkSession, sf: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic over the same daily-revenue ACF:
+    Q = n(n+2) * sum_k r_k^2 / (n-k) for k = 1..{_ACF_MAX_LAG} — the
+    standard "is this series white noise?" test (compare to a
+    chi-square with {_ACF_MAX_LAG} df), run on forecast residuals or
+    on the raw series as a seasonality detector.  Shares the exact
+    moment pipeline with q_ts_acf_daily_revenue: each r_k comes from
+    decimal(38,0) integer-cents sums combined in one fixed IEEE
+    sequence, and the k-term sum is an ORDERED fold by lag (house
+    ordered-fold rule — a 7-term double sum must not depend on
+    aggregation order).
+
+    Scale: identical to the ACF — one shuffle to the daily frame,
+    window math on the bounded collapsed-days frame, the fold over
+    {_ACF_MAX_LAG} already-aggregated rows."""
+    g, a = _acf_components(spark, sf)
+    num, den = _acf_exprs()
+    terms = a.crossJoin(F.broadcast(g)).select(
+        "lag",
+        "n",
+        ((num / den) * (num / den)
+         / (F.col("n") - F.col("lag"))).alias("term"),
+    )
+    folded = terms.agg(
+        F.first("n").alias("n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("lag"), F.col("term")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["term"],
+        ).alias("qsum"),
+    )
+    return folded.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.lit(_ACF_MAX_LAG).cast("long").alias("max_lag"),
+        F.round(
+            F.col("n") * (F.col("n") + F.lit(2)) * F.col("qsum"), 6
+        ).alias("q_stat"),
     )

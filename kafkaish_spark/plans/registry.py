@@ -103,6 +103,7 @@ def _load_all() -> None:
     # round-8 waves
     import kafkaish_spark.operators.composites47  # noqa: F401
     import kafkaish_spark.operators.composites48  # noqa: F401
+    import kafkaish_spark.operators.composites49  # noqa: F401
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries

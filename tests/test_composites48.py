@@ -95,3 +95,36 @@ def test_kmv_matches_replay_and_calibrates(spark):
             assert e == float(x)  # degenerate branch: sketch IS the set
         else:
             assert math.isfinite(e) and abs(e / x - 1) < 0.5
+
+
+def test_ljung_box_matches_replay(spark):
+    from kafkaish_spark.operators.composites48 import (
+        _ACF_MAX_LAG,
+        q_ts_acf_daily_revenue,
+        q_ts_ljung_box,
+    )
+
+    # derive from the ACF query's own (unrounded replay of) r_k values
+    daily = duckdb.sql(
+        f"SELECT o_orderdate, SUM(CAST(round(o_totalprice*100) AS BIGINT)) "
+        f"FROM '{SF}/orders.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    xs = [x for _, x in daily]
+    n = len(xs)
+    xbar = sum(xs) / n
+    den = sum(v * v for v in xs) - n * xbar * xbar
+    q = 0.0
+    for k in range(1, _ACF_MAX_LAG + 1):
+        sxy = sum(xs[t] * xs[t + k] for t in range(n - k))
+        ssum = sum(xs[t] + xs[t + k] for t in range(n - k))
+        rk = (sxy - xbar * ssum + (n - k) * xbar * xbar) / den
+        q = q + rk * rk / (n - k)
+    row = q_ts_ljung_box(spark, SF).collect()[0]
+    assert row["n_obs"] == n
+    assert row["max_lag"] == _ACF_MAX_LAG
+    assert row["q_stat"] == round(n * (n + 2) * q, 6)
+    assert row["q_stat"] >= 0
+    # consistency with the per-lag report
+    acfs = {r["lag"]: r["acf"] for r in q_ts_acf_daily_revenue(spark, SF).collect()}
+    approx = n * (n + 2) * sum(acfs[k] ** 2 / (n - k) for k in acfs)
+    assert abs(approx - row["q_stat"]) < 1e-3  # rounded-r_k reconstruction

@@ -370,6 +370,7 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q_events_markov_transitions": "per-type windows over the transition matrix",
     "q_ts_mase": "per-type windows over collapsed days",
     "q_ts_acf_daily_revenue": "lead windows over the collapsed daily revenue frame",
+    "q_ts_ljung_box": "same collapsed-days lead windows as q_ts_acf_daily_revenue",
     "q_ts_exp_smoothing": "per-type windows over collapsed days",
     "q_events_rate_anomaly": "per-type windows over collapsed hours",
     "q_events_ohlc_hourly": "per-type windows over hourly buckets",
