@@ -62,6 +62,32 @@ FROM d
 """
 
 
+def _arm_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-arm exact cents moments (n, sum, sum-of-squares on
+    decimal(38,0)) in ONE conditional-aggregation scan of orders —
+    shared by the Welch t-test and the power/MDE planner."""
+    o = t(spark, sf, "orders").select(
+        (F.col("o_custkey") % 2).alias("arm"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("x"),
+    )
+
+    def arm(v, a):
+        return F.when(F.col("arm") == a, v)
+
+    return o.agg(
+        F.count(arm(F.lit(1), 0)).alias("n0"),
+        F.count(arm(F.lit(1), 1)).alias("n1"),
+        F.sum(arm(F.col("x"), 0)).alias("sx0"),
+        F.sum(arm(F.col("x"), 1)).alias("sx1"),
+        F.sum(arm(F.col("x").cast("decimal(38,0)") * F.col("x"), 0)).alias(
+            "s20"
+        ),
+        F.sum(arm(F.col("x").cast("decimal(38,0)") * F.col("x"), 1)).alias(
+            "s21"
+        ),
+    )
+
+
 @query("q_ab_welch_ttest", oracle=_WELCH_ORACLE)
 def q_ab_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     """Welch's unequal-variance t-test of order value between the two
@@ -78,26 +104,7 @@ def q_ab_welch_ttest(spark: SparkSession, sf: str) -> DataFrame:
     in the same IEEE order in both engines.  Scale: ONE linear scan,
     conditional partial aggregates, a single 1-row finalize — no
     join, no shuffle wider than the 1-row merge."""
-    o = t(spark, sf, "orders").select(
-        (F.col("o_custkey") % 2).alias("arm"),
-        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("x"),
-    )
-
-    def arm(v, a):
-        return F.when(F.col("arm") == a, v)
-
-    m = o.agg(
-        F.count(arm(F.lit(1), 0)).alias("n0"),
-        F.count(arm(F.lit(1), 1)).alias("n1"),
-        F.sum(arm(F.col("x"), 0)).alias("sx0"),
-        F.sum(arm(F.col("x"), 1)).alias("sx1"),
-        F.sum(arm(F.col("x").cast("decimal(38,0)") * F.col("x"), 0)).alias(
-            "s20"
-        ),
-        F.sum(arm(F.col("x").cast("decimal(38,0)") * F.col("x"), 1)).alias(
-            "s21"
-        ),
-    )
+    m = _arm_moments(spark, sf)
     m0 = F.col("sx0").cast("double") / F.col("n0")
     m1 = F.col("sx1").cast("double") / F.col("n1")
     v0 = (F.col("s20").cast("double") - F.col("n0") * m0 * m0) / (
@@ -200,4 +207,86 @@ def q_ab_chi2_proportions(spark: SparkSession, sf: str) -> DataFrame:
             / denom,
             6,
         ).alias("chi2"),
+    )
+
+
+# two-sided alpha = 0.05, power = 0.80, MDE = 2% of the pooled mean
+_Z_ALPHA = "1.959963984540054"
+_Z_BETA = "0.8416212335729143"
+_MDE_FRAC = "0.02"
+
+_POWER_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey % 2 AS arm,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS x
+  FROM orders),
+m AS (
+  SELECT COUNT(*) FILTER (arm = 0) AS n0,
+         COUNT(*) FILTER (arm = 1) AS n1,
+         SUM(x) FILTER (arm = 0) AS sx0,
+         SUM(x) FILTER (arm = 1) AS sx1,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) FILTER (arm = 0) AS s20,
+         SUM(CAST(x AS DECIMAL(38,0)) * x) FILTER (arm = 1) AS s21
+  FROM o),
+d AS (
+  SELECT n0, n1,
+         CAST(sx0 AS DOUBLE) / n0 AS m0,
+         CAST(sx1 AS DOUBLE) / n1 AS m1,
+         (CAST(sx0 AS DOUBLE) + sx1) / (n0 + n1) AS mp,
+         ((CAST(s20 AS DOUBLE) - n0 * (CAST(sx0 AS DOUBLE) / n0)
+             * (CAST(sx0 AS DOUBLE) / n0))
+          + (CAST(s21 AS DOUBLE) - n1 * (CAST(sx1 AS DOUBLE) / n1)
+             * (CAST(sx1 AS DOUBLE) / n1))) / (n0 + n1 - 2) AS vp
+  FROM m)
+SELECT CAST(n0 + n1 AS BIGINT) AS n_obs,
+       round(mp, 6) AS pooled_mean_cents,
+       round(sqrt(vp), 6) AS pooled_sd_cents,
+       round((m0 - m1) / sqrt(vp), 6) AS cohens_d,
+       round({_MDE_FRAC} * mp, 6) AS mde_cents,
+       CAST(CEIL(2.0 * ({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})
+                 * vp / (({_MDE_FRAC} * mp) * ({_MDE_FRAC} * mp)))
+            AS BIGINT) AS n_per_arm_required
+FROM d
+"""
+
+
+@query("q_ab_power_mde", oracle=_POWER_ORACLE)
+def q_ab_power_mde(spark: SparkSession, sf: str) -> DataFrame:
+    """A/B power analysis from the SAME one-scan moments as the Welch
+    test: the pooled mean/variance of order value, the observed effect
+    as Cohen's d, the minimum detectable effect at {_MDE_FRAC} of the
+    pooled mean, and the required n PER ARM for two-sided alpha = 0.05
+    / power = 0.80 via the normal-approximation formula
+    n = 2 (z_a + z_b)^2 sigma^2 / delta^2 — the sizing arithmetic run
+    BEFORE an experiment (and the sanity check after: is the observed
+    n anywhere near powered for the effect being claimed?).
+
+    Exactness: z quantiles are double literals identical in both
+    engines; pooled variance from exact decimal(38,0) moments by the
+    (S2 - n*mean^2) identity summed across arms; every derived number
+    is one fixed IEEE composition.  Scale: ONE linear scan, single
+    1-row finalize."""
+    m = _arm_moments(spark, sf)
+    m0 = F.col("sx0").cast("double") / F.col("n0")
+    m1 = F.col("sx1").cast("double") / F.col("n1")
+    mp = (F.col("sx0").cast("double") + F.col("sx1")) / (
+        F.col("n0") + F.col("n1")
+    )
+    vp = (
+        (F.col("s20").cast("double") - F.col("n0") * m0 * m0)
+        + (F.col("s21").cast("double") - F.col("n1") * m1 * m1)
+    ) / (F.col("n0") + F.col("n1") - 2)
+    z2 = (F.lit(float(_Z_ALPHA)) + F.lit(float(_Z_BETA))) * (
+        F.lit(float(_Z_ALPHA)) + F.lit(float(_Z_BETA))
+    )
+    mde = F.lit(float(_MDE_FRAC)) * mp
+    return m.select(
+        (F.col("n0") + F.col("n1")).cast("long").alias("n_obs"),
+        F.round(mp, 6).alias("pooled_mean_cents"),
+        F.round(F.sqrt(vp), 6).alias("pooled_sd_cents"),
+        F.round((m0 - m1) / F.sqrt(vp), 6).alias("cohens_d"),
+        F.round(mde, 6).alias("mde_cents"),
+        F.ceil(F.lit(2.0) * z2 * vp / (mde * mde))
+        .cast("long")
+        .alias("n_per_arm_required"),
     )

@@ -315,3 +315,33 @@ def q_log_mirror_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     src_topic.publish_df(ev)
     src_topic.mirror_to(dst_topic)
     return dst_topic.replay(since=0).select("offset", "event", "message")
+
+
+@query("q_log_topic_stats", oracle=None)
+def q_log_topic_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine.describe_topics as data: publish two topics of different
+    sizes (300 / 200 events) into a fresh root, ack one subscriber on
+    the first, and return the engine-wide system table (one row per
+    topic: files, rows, bytes, offset range, subscriber count — all
+    from parquet footer stats, no per-topic Spark job).  Rows-only
+    check (temp paths aren't SQL-visible); the per-column invariants
+    are pinned by tests/test_log_layer.py::test_describe_topics."""
+    from kafkaish_spark.sources.topic_log import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="kafkaish_stats_"))
+    ev = t(spark, sf, "events").select(
+        F.col("event_type").alias("event"),
+        F.col("props").alias("message"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+    a = eng.prepare_topic("alpha")
+    a.publish_df(ev.filter(F.col("event_id") <= 300).drop("event_id"))
+    a.ack("w1", 5)
+    b = eng.prepare_topic("beta")
+    b.publish_df(
+        ev.filter(
+            (F.col("event_id") > 300) & (F.col("event_id") <= 500)
+        ).drop("event_id")
+    )
+    return eng.describe_topics()

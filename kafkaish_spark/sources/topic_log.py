@@ -1335,6 +1335,49 @@ class Engine:
             self.prepare_topic(name).log().createOrReplaceTempView(view)
         return self.spark.sql(statement)
 
+    def describe_topics(self) -> DataFrame:
+        """Engine-wide system table — one row per topic with
+        footer-stat economics only (NO Spark job per topic): file and
+        row counts, byte size, the live offset range, and the durable
+        subscriber count.  The ops dashboard for a topic root: hot
+        topics (bytes), fragmentation (n_files vs n_rows — compaction
+        candidates), retention head (min_offset > 1 = trimmed), and
+        fan-out (n_subscribers).  Kafka analog:
+        ``kafka-topics --describe`` + the log-dir size report.
+
+        Cost: one directory walk + one ranged footer read per segment
+        (the retention/fsck/latest machinery) — safe to poll."""
+        rows = []
+        for name in self.topics():
+            topic = self.prepare_topic(name)
+            segs = [s for s in topic._segment_stats() if s["num_rows"]]
+            offs = [s for s in segs if s["min_off"] is not None]
+            n_subs = sum(
+                1
+                for fn in (
+                    os.listdir(topic.sub_dir)
+                    if os.path.isdir(topic.sub_dir)
+                    else []
+                )
+                if fn.endswith(".ack.json")
+            )
+            rows.append(
+                (
+                    name,
+                    len(segs),
+                    int(sum(s["num_rows"] for s in segs)),
+                    int(sum(s["size"] for s in segs)),
+                    min((s["min_off"] for s in offs), default=None),
+                    max((s["max_off"] for s in offs), default=None),
+                    n_subs,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "topic string, n_files long, n_rows long, bytes long, "
+            "min_offset long, max_offset long, n_subscribers long",
+        )
+
     def topics(self) -> list[str]:
         """All topics under this root, prepared or not (the reference
         exposes no listing; Mongo's collection list is the analog)."""

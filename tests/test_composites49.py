@@ -67,3 +67,32 @@ def test_chi2_proportions_matches_replay(spark):
     assert row["rate1"] == round(c / (c + d), 6)
     assert row["chi2"] == round(chi2, 6)
     assert row["chi2"] >= 0
+
+
+def test_power_mde_matches_replay(spark):
+    import math as _m
+
+    from kafkaish_spark.operators.composites49 import q_ab_power_mde
+
+    rows = _orders()
+    xs = {0: [], 1: []}
+    for arm, x, _p in rows:
+        xs[arm].append(x)
+    n0, n1 = len(xs[0]), len(xs[1])
+    m0, m1 = sum(xs[0]) / n0, sum(xs[1]) / n1
+    mp = (sum(xs[0]) + sum(xs[1])) / (n0 + n1)
+    vp = (
+        (sum(v * v for v in xs[0]) - n0 * m0 * m0)
+        + (sum(v * v for v in xs[1]) - n1 * m1 * m1)
+    ) / (n0 + n1 - 2)
+    za, zb = 1.959963984540054, 0.8416212335729143
+    mde = 0.02 * mp
+    need = _m.ceil(2.0 * (za + zb) * (za + zb) * vp / (mde * mde))
+    row = q_ab_power_mde(spark, SF).collect()[0]
+    assert row["n_obs"] == n0 + n1
+    assert row["pooled_mean_cents"] == round(mp, 6)
+    assert row["pooled_sd_cents"] == round(_m.sqrt(vp), 6)
+    assert row["cohens_d"] == round((m0 - m1) / _m.sqrt(vp), 6)
+    assert row["mde_cents"] == round(mde, 6)
+    assert row["n_per_arm_required"] == need
+    assert need > 0

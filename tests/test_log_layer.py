@@ -937,3 +937,31 @@ def test_direct_publish_orphan_inprogress_is_invisible(engine):
     topic.publish_batch([("e1", {"k": 2})])
     assert topic.latest() == 2
     assert [r["offset"] for r in topic.replay(since=0).collect()] == [1, 2]
+
+
+def test_describe_topics(engine):
+    """Engine.describe_topics: footer-stat system table — row/byte/
+    offset/subscriber columns agree with ground truth across flat,
+    multi-segment, trimmed, and subscriber-bearing topics."""
+    t1 = engine.prepare_topic("dt_a")
+    for i in range(3):
+        t1.publish_batch([("e0", {"k": 10 * i + j}) for j in range(10)])
+    t1.ack("w1", 7)
+    t1.ack("w2", 30)
+    t2 = engine.prepare_topic("dt_b")
+    t2.publish_batch([("e1", {"k": 1})])
+    t2.truncate_before(1)  # still 1 row (truncate keeps >= offset 1)
+    rows = {r["topic"]: r for r in engine.describe_topics().collect()}
+    a, b = rows["dt_a"], rows["dt_b"]
+    assert a["n_rows"] == 30 and a["n_files"] == 3
+    assert (a["min_offset"], a["max_offset"]) == (1, 30)
+    assert a["n_subscribers"] == 2
+    assert a["bytes"] > 0
+    assert b["n_rows"] == 1 and b["n_subscribers"] == 0
+    # trim a whole segment and see the head move
+    for i in range(2):
+        t2.publish_batch([("e1", {"k": 2 + i}) for _ in range(5)])
+    t2.truncate_before(7)
+    rows = {r["topic"]: r for r in engine.describe_topics().collect()}
+    assert rows["dt_b"]["min_offset"] == 7
+    assert rows["dt_b"]["max_offset"] == 11
