@@ -45,7 +45,26 @@ def salted_join(
     fact side never shuffles), so a demonstration or a pipeline that
     knows its dim will exceed the broadcast threshold at production
     scale declares the shuffle strategy instead of letting a small test
-    sf broadcast the problem away."""
+    sf broadcast the problem away.
+
+    Supported ``how``: fact-preserving joins only (inner, left/
+    left_outer, left_semi, left_anti) — each fact row carries exactly
+    ONE salt, so these are equivalent to the plain join (property-
+    tested).  right/full would keep every unmatched DIM row once per
+    salt replica (salt_buckets duplicates), so they are rejected
+    loudly instead of returning silently wrong results."""
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "leftsemi", "left_semi",
+               "anti", "leftanti", "left_anti"}
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in allowed
+    }:
+        raise ValueError(
+            f"salted_join: how={how!r} is not fact-preserving — the "
+            f"exploded dim side would duplicate unmatched rows "
+            f"{salt_buckets}x; use one of {sorted(allowed)} or a plain "
+            "join for right/full outer"
+        )
     fact_salted = fact.withColumn(
         _SALT,
         F.pmod(

@@ -149,11 +149,17 @@ def q_audit_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     counts exactly which).
 
     Scale: per edge, two hash aggregations (map-side partial counts,
-    shuffle carries one row per distinct key) and a join of the two
-    KEY-COUNT frames — never the facts themselves; the product-sum
-    collapses to one row.  At 100 TB this is the cheap rehearsal of
-    the expensive join.  Exactness: all counts exact; containment is
-    one IEEE division of exact ints."""
+    shuffle carries one row per distinct key), then ONE full-outer
+    join of the two KEY-COUNT frames from which every output number is
+    aggregated — so each base table is scanned exactly once per edge
+    (review r8: the earlier shape derived side totals and containment
+    from separate consumers, and the isnotnull pushdown each join
+    added specialized their scans differently, defeating exchange
+    reuse; a full-outer join filters no keys, so the count frames are
+    consumed once, unspecialized).  Exactness: all counts exact;
+    containment is one IEEE division of exact ints.  Null keys: a NULL
+    key never equi-joins (est), is excluded from keys_*/containment
+    (COUNT DISTINCT semantics), but its rows still count in n_*."""
     outs = []
     for label, lt, lk, rt, rk in _EDGES:
         ldf, rdf = t(spark, sf, lt), t(spark, sf, rt)
@@ -163,56 +169,34 @@ def q_audit_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
         rcnt = rdf.groupBy(F.col(rk).alias("k")).agg(
             F.count(F.lit(1)).alias("fr")
         )
-        est = (
-            lcnt.join(rcnt, "k")
-            .agg(
-                F.coalesce(F.sum(F.col("fl") * F.col("fr")), F.lit(0))
-                .cast("long")
-                .alias("est_join_rows")
-            )
+        both = lcnt.join(rcnt, "k", "full_outer")
+        k_ok = F.col("k").isNotNull()
+        stats = both.agg(
+            F.sum("fl").cast("long").alias("n_left"),
+            F.sum("fr").cast("long").alias("n_right"),
+            F.count(F.when(k_ok & F.col("fl").isNotNull(), F.lit(1)))
+            .cast("long")
+            .alias("keys_left"),
+            F.count(F.when(k_ok & F.col("fr").isNotNull(), F.lit(1)))
+            .cast("long")
+            .alias("keys_right"),
+            F.coalesce(F.sum(F.col("fl") * F.col("fr")), F.lit(0))
+            .cast("long")
+            .alias("est_join_rows"),
+            F.round(
+                F.count(
+                    F.when(
+                        k_ok
+                        & F.col("fl").isNotNull()
+                        & F.col("fr").isNotNull(),
+                        F.lit(1),
+                    )
+                )
+                / F.count(F.when(k_ok & F.col("fr").isNotNull(), F.lit(1))),
+                6,
+            ).alias("containment"),
         )
-        contain = (
-            # non-null keys only: the oracle's COUNT(DISTINCT r.k) drops
-            # NULL while a groupBy includes the null-key group — filter
-            # both sides so the engines agree on null-keyed data too
-            rcnt.filter(F.col("k").isNotNull())
-            .join(
-                lcnt.select("k")
-                .filter(F.col("k").isNotNull())
-                .withColumn("_hit", F.lit(1)),
-                "k",
-                "left",
-            )
-            .agg(
-                F.round(
-                    F.count(F.when(F.col("_hit").isNotNull(), F.lit(1)))
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias("containment")
-            )
-        )
-        sides = ldf.agg(
-            F.count(F.lit(1)).cast("long").alias("n_left"),
-            F.countDistinct(F.col(lk)).cast("long").alias("keys_left"),
-        ).crossJoin(
-            rdf.agg(
-                F.count(F.lit(1)).cast("long").alias("n_right"),
-                F.countDistinct(F.col(rk)).cast("long").alias("keys_right"),
-            )
-        )
-        outs.append(
-            sides.crossJoin(est)
-            .crossJoin(contain)
-            .select(
-                F.lit(label).alias("edge"),
-                "n_left",
-                "n_right",
-                "keys_left",
-                "keys_right",
-                "est_join_rows",
-                "containment",
-            )
-        )
+        outs.append(stats.select(F.lit(label).alias("edge"), "*"))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

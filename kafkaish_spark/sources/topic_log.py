@@ -384,7 +384,10 @@ class Topic:
             os.replace(tmp, os.path.join(seg_dir, fn))
             if self.retention_bytes is not None:
                 self.enforce_retention(self.retention_bytes)
-        ts_naive = now.replace(tzinfo=None)
+        # DRIVER-LOCAL naive, like log().collect() and the >10k Spark
+        # path return — a naive UTC value here would seek 4-5h wrong
+        # through offset_for_time on any non-UTC driver (review r8)
+        ts_naive = now.astimezone().replace(tzinfo=None)
         return [
             Row(offset=start + i + 1, ts=ts_naive, event=e, message=m)
             for i, (e, m) in enumerate(payload)
@@ -645,9 +648,14 @@ class Topic:
                 cols = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
                 min_off = max_off = None
                 max_ts_us = None
+                off_complete = ts_complete = True
                 for rg in range(meta.num_row_groups):
+                    if meta.row_group(rg).num_rows == 0:
+                        continue
                     s_off = meta.row_group(rg).column(cols["offset"]).statistics
-                    if s_off is not None:
+                    if s_off is None or s_off.min is None or s_off.max is None:
+                        off_complete = False
+                    else:
                         min_off = s_off.min if min_off is None else min(min_off, s_off.min)
                         max_off = s_off.max if max_off is None else max(max_off, s_off.max)
                     s_ts = meta.row_group(rg).column(cols["ts"]).statistics
@@ -659,6 +667,18 @@ class Topic:
                             else int(ts)
                         )
                         max_ts_us = us if max_ts_us is None else max(max_ts_us, us)
+                    else:
+                        ts_complete = False
+                # a range covering only SOME row groups is worse than no
+                # range: a partial max_off would understate the tail (so
+                # latest() could reassign live offsets) and a partial
+                # max_ts_us would wrongly PRUNE a segment whose newest
+                # rows sit in the stats-less group (review r8).  None =
+                # "unknown", which every consumer treats conservatively.
+                if not off_complete:
+                    min_off = max_off = None
+                if not ts_complete:
+                    max_ts_us = None
                 out.append(
                     {
                         "path": path,
@@ -1210,13 +1230,26 @@ class Topic:
         ``dst.fsck()`` verifies density/contiguity after).  A
         retention-trimmed source mirrors from its surviving first
         offset, which fsck treats as the legal trimmed-prefix shape.
-        Runs under ``dst``'s writer lock; the source is only read.
+        Runs under BOTH writer locks — the destination's (we append)
+        and the SOURCE's (a mirror that lists files mid-commit of a
+        concurrent publish could copy offsets 101-150 but miss 51-100,
+        and the ``> dst.latest()`` watermark would then skip the hole
+        FOREVER; a concurrent retention sweep could delete a listed
+        file mid-copy).  Locks are acquired in path order so two
+        opposite-direction mirrors cannot deadlock.
 
         Scale: one pushed-down scan of the source tail (offset
         predicate prunes segments on footer stats) and one parquet
         append — no shuffle, no offset rewrite.  Returns the number of
         rows mirrored."""
-        with writer_lock(dst.root, what="mirror"):
+        if os.path.abspath(dst.root) == os.path.abspath(self.root):
+            raise ValueError("mirror_to: destination is the source topic")
+        first, second = sorted(
+            (self.root, dst.root), key=os.path.abspath
+        )
+        with writer_lock(first, what="mirror"), writer_lock(
+            second, what="mirror"
+        ):
             tail = dst.latest()
             pending = (
                 self.log()

@@ -965,3 +965,34 @@ def test_describe_topics(engine):
     rows = {r["topic"]: r for r in engine.describe_topics().collect()}
     assert rows["dt_b"]["min_offset"] == 7
     assert rows["dt_b"]["max_offset"] == 11
+
+
+def test_direct_publish_ts_round_trips_with_collect_and_seek(engine):
+    """The direct path's returned Row.ts must be the SAME driver-local
+    naive datetime log().collect() hands back (review r8: a naive-UTC
+    return seeks hours wrong through offset_for_time on any non-UTC
+    driver), and offset_for_time(returned ts) must find the row."""
+    topic = engine.prepare_topic("ts_rt")
+    rows = topic.publish_batch([("e0", {"k": 1}), ("e0", {"k": 2})])
+    collected = {r["offset"]: r["ts"] for r in topic.log().collect()}
+    for r in rows:
+        assert r["ts"] == collected[r["offset"]]
+    # a collected/returned ts seeks to itself (the offset_for_time
+    # naive-datetime contract)
+    assert topic.offset_for_time(rows[0]["ts"]) == rows[0]["offset"]
+
+
+def test_mirror_to_rejects_self_and_survives_lock_ordering(engine):
+    import pytest as _pt
+
+    src = engine.prepare_topic("mself")
+    src.publish_batch([("e0", {"k": 1})])
+    with _pt.raises(ValueError, match="destination is the source"):
+        src.mirror_to(src)
+    # opposite-direction mirrors acquire locks in path order: run one
+    # after the other to prove both orderings acquire cleanly
+    other = engine.prepare_topic("mself2")
+    assert src.mirror_to(other) == 1
+    other.publish_batch([("e1", {"k": 2})])
+    assert other.mirror_to(src) == 1
+    assert src.latest() == other.latest() == 2

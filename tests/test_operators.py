@@ -1306,3 +1306,20 @@ def test_salted_join_property_random_frames(spark):
         assert salted == plain
 
     run()
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    """right/full outer through a salted join would duplicate every
+    unmatched dim row salt_buckets times — must fail loudly."""
+    import pytest as _pt
+
+    from kafkaish_spark.functions.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 1)], "k int, v int")
+    dim = spark.createDataFrame([(1, 10), (2, 20)], "k int, attr int")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with _pt.raises(ValueError, match="not fact-preserving"):
+            salted_join(fact, dim, "k", how=how)
+    # fact-preserving forms still work
+    assert salted_join(fact, dim, "k", how="left_semi").count() == 1
+    assert salted_join(fact, dim, "k", how="left_anti").count() == 0

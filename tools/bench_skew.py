@@ -29,10 +29,12 @@ rule.  That is the deeper version of "AQE can't always save you":
 any join whose input is already partitioned by an upstream aggregate,
 bucketed scan, or stream falls outside the rule, while salting works
 on all of them.  Recorded numbers at sf0.1 x20 amplification (12M fact
-rows, 75% on one key): plain 4.32 s / aqe 4.14 s (no split — noise) /
-salted 2.69 s (1.6x; the gap is the hot reducer's serial sort+merge,
-and it widens with scale because the hot task grows linearly while the
-salted tasks stay ~1/16th).
+rows, 75% on one key), measured with per-variant conf RESET (the first
+run let aqe_skew's lowered advisory sizes leak into the other
+variants): plain 4.48 s / aqe 4.54 s (no split — noise) / salted
+3.31 s (1.35x; the gap is the hot reducer's serial sort+merge, and it
+widens with scale because the hot task grows linearly while the salted
+tasks stay ~1/16th).
 
 Usage: PYTHONPATH=/root/repo python tools/bench_skew.py
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
@@ -144,20 +146,33 @@ def main() -> None:
         for cs in confs.values()
         for k in cs
     }
+
+    def apply_confs(name: str) -> None:
+        # restore the FULL baseline first, then apply only this
+        # variant's keys: without the restore, aqe_skew's lowered
+        # advisory/threshold values leak into every later plain and
+        # salted run (review r8 — the first recorded numbers measured
+        # that contaminated configuration)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for k, v in confs[name].items():
+            spark.conf.set(k, v)
+
     builders = {"plain": plain, "aqe_skew": aqe_skew, "salted": salted}
 
     # warm-up: compile each variant's codegen once, untimed
     for name, build in builders.items():
-        for k, v in confs[name].items():
-            spark.conf.set(k, v)
+        apply_confs(name)
         build().write.mode("overwrite").format("noop").save()
 
     best: dict[str, float] = {}
     results: dict[str, list] = {}
     for _ in range(REPS):
         for name, build in builders.items():
-            for k, v in confs[name].items():
-                spark.conf.set(k, v)
+            apply_confs(name)
             t0 = time.perf_counter()
             df = build()
             df.write.mode("overwrite").format("noop").save()
