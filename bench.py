@@ -115,23 +115,39 @@ def main() -> None:
     # box shares a host with co-tenant VMs and single-shot timings for
     # UNCHANGED queries vary by 1.5-2x run to run (measured; see
     # BASELINE.md "Noise"), so min-of-N is the standard way to read
-    # the code's cost rather than the neighbors'.  Queries with module
-    # caches (the dedup family's shared shingle frame) report their
-    # steady-state path, which is the documented engine design.
-    REPS = 2
-    timings: dict[str, float] = {}
-    plan_changed: dict[str, bool | None] = {}
-    for name, spec in sorted(specs.items()):
-        best = None
-        for _ in range(REPS):
+    # the code's cost rather than the neighbors'.  Reps are
+    # INTERLEAVED (full pass over every query per rep, order rotated
+    # each pass) rather than per-query back-to-back: a co-tenant burst
+    # then taxes each query in at most one rep instead of all reps of
+    # whichever query it straddles — the same methodology that
+    # falsified the r7 "publish drift" (tools/profile_publish.py;
+    # r8 verdict item 2 asked for it here).  The per-query relative
+    # spread across reps ((max-min)/min) is reported as noise_band so
+    # cross-round deltas inside the band are mechanically dismissible.
+    # Queries with module caches (the dedup family's shared shingle
+    # frame) report their steady-state path, which is the documented
+    # engine design.
+    REPS = 3
+    names = sorted(specs)
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for rep in range(REPS):
+        shift = (rep * 7) % max(len(names), 1)  # rotate pass order
+        for name in names[shift:] + names[:shift]:
+            spec = specs[name]
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             # one full materialization of every row and column, no
             # second pass and no driver-side collect: the noop sink
             df.write.mode("overwrite").format("noop").save()
-            el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
+            samples[name].append(time.perf_counter() - t0)
+
+    timings: dict[str, float] = {}
+    noise_band: dict[str, float] = {}
+    plan_changed: dict[str, bool | None] = {}
+    for name, spec in sorted(specs.items()):
+        best = min(samples[name])
         timings[name] = round(best, 4)
+        noise_band[name] = round((max(samples[name]) - best) / best, 3)
         try:
             plan_changed[name] = _plan_changed(
                 name, _normalized_plan(spec.fn(spark, sf_dir))
@@ -141,6 +157,7 @@ def main() -> None:
             plan_changed[name] = None
         print(
             f"# {name}: {timings[name]:.3f}s"
+            f" band=+{noise_band[name]:.0%}"
             f" plan_changed={plan_changed[name]}",
             file=sys.stderr,
         )
@@ -154,12 +171,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # provenance: each query timed REPS times, min reported
-                # (co-tenant noise; see BASELINE.md "Noise"); n_queries
-                # makes cross-round totals self-describing (the set
-                # grew 15 -> 17 in round 3)
-                "method": f"min-of-{REPS}",
+                # provenance: each query timed REPS times in
+                # interleaved rotated passes, min reported (co-tenant
+                # noise; see BASELINE.md "Noise"); n_queries makes
+                # cross-round totals self-describing (the set grew
+                # 15 -> 17 in round 3)
+                "method": f"min-of-{REPS}-interleaved",
                 "n_queries": len(timings),
+                # per-query (max-min)/min across the REPS samples: a
+                # cross-round delta inside this band on an unchanged
+                # plan is machine noise by construction
+                "noise_band": noise_band,
                 # True = physical plan differs from the committed
                 # prior-round snapshot (bench_plans/), False = same
                 # plan (a timing delta is noise), null = first

@@ -242,7 +242,9 @@ def q_audit_top_key_mass(spark: SparkSession, sf: str) -> DataFrame:
         )
         total = cnt.agg(F.sum("hot_rows").cast("long").alias("total_rows"))
         top = (
-            cnt.orderBy(F.col("hot_rows").desc(), F.col("hot_key"))
+            cnt.orderBy(
+                F.col("hot_rows").desc(), F.col("hot_key").asc_nulls_last()
+            )
             .limit(1)
             .crossJoin(F.broadcast(total))
         )
@@ -317,22 +319,24 @@ def q_audit_scan_partition_plan(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(fixed) * F.count(F.lit(1))
             + F.sum(F.octet_length(F.col(payload)))
         ).cast("long")
-        n_parts = F.greatest(
-            F.lit(1).cast("long"),
-            ((est + F.lit(_TARGET_PARTITION_BYTES - 1)) / F.lit(
-                _TARGET_PARTITION_BYTES
-            )).cast("long"),
+        base = d.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            est.alias("est_bytes"),
         )
-        n = F.count(F.lit(1)).cast("long")
+        tpb = _TARGET_PARTITION_BYTES
         outs.append(
-            d.agg(
-                n.alias("n_rows"),
-                est.alias("est_bytes"),
-                n_parts.alias("n_partitions"),
-                ((n + n_parts - F.lit(1)) / n_parts)
-                .cast("long")
-                .alias("rows_per_partition"),
-            ).select(F.lit(name).alias("fact_table"), "*")
+            base.select(
+                F.lit(name).alias("fact_table"),
+                "n_rows",
+                "est_bytes",
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.expr(f"(est_bytes + {tpb - 1}) div {tpb}"),
+                ).alias("n_partitions"),
+            ).withColumn(
+                "rows_per_partition",
+                F.expr("(n_rows + n_partitions - 1) div n_partitions"),
+            )
         )
     out = outs[0]
     for o in outs[1:]:

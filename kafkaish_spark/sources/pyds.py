@@ -27,17 +27,20 @@ Batch path (``KafkaishBatchReader``):
 - each task reads its file with pyarrow and yields Arrow
   RecordBatches — zero row-at-a-time Python.
 
-Streaming path (``KafkaishStreamReader``): a
-``SimpleDataSourceStreamReader`` whose offset dict is the topic's
-publish offset — the official-API analog of the reference's tailable
-cursor (src/topic.js:81-117).  ``read(start)`` returns every row
-published since the last trigger; ``readBetweenOffsets`` replays a
-committed range deterministically for recovery.  The simple reader
-ships rows through the driver, which is exactly the reference's
-delivery model (one cursor loop on one node) — it exists for API
-parity and modest control-plane topics; the data-plane subscription
-path remains ``streaming.subscribe`` (checkpointed file source,
-executor-parallel).
+Streaming path (``KafkaishPartitionedStreamReader`` — the one
+``streamReader()`` returns): a full ``DataSourceStreamReader`` whose
+offset dict is the topic's publish offset — the official-API analog
+of the reference's tailable cursor (src/topic.js:81-117), but
+EXECUTOR-PARALLEL: each trigger's offset range is planned onto the
+log segments overlapping it (footer-stats pruned, like the batch
+reader) and each segment is read on an executor as Arrow batches.
+Rows never funnel through the driver, so a fat backlog drains with
+cluster parallelism — the r8 driver-side bottleneck is gone.  The
+driver only reads footers (``latestOffset``).
+``KafkaishStreamReader`` (a ``SimpleDataSourceStreamReader``, rows
+through the driver — the reference's actual delivery model, one
+cursor loop on one node) is kept for API parity/tests but is shadowed
+by the partitioned reader at runtime.
 
 Write path: ``df.write.format("kafkaish").mode("append")`` appends to
 the log through the V2 two-phase commit (executors stage, the driver

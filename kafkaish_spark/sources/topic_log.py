@@ -370,8 +370,25 @@ class Topic:
             )
             seg_dir = self.log_dir
             if self.partitioned:
+                # Derive the pub_date= directory from the SPARK SESSION
+                # timezone, not the UTC calendar date: publish_df files
+                # rows under to_date(ts) evaluated in the session zone,
+                # and the two write paths must agree on which partition
+                # a given instant belongs to even when a user overrides
+                # get_spark's UTC pin (ADVICE r8).  Offsets like
+                # "GMT+08:00" (valid for Spark, unknown to zoneinfo)
+                # fall back to UTC — the same date the session pin gives.
+                sess_tz = self.spark.conf.get(
+                    "spark.sql.session.timeZone", "UTC"
+                )
+                try:
+                    from zoneinfo import ZoneInfo
+
+                    part_date = now.astimezone(ZoneInfo(sess_tz)).date()
+                except Exception:
+                    part_date = now.date()
                 seg_dir = os.path.join(
-                    self.log_dir, f"pub_date={now.date().isoformat()}"
+                    self.log_dir, f"pub_date={part_date.isoformat()}"
                 )
                 os.makedirs(seg_dir, exist_ok=True)
             # write hidden (dot-prefix: Spark's listing ignores it) then
@@ -628,12 +645,20 @@ class Topic:
 
     # -- retention -----------------------------------------------------
 
-    def _segment_stats(self) -> list[dict]:
+    def _segment_stats(self, tolerant: bool = False) -> list[dict]:
         """Per data file: path, size, commit-uuid group, and offset/ts
         min-max straight from the parquet FOOTER statistics — no Spark
         job, no timezone round trip (ts stats are UTC micros), no URI
         re-encoding.  On a cluster the same footers are one ranged read
-        each via the FileSystem API."""
+        each via the FileSystem API.
+
+        ``tolerant=True`` (the ops/polling callers: describe_topics)
+        turns a corrupt or half-foreign footer into a FLAGGED row
+        (``bad=True``, zero rows, no offset stats) instead of raising —
+        one bad segment must not take down an engine-wide dashboard
+        query (ADVICE r8).  Correctness-critical callers (retention,
+        fsck, latest) keep the strict default: they must not act on a
+        log they cannot fully read."""
         import pyarrow.parquet as pq
 
         out = []
@@ -644,7 +669,24 @@ class Topic:
                 path = os.path.join(dirpath, fn)
                 # part-00000-<commit-uuid>[-...].snappy.parquet
                 uuid = fn.split("-", 2)[-1].split(".")[0]
-                meta = pq.ParquetFile(path).metadata
+                try:
+                    meta = pq.ParquetFile(path).metadata
+                except Exception:
+                    if not tolerant:
+                        raise
+                    out.append(
+                        {
+                            "path": path,
+                            "size": os.path.getsize(path),
+                            "uuid": uuid,
+                            "min_off": None,
+                            "max_off": None,
+                            "max_ts_us": None,
+                            "num_rows": 0,
+                            "bad": True,
+                        }
+                    )
+                    continue
                 cols = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
                 min_off = max_off = None
                 max_ts_us = None
@@ -801,18 +843,41 @@ class Topic:
         groups: dict[str, list[dict]] = {}
         for seg in self._segment_stats():
             groups.setdefault(seg["uuid"], []).append(seg)
-        ordered = sorted(
-            groups.values(),
-            key=lambda segs: min(
-                s["min_off"] for s in segs if s["min_off"] is not None
-            )
-            if any(s["min_off"] is not None for s in segs)
-            else -1,
+
+        def _group_key(segs: list[dict]):
+            # Three classes (ADVICE r8): zero-row groups hold no
+            # offsets, so evicting them first can never break the
+            # contiguous-suffix invariant; stated groups evict oldest-
+            # first by footer min offset; groups with ROWS but no
+            # offset stats sort LAST and STOP eviction (the age rule's
+            # "no stats: keep") — their log position is unknown, and a
+            # stats-less segment holding the newest offsets must not be
+            # evicted before older fully-stated groups.
+            if all(s["num_rows"] == 0 for s in segs):
+                return (0, 0)
+            if any(s["min_off"] is not None for s in segs):
+                return (1, min(
+                    s["min_off"] for s in segs if s["min_off"] is not None
+                ))
+            return (2, 0)
+
+        ordered = sorted(groups.values(), key=_group_key)
+        # the newest STATED group is the offset anchor and always
+        # survives (stated groups are contiguous in the ordering, so
+        # it is the last index whose class is 1)
+        anchor = max(
+            (i for i, segs in enumerate(ordered) if _group_key(segs)[0] == 1),
+            default=None,
         )
         total = sum(s["size"] for segs in ordered for s in segs)
         deleted = 0
         for i, segs in enumerate(ordered):
-            if total <= cap_bytes or i == len(ordered) - 1:
+            if (
+                total <= cap_bytes
+                or i == anchor
+                or i == len(ordered) - 1
+                or _group_key(segs)[0] == 2
+            ):
                 break
             for s in segs:
                 os.remove(s["path"])
@@ -1214,7 +1279,7 @@ class Topic:
             df = df.filter(F.col("event") == F.lit(event))
         return df
 
-    def mirror_to(self, dst: "Topic") -> int:
+    def mirror_to(self, dst: "Topic", _after_snapshot=None) -> int:
         """Offset-PRESERVING replication into ``dst`` — the MirrorMaker
         analog for DR / cross-region migration the reference lacks
         (its only replication story is MongoDB's, src/topic.js has
@@ -1230,45 +1295,117 @@ class Topic:
         ``dst.fsck()`` verifies density/contiguity after).  A
         retention-trimmed source mirrors from its surviving first
         offset, which fsck treats as the legal trimmed-prefix shape.
-        Runs under BOTH writer locks — the destination's (we append)
-        and the SOURCE's (a mirror that lists files mid-commit of a
-        concurrent publish could copy offsets 101-150 but miss 51-100,
-        and the ``> dst.latest()`` watermark would then skip the hole
-        FOREVER; a concurrent retention sweep could delete a listed
-        file mid-copy).  Locks are acquired in path order so two
-        opposite-direction mirrors cannot deadlock.
 
-        Scale: one pushed-down scan of the source tail (offset
-        predicate prunes segments on footer stats) and one parquet
+        Three phases, so a large catch-up copy never blocks the source
+        producer (r8 held both locks for the whole copy; at 100× a
+        first-time mirror of a fat topic would be minutes of source
+        write-unavailability):
+
+        1. SNAPSHOT under both writer locks (path-ordered — two
+           opposite-direction mirrors cannot deadlock), held only for
+           footer reads: pin ``tail = dst.latest()`` and the exact
+           LIST of source segment files that can hold offsets > tail.
+           The source lock here closes the r8 watermark race (a list
+           taken mid-commit of a concurrent multi-file publish could
+           see offsets 101-150 but miss 51-100, and the watermark
+           would skip the hole FOREVER).
+        2. COPY lock-free from the pinned files — parquet segments are
+           immutable once visible, so concurrent source publishes are
+           invisible to the pinned scan and simply ride the next
+           mirror.  The delta is staged as finished parquet under a
+           hidden directory in ``dst.root`` (same filesystem — the
+           final move is an atomic rename).  Retention is the only
+           mutator of pinned files; a file evicted mid-copy fails the
+           scan, and the mirror retries with a fresh snapshot.
+        3. APPEND under the DESTINATION lock only: re-verify the dst
+           tail is still ``tail`` (a foreign append would break the
+           prefix-mirror contract — retried as a fresh delta), then
+           rename the staged segments into the dst log dir.
+
+        ``_after_snapshot`` is a test seam invoked between phases 1
+        and 2 (no locks held) — used to prove a source publish
+        succeeds WHILE the copy is in flight.
+
+        Scale: one pushed-down scan of the pinned source tail (offset
+        predicate prunes row groups on footer stats) and one parquet
         append — no shuffle, no offset rewrite.  Returns the number of
         rows mirrored."""
+        import pyarrow.parquet as pq
+
         if os.path.abspath(dst.root) == os.path.abspath(self.root):
             raise ValueError("mirror_to: destination is the source topic")
-        first, second = sorted(
-            (self.root, dst.root), key=os.path.abspath
-        )
-        with writer_lock(first, what="mirror"), writer_lock(
-            second, what="mirror"
-        ):
-            tail = dst.latest()
-            pending = (
-                self.log()
-                .filter(F.col("offset") > F.lit(int(tail)))
-                .select("offset", "ts", "event", "message")
-            )
-            n = pending.count()
-            if n == 0:
+        first, second = sorted((self.root, dst.root), key=os.path.abspath)
+        last_err: Exception | None = None
+        for _attempt in range(3):
+            # -- phase 1: snapshot (both locks, footer reads only) ----
+            with writer_lock(first, what="mirror"), writer_lock(
+                second, what="mirror"
+            ):
+                tail = dst.latest()
+                pinned = [
+                    s["path"]
+                    for s in self._segment_stats()
+                    if s["num_rows"]
+                    and (s["max_off"] is None or s["max_off"] > tail)
+                ]
+            if _after_snapshot is not None:
+                _after_snapshot()
+            if not pinned:
                 return 0
-            if dst.partitioned:
-                (
-                    pending.withColumn("pub_date", F.to_date("ts"))
-                    .write.mode("append")
-                    .partitionBy("pub_date")
-                    .parquet(dst.log_dir)
+            # -- phase 2: copy from immutable pinned files (no locks) -
+            staging = os.path.join(dst.root, f".mirror-stage-{uuid4().hex}")
+            try:
+                pending = (
+                    self.spark.read.schema(ENVELOPE)
+                    .parquet(*pinned)
+                    .filter(F.col("offset") > F.lit(int(tail)))
+                    .select("offset", "ts", "event", "message")
                 )
-            else:
-                pending.write.mode("append").parquet(dst.log_dir)
+                if dst.partitioned:
+                    (
+                        pending.withColumn("pub_date", F.to_date("ts"))
+                        .write.partitionBy("pub_date")
+                        .parquet(staging)
+                    )
+                else:
+                    pending.write.parquet(staging)
+            except Exception as err:  # pinned file evicted mid-copy
+                shutil.rmtree(staging, ignore_errors=True)
+                last_err = err
+                continue
+            staged = []
+            n = 0
+            for dirpath, _dn, filenames in os.walk(staging):
+                for fn in filenames:
+                    if fn.startswith("part-") and fn.endswith(".parquet"):
+                        path = os.path.join(dirpath, fn)
+                        rows = pq.ParquetFile(path).metadata.num_rows
+                        if rows:
+                            staged.append(path)
+                            n += rows
+            if n == 0:
+                shutil.rmtree(staging, ignore_errors=True)
+                return 0
+            # -- phase 3: append (destination lock only) --------------
+            with writer_lock(dst.root, what="mirror"):
+                if dst.latest() != tail:
+                    # foreign append moved the dst tail: our staged
+                    # delta is against a stale watermark — recompute
+                    shutil.rmtree(staging, ignore_errors=True)
+                    last_err = RuntimeError(
+                        "mirror_to: destination tail moved during copy"
+                    )
+                    continue
+                for path in staged:
+                    rel = os.path.relpath(path, staging)
+                    target = os.path.join(dst.log_dir, rel)
+                    os.makedirs(os.path.dirname(target), exist_ok=True)
+                    os.replace(path, target)
+            shutil.rmtree(staging, ignore_errors=True)
             return n
+        raise RuntimeError(
+            f"mirror_to: snapshot invalidated 3 times; last error: {last_err}"
+        )
 
     def close(self) -> None:
         """Mark the handle closed (ref closes its tail cursor,
@@ -1379,11 +1516,17 @@ class Engine:
         ``kafka-topics --describe`` + the log-dir size report.
 
         Cost: one directory walk + one ranged footer read per segment
-        (the retention/fsck/latest machinery) — safe to poll."""
+        (the retention/fsck/latest machinery) — safe to poll.  Footer
+        reads run TOLERANT: a corrupt/foreign segment surfaces as
+        ``n_bad_files > 0`` on its topic's row instead of raising the
+        whole system table (ADVICE r8); its bytes still count, its rows
+        and offsets are unknown."""
         rows = []
         for name in self.topics():
             topic = self.prepare_topic(name)
-            segs = [s for s in topic._segment_stats() if s["num_rows"]]
+            all_segs = topic._segment_stats(tolerant=True)
+            n_bad = sum(1 for s in all_segs if s.get("bad"))
+            segs = [s for s in all_segs if s["num_rows"] or s.get("bad")]
             offs = [s for s in segs if s["min_off"] is not None]
             n_subs = sum(
                 1
@@ -1403,12 +1546,14 @@ class Engine:
                     min((s["min_off"] for s in offs), default=None),
                     max((s["max_off"] for s in offs), default=None),
                     n_subs,
+                    n_bad,
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "topic string, n_files long, n_rows long, bytes long, "
-            "min_offset long, max_offset long, n_subscribers long",
+            "min_offset long, max_offset long, n_subscribers long, "
+            "n_bad_files long",
         )
 
     def topics(self) -> list[str]:

@@ -967,6 +967,99 @@ def test_describe_topics(engine):
     assert rows["dt_b"]["max_offset"] == 11
 
 
+def test_direct_publish_partition_date_follows_session_tz(engine):
+    """r9 (ADVICE r8): both write paths must file an instant under the
+    SAME pub_date partition — publish_df uses to_date(ts) in the Spark
+    session timezone, so the direct fast path must derive its
+    directory date from the session timezone too, not the UTC
+    calendar date.  Probed at UTC+14 and UTC-12: at any wall-clock
+    moment at least one of them disagrees with the UTC date, so a
+    UTC-hardcoded fast path cannot pass both."""
+    spark = engine.spark
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for i, tz in enumerate(["Etc/GMT-14", "Etc/GMT+12"]):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            topic = engine.prepare_topic(f"tzp_{i}", partitioned=True)
+            topic.publish_batch([("e0", {"k": 1})])  # direct fast path
+            mismatched = (
+                topic.log()
+                .filter(F.to_date("ts") != F.col("pub_date"))
+                .count()
+            )
+            assert mismatched == 0, f"direct path mis-filed under {tz}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_describe_topics_tolerates_corrupt_footer(engine):
+    """r9 (ADVICE r8): one corrupt/foreign parquet footer in any topic
+    must not take down the engine-wide system table — the bad segment
+    surfaces as n_bad_files on its topic's row, healthy topics and the
+    healthy segments of the afflicted topic still report normally.
+    Correctness-critical callers stay STRICT: fsck/latest on the same
+    topic must fall back / raise, not silently skip."""
+    import os
+
+    good = engine.prepare_topic("ct_good")
+    good.publish_batch([("e0", {"k": 1})])
+    bad = engine.prepare_topic("ct_bad")
+    bad.publish_batch([("e0", {"k": 1}), ("e0", {"k": 2})])
+    with open(
+        os.path.join(bad.log_dir, "part-00000-deadbeef.snappy.parquet"), "wb"
+    ) as fh:
+        fh.write(b"not a parquet file")
+    rows = {r["topic"]: r for r in engine.describe_topics().collect()}
+    assert rows["ct_good"]["n_bad_files"] == 0
+    assert rows["ct_good"]["n_rows"] == 1
+    assert rows["ct_bad"]["n_bad_files"] == 1
+    assert rows["ct_bad"]["n_rows"] == 2  # healthy segments still counted
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        bad._segment_stats()  # strict mode still refuses to guess
+
+
+def test_retention_keeps_statsless_group_with_rows(engine):
+    """r9 (ADVICE r8): a segment with ROWS but no offset statistics has
+    an unknown log position — size-based retention must sort it LAST
+    and stop there (the age rule's 'no stats: keep'), never evict it
+    before older fully-stated groups.  Zero-row seed segments remain
+    freely evictable (they hold no offsets)."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    topic = engine.prepare_topic("rs_keep")
+    for i in range(4):
+        topic.publish_batch([("e", {"n": i, "pad": "x" * 2000})])
+    # hand-write a stats-less segment holding the NEWEST offsets (a
+    # foreign writer with statistics disabled)
+    tbl = pa.table(
+        {
+            "offset": pa.array([5, 6], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2020, 1, 1, tzinfo=datetime.timezone.utc)]
+                * 2,
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "event": pa.array(["e", "e"], pa.string()),
+            "message": pa.array(["m", "m"], pa.string()),
+        }
+    )
+    pq.write_table(
+        tbl,
+        os.path.join(topic.log_dir, "part-00000-nostats1.snappy.parquet"),
+        write_statistics=False,
+    )
+    deleted = topic.enforce_retention(cap_bytes=1)
+    assert deleted > 0  # old stated groups were evicted
+    survivors = {r["offset"] for r in topic.log().collect()}
+    assert {5, 6} <= survivors  # the stats-less newest rows survive
+
+
 def test_direct_publish_ts_round_trips_with_collect_and_seek(engine):
     """The direct path's returned Row.ts must be the SAME driver-local
     naive datetime log().collect() hands back (review r8: a naive-UTC
