@@ -1,0 +1,202 @@
+"""Join-strategy advisor: the r8 pre-flight audit family turned into
+engine behavior (r8 verdict item 5).
+
+``q_audit_broadcast_decision`` / ``q_audit_join_cardinality`` /
+``q_audit_top_key_mass`` (operators/composites47.py) compute exactly
+the numbers that decide broadcast vs plain-shuffle vs salted join.
+This module CONSUMES those statistics and returns the strategy — the
+cost-based step the reference (kafkaish, ~350 LoC pub/sub over
+MongoDB) never had, and the step Spark's own CBO approximates from
+ANALYZE statistics where we compute it exactly.
+
+The decision tree, in priority order:
+
+1. **broadcast** — the dim's exact in-join projected bytes fit the
+   broadcast threshold.  A broadcast dim means the FACT side never
+   shuffles, so skew on the fact key is irrelevant (a hot key costs
+   nothing when every executor holds the whole build side).
+2. **salt** — the dim must shuffle AND the hottest fact key carries
+   ≥ ``hot_share_threshold`` of the fact rows.  tools/bench_skew.py
+   measured why this is its own branch: AQE's OptimizeSkewedJoin
+   never fires on a pre-partitioned dim side and cannot split one
+   key's rows inside a single sort-merge group — salting is the only
+   portable fix (plain 4.48 s / AQE 4.54 s / salted 3.31 s under 20×
+   hot-key amplification at bench sf).
+3. **shuffle** — the dim must shuffle and no key is pathological:
+   the plain sort-merge/shuffle-hash join Catalyst picks is right.
+
+``scale_factor`` is the 100 TB honesty knob: the advisor answers for
+TARGET scale, not test scale.  A dim that measures 120 KB at sf 0.01
+but grows linearly with the corpus is declared with
+``scale_factor=10_000`` and correctly falls out of the broadcast
+regime — the same reasoning q_join_skew_stress_salted documents for
+pinning its shuffle-join regime at test sf.
+
+Cost model of the advisor itself: one column-pruned linear aggregation
+over the dim (exact bytes) and one hash aggregation + top-1 over the
+fact key (hot share) — the two cheapest statistics in the audit
+family, both driver-materialized as single-row scalars (the bounded
+``.collect()`` class).  At 100 TB these are the pre-flight scans a
+planner runs ONCE per (table, key) and caches; ``JoinAdvice`` is a
+plain dataclass so callers can persist and reuse it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# the Spark default this engine also pins in session.py
+BROADCAST_BYTES_DEFAULT = 10 * 1024 * 1024
+# one key holding >= 1/8 of the fact side saturates its reducer ~8x
+# sooner than the average task — the straggler regime where the
+# salted plan measured faster than plain AND AQE in tools/bench_skew.py
+HOT_SHARE_THRESHOLD_DEFAULT = 0.125
+
+_FIXED_WIDTH = 8  # numeric/date/timestamp/bool in-join bytes per value
+
+
+def dim_projected_bytes(dim: DataFrame) -> int:
+    """Exact bytes the dim frame ships to executors if broadcast:
+    ``octet_length`` summed for strings/binary, 8 bytes per value for
+    fixed-width columns — the same arithmetic
+    ``q_audit_broadcast_decision`` tabulates (composites47.py), applied
+    to the frame's actual projection.  Nested types count their JSON
+    byte length (upper-bound-ish but deterministic)."""
+    exprs = []
+    for f in dim.schema.fields:
+        if isinstance(f.dataType, (T.StringType, T.BinaryType)):
+            exprs.append(
+                F.coalesce(F.octet_length(F.col(f.name)), F.lit(0))
+            )
+        elif isinstance(
+            f.dataType, (T.ArrayType, T.MapType, T.StructType)
+        ):
+            exprs.append(
+                F.coalesce(
+                    F.octet_length(F.to_json(F.col(f.name))), F.lit(0)
+                )
+            )
+        else:
+            exprs.append(F.lit(_FIXED_WIDTH))
+    per_row = exprs[0]
+    for e in exprs[1:]:
+        per_row = per_row + e
+    row = dim.agg(F.coalesce(F.sum(per_row), F.lit(0)).cast("long")).first()
+    return int(row[0])
+
+
+def fact_hot_share(fact: DataFrame, key: str) -> tuple[object, float]:
+    """(hottest key, its share of the fact rows) — the decision scalar
+    ``q_audit_top_key_mass`` reports per FK edge.  One hash aggregation
+    on the key (map-side partials) + a top-1 over the key-count frame;
+    the grand total is the count frame's own 1-row sum cross-joined
+    back broadcast (never a global window over the key counts)."""
+    cnt = fact.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = cnt.agg(F.sum("n").cast("long").alias("t"))
+    top = (
+        cnt.orderBy(F.col("n").desc(), F.col("k").asc_nulls_last())
+        .limit(1)
+        .crossJoin(F.broadcast(total))
+        .first()
+    )
+    if top is None or not top["t"]:
+        return None, 0.0
+    return top["k"], float(top["n"]) / float(top["t"])
+
+
+@dataclass(frozen=True)
+class JoinAdvice:
+    """The advisor's verdict plus the measurements it rests on, so a
+    plan review (or a test) can audit WHY."""
+
+    strategy: str  # "broadcast" | "salt" | "shuffle"
+    dim_bytes: int  # exact projected bytes at test scale
+    dim_bytes_at_scale: int  # dim_bytes * scale_factor (the decision input)
+    hot_key: object  # hottest fact key (None for an empty fact)
+    hot_share: float  # its share of fact rows
+    broadcast_bytes: int  # threshold used
+    hot_share_threshold: float  # threshold used
+
+
+def advise_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    *,
+    broadcast_bytes: int = BROADCAST_BYTES_DEFAULT,
+    hot_share_threshold: float = HOT_SHARE_THRESHOLD_DEFAULT,
+    scale_factor: float = 1.0,
+) -> JoinAdvice:
+    """Measure, then decide.  ``scale_factor`` extrapolates the dim's
+    bytes to target scale (dims that grow with the corpus must not be
+    judged broadcastable from a toy sf); the fact side's hot SHARE is
+    scale-free, so it needs no extrapolation."""
+    dim_bytes = dim_projected_bytes(dim)
+    at_scale = int(dim_bytes * scale_factor)
+    if at_scale <= broadcast_bytes:
+        # a broadcast dim never shuffles the fact side: skew is moot,
+        # so the hot-key scan is skipped entirely
+        return JoinAdvice(
+            "broadcast", dim_bytes, at_scale, None, 0.0,
+            broadcast_bytes, hot_share_threshold,
+        )
+    hot_key, hot_share = fact_hot_share(fact, fact_key)
+    strategy = "salt" if hot_share >= hot_share_threshold else "shuffle"
+    return JoinAdvice(
+        strategy, dim_bytes, at_scale, hot_key, hot_share,
+        broadcast_bytes, hot_share_threshold,
+    )
+
+
+def advised_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    how: str = "inner",
+    advice: JoinAdvice | None = None,
+    salt_buckets: int = 16,
+    dim_hint: str | None = None,
+    broadcast_bytes: int = BROADCAST_BYTES_DEFAULT,
+    hot_share_threshold: float = HOT_SHARE_THRESHOLD_DEFAULT,
+    scale_factor: float = 1.0,
+) -> DataFrame:
+    """Equi-join ``fact`` with ``dim`` on ``on`` using the advised
+    strategy (measured here unless a cached ``advice`` is passed):
+
+    - ``broadcast`` → ``fact.join(broadcast(dim), ...)``;
+    - ``salt``      → ``functions.skew.salted_join`` (fact-preserving
+      ``how`` only — the salted path inherits that contract), with
+      ``dim_hint`` (default ``"merge"``) pinning the shuffle regime so
+      a small test sf cannot broadcast the problem away;
+    - ``shuffle``   → the plain join, Catalyst's pick.
+
+    Every strategy returns bit-identical rows to the plain join (the
+    equivalence oracle q_advised_star_revenue proves it end-to-end),
+    so the advisor can never change ANSWERS, only plans."""
+    if advice is None:
+        advice = advise_join(
+            fact, dim, on,
+            broadcast_bytes=broadcast_bytes,
+            hot_share_threshold=hot_share_threshold,
+            scale_factor=scale_factor,
+        )
+    if advice.strategy == "broadcast":
+        return fact.join(F.broadcast(dim), on, how)
+    if advice.strategy == "salt":
+        from kafkaish_spark.functions.skew import salted_join
+
+        return salted_join(
+            fact, dim, on,
+            how=how,
+            salt_buckets=salt_buckets,
+            dim_hint=dim_hint or "merge",
+        )
+    out_dim = dim.hint(dim_hint) if dim_hint else dim
+    return fact.join(out_dim, on, how)

@@ -275,19 +275,29 @@ def q_join_asof_event_order(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_star_revenue_by_region(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-way star join: fact table joined through three dimension
-    hops.  nation/region broadcast explicitly; customer broadcasts via
-    AQE at small SF and stays a shuffle join at 100 TB — exactly what
-    we want Catalyst to decide at runtime."""
+    hops.  The nation/region hops route through the JOIN-STRATEGY
+    ADVISOR (functions/advisor.py, r9): it MEASURES each dim's exact
+    projected bytes and picks broadcast — the same plan the r8 version
+    hard-coded, now derived from the audit statistics instead of
+    asserted (the measured decision stays correct when a dim grows).
+    customer broadcasts via AQE at small SF and stays a shuffle join
+    at 100 TB — exactly what we want Catalyst to decide at runtime."""
+    from kafkaish_spark.functions.advisor import advised_join
+
     l = t(spark, sf, "lineitem")
     o = t(spark, sf, "orders")
     c = t(spark, sf, "customer")
-    n = t(spark, sf, "nation")
-    r = t(spark, sf, "region")
+    n = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name", "n_regionkey"
+    )
+    r = t(spark, sf, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    base = l.join(o, l.l_orderkey == o.o_orderkey).join(
+        c, o.o_custkey == c.c_custkey
+    )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        advised_join(advised_join(base, n, "c_nationkey"), r, "n_regionkey")
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

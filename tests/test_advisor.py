@@ -1,0 +1,148 @@
+"""functions/advisor.py — the audit→action loop (r8 verdict item 5).
+
+Pins: (a) the DECISIONS — broadcast for nation/region at target scale
+1×, salt for the stress key at 10 000× (the bench_skew motivating
+case: AQE's skew split never fires on a pre-partitioned dim side, so
+salting must be decided up front), shuffle for a corpus-growing dim
+with mild keys; (b) the PLANS advised_join produces for each verdict;
+(c) EQUIVALENCE — every strategy returns the plain join's rows."""
+
+from pyspark.sql import functions as F
+
+from kafkaish_spark.functions.advisor import (
+    JoinAdvice,
+    advise_join,
+    advised_join,
+    dim_projected_bytes,
+    fact_hot_share,
+)
+from kafkaish_spark.sources.tables import load_table as t
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _hot(col):
+    return (
+        F.when(F.col(col) % 4 != 0, F.lit(0)).otherwise(F.col(col))
+        .cast("long")
+    )
+
+
+def test_advisor_picks_broadcast_for_nation_and_region(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k")
+    )
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    for dim in (n, r):
+        a = advise_join(c, dim, "k")
+        assert a.strategy == "broadcast"
+        assert a.dim_bytes_at_scale <= a.broadcast_bytes
+        assert a.hot_share == 0.0  # skew scan skipped in broadcast regime
+
+
+def test_advisor_picks_salt_for_the_stress_key(spark, sf_dir):
+    """~75% of lineitem rows collapse onto hot_key 0; at 10 000× the
+    dim is out of the broadcast regime, so the hot share decides."""
+    li = t(spark, sf_dir, "lineitem").select(_hot("l_orderkey").alias("k"))
+    dim = (
+        t(spark, sf_dir, "orders")
+        .select(_hot("o_orderkey").alias("k"))
+        .distinct()
+    )
+    a = advise_join(li, dim, "k", scale_factor=10_000)
+    assert a.strategy == "salt"
+    assert a.hot_key == 0
+    assert a.hot_share > 0.5  # the designed ~75% collapse
+
+
+def test_advisor_picks_shuffle_for_mild_keys_at_scale(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = t(spark, sf_dir, "customer")
+    a = advise_join(o, c, "k", scale_factor=10_000)
+    assert a.strategy == "shuffle"
+    assert a.hot_share < a.hot_share_threshold
+
+
+def test_advised_join_broadcast_plan_and_equivalence(spark, sf_dir):
+    """The advised star (q_advised_star_revenue) plans every dim hop
+    as a BroadcastHashJoin — the fact side never shuffles before the
+    rollup — and matches the plain join row-for-row."""
+    from kafkaish_spark.operators.composites50 import q_advised_star_revenue
+
+    df = q_advised_star_revenue(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    plain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .count()
+    )
+    got = {(r["n_name"], r["n_lines"]) for r in df.collect()}
+    want = {(r["n_name"], r["count"]) for r in plain.collect()}
+    assert got == want
+
+
+def test_advised_join_salt_plan_and_equivalence(spark, sf_dir):
+    """A salt verdict routes through salted_join: the plan is the
+    pinned shuffle regime (SortMergeJoin, no dim broadcast) and the
+    rows are bit-identical to the plain join."""
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select(_hot("l_orderkey").alias("k"), "l_linenumber")
+    )
+    dim = (
+        t(spark, sf_dir, "orders")
+        .select(_hot("o_orderkey").alias("k"))
+        .distinct()
+        .withColumn("band", (F.col("k") % 7).cast("long"))
+    )
+    advice = advise_join(li, dim, "k", scale_factor=10_000)
+    assert advice.strategy == "salt"
+    out = advised_join(li, dim, "k", advice=advice)
+    plan = _plan(out)
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    got = out.groupBy("band").count().collect()
+    want = li.join(dim, "k").groupBy("band").count().collect()
+    assert {(r["band"], r["count"]) for r in got} == {
+        (r["band"], r["count"]) for r in want
+    }
+
+
+def test_advice_is_cacheable_and_explicit(spark, sf_dir):
+    """A persisted JoinAdvice short-circuits measurement: advised_join
+    with advice= runs zero advisor jobs (the production pattern — the
+    planner measures once per (table, key) and caches)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber"
+    )
+    dim = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    cached = JoinAdvice("broadcast", 0, 0, None, 0.0, 1, 1.0)
+    plan = _plan(advised_join(li, dim, "k", advice=cached))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_measurement_helpers_are_exact(spark):
+    """dim_projected_bytes and fact_hot_share on a frame with known
+    arithmetic: 3 rows x (8 fixed + octet_length) and a 2/4 hot key."""
+    dim = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, None)], "k long, s string"
+    )
+    assert dim_projected_bytes(dim) == 3 * 8 + 2
+    fact = spark.createDataFrame(
+        [(7,), (7,), (8,), (9,)], "k long"
+    )
+    key, share = fact_hot_share(fact, "k")
+    assert key == 7 and share == 0.5
