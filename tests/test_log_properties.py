@@ -356,3 +356,62 @@ def test_replay_between_times_is_half_open_window(
     )
     want = [i for i in range(1, n + 1) if a <= i < b]
     assert got == want
+
+
+# ---------------------------------------------------------------- r9:
+# the direct-publish / Spark-publish seam (r8 verdict item 7).  The
+# two write paths (_publish_direct: driver-side pyarrow segment;
+# publish_df: distributed offset assignment) may interleave in ANY
+# order; the log must stay one contiguous, totally-ordered,
+# ts-monotone history, and seek-by-time must stay consistent with the
+# offsets (the r8 review fixed one ts-zone bug on exactly this seam).
+publish_calls = st.lists(
+    st.tuples(
+        st.booleans(),  # True = direct path, False = Spark DF path
+        st.lists(
+            st.tuples(events, st.integers(0, 999)), min_size=1, max_size=4
+        ),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(calls=publish_calls)
+def test_direct_and_df_publishes_interleave_cleanly(engine_factory, calls):
+    engine = engine_factory()
+    spark = engine.spark
+    topic = engine.prepare_topic("prop_seam")
+    sent = []
+    for direct, batch in calls:
+        msgs = [(e, json.dumps({"v": v})) for e, v in batch]
+        if direct:
+            rows = topic.publish_batch(msgs)
+            assert [r["offset"] for r in rows] == list(
+                range(len(sent) + 1, len(sent) + len(msgs) + 1)
+            )
+        else:
+            df = spark.createDataFrame(
+                msgs, "event string, message string"
+            ).coalesce(1)
+            topic.publish_df(df, target_files=1)
+        sent.extend(msgs)
+
+    rows = topic.replay(since=0).orderBy("offset").collect()
+    # contiguous offsets, exact content, total order across the seam
+    assert [r["offset"] for r in rows] == list(range(1, len(sent) + 1))
+    assert [(r["event"], r["message"]) for r in rows] == sent
+    # publish instants are monotone in offset across both paths
+    ts_seq = [r["ts"] for r in rows]
+    assert all(a <= b for a, b in zip(ts_seq, ts_seq[1:]))
+    # seek-by-time consistency: every collected ts seeks to the FIRST
+    # offset of its clock tick, never past the row itself
+    for r in rows:
+        seek = topic.offset_for_time(r["ts"])
+        assert seek is not None and seek <= r["offset"]
+        assert ts_seq[seek - 1] == r["ts"]
