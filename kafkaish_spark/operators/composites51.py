@@ -1,0 +1,320 @@
+"""Round-9 wave 2: spatial analytics — the geo family.
+
+The inventory had every 1-D range pattern (interval joins, as-of,
+bbox-less band joins) but no 2-D spatial operator.  This module adds
+the three canonical shapes a telemetry / logistics pipeline needs:
+
+- ``q_geo_bbox_customers``: point-in-bounding-box classification —
+  pure integer range predicates, the filter-pushdown-friendly form
+  every spatial index ultimately reduces to.
+- ``q_geo_haversine_nation_anchor``: great-circle distance
+  (haversine) between each customer point and its nation's anchor
+  point — the distance-to-centroid report, trig on both engines from
+  ONE shared SQL fragment so the IEEE evaluation order is identical.
+- ``q_geo_grid_nearest_supplier``: nearest-neighbor via GRID-CELL
+  BUCKETING — the 100 TB spatial-join pattern: points land in 15°
+  integer cells, the small side fans out to its 3x3 cell
+  neighborhood (explode of 9 offsets, with longitude wraparound),
+  candidates meet in an equi-join ON THE CELL ID, and a per-point
+  top-1 picks the nearest candidate.  Never an all-pairs cross join:
+  candidate count is |points| x (suppliers per 9 cells), and the
+  equi-join shuffles on the cell key exactly like any other join —
+  this is how BigQuery/Sedona-style spatial joins actually scale.
+
+Coordinates are DERIVED deterministically from integer keys (the
+testdata has no geo columns): centi-degree integers
+``latm = (key*9973) % 17000`` (lat = latm/100 - 85, poles excluded)
+and ``lonm = (key*6151) % 36000`` (lon = lonm/100 - 180) — exact
+BIGINT arithmetic on both engines, so cell ids and box membership
+are float-free.  Nearest-neighbor RANKING uses the exact integer
+squared equirectangular metric (wraparound-aware centi-degree
+deltas), so candidate order is engine-independent by construction;
+haversine enters only in the REPORTED min/max, rounded to 3 (meter
+precision on km values — trig ulp differences sit ~1e-12 away from
+any rounding boundary).
+
+Reference parity: [NS] — the reference (kafkaish, ~350 LoC pub/sub,
+/root/reference/src/topic.js) has no query surface at all; spatial
+ops are north-star pipeline extensions.
+
+Scale: bbox = scan + pushed range predicates; anchor = broadcast join
+against the 25-row nation frame; grid-NN = one equi-join on the cell
+key (small side pre-exploded 9x) + WindowGroupLimit top-1 per point.
+No cross joins, no trig in any join condition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+# --- shared coordinate / distance fragments (same text on both engines)
+
+_LATM = "(({k}) * 9973) % 17000"  # centi-degrees, 0..16999 -> lat-85..84.99
+_LONM = "(({k}) * 6151) % 36000"  # centi-degrees, 0..35999 -> lon-180..179.99
+
+# haversine on centi-degree int columns; one fragment, identical IEEE
+# op order on both engines (both parse a*b*c left-assoc, both lower
+# radians(x) to x*pi/180)
+_HAV = (
+    "12742.0 * asin(sqrt("
+    "sin(radians((({lat2}) - ({lat1})) / 100.0) / 2)"
+    " * sin(radians((({lat2}) - ({lat1})) / 100.0) / 2)"
+    " + cos(radians(({lat1}) / 100.0 - 85.0))"
+    " * cos(radians(({lat2}) / 100.0 - 85.0))"
+    " * sin(radians((({lon2}) - ({lon1})) / 100.0) / 2)"
+    " * sin(radians((({lon2}) - ({lon1})) / 100.0) / 2)))"
+)
+
+# exact integer squared equirectangular metric (ranking only):
+# wraparound-aware lon delta, plain lat delta, both centi-degrees
+_D2 = (
+    "((({latm1}) - ({latm2})) * (({latm1}) - ({latm2})))"
+    " + (least((({lonm1}) - ({lonm2}) + 36000) % 36000,"
+    "          (({lonm2}) - ({lonm1}) + 36000) % 36000)"
+    "    * least((({lonm1}) - ({lonm2}) + 36000) % 36000,"
+    "            (({lonm2}) - ({lonm1}) + 36000) % 36000))"
+)
+
+# 15-degree integer grid: cy in 0..11 (latm+500 shifts the -85 origin
+# onto a -90 grid), cx in 0..23.  Inputs are small non-negative ints,
+# so floor(x / 1500.0) is exact (quotient < 24, and x/1500.0 is exact
+# IEEE whenever it lands on an integer) and parses on BOTH engines —
+# Spark has no // operator and DuckDB no `div` infix.
+_CY = "CAST(floor(((({latm}) + 500)) / 1500.0) AS BIGINT)"
+_CX = "CAST(floor((({lonm})) / 1500.0) AS BIGINT)"
+
+_BOXES = [
+    # (name, latm_lo, latm_hi, lonm_lo, lonm_hi) — centi-degree ints,
+    # half-open [lo, hi)
+    ("tropics", 6200, 10800, 0, 36000),  # lat in [-23, 23)
+    ("north_temperate", 12000, 15100, 0, 36000),  # lat in [35, 66)
+    ("pacific_ring", 0, 17000, 13000, 22000),  # lon in [-50, 40)
+    ("cold_south", 0, 3500, 0, 36000),  # lat in [-85, -50)
+]
+
+
+def _bbox_oracle() -> str:
+    latm = _LATM.format(k="c_custkey")
+    lonm = _LONM.format(k="c_custkey")
+    parts = [
+        f"""
+        SELECT '{name}' AS box,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+        FROM customer
+        WHERE ({latm}) >= {la} AND ({latm}) < {lb}
+          AND ({lonm}) >= {oa} AND ({lonm}) < {ob}"""
+        for name, la, lb, oa, ob in _BOXES
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("q_geo_bbox_customers", oracle=_bbox_oracle())
+def q_geo_bbox_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-bounding-box classification: customers per literal
+    box (overlapping boxes count a point twice — each box is its own
+    filtered aggregate, unioned).  All predicates are integer range
+    comparisons on the derived centi-degree coordinates, so the scan
+    pushes them into parquet row-group stats; zero float anywhere.
+    Scale: 4 scans x (pushed filter + partial agg) — or one scan with
+    conditional aggregation; the union form keeps each box's filter
+    pushable and the 4-row result is a driver scalar either way."""
+    c = t(spark, sf, "customer")
+    latm = F.expr(_LATM.format(k="c_custkey"))
+    lonm = F.expr(_LONM.format(k="c_custkey"))
+    outs = []
+    for name, la, lb, oa, ob in _BOXES:
+        outs.append(
+            c.where(
+                (latm >= la) & (latm < lb) & (lonm >= oa) & (lonm < ob)
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_customers"),
+                F.countDistinct("c_nationkey").cast("long").alias("n_nations"),
+            )
+            .select(F.lit(name).alias("box"), "n_customers", "n_nations")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+_ANCHOR_HAV = _HAV.format(
+    lat1=_LATM.format(k="c_custkey"),
+    lon1=_LONM.format(k="c_custkey"),
+    lat2=_LATM.format(k="n_nationkey"),
+    lon2=_LONM.format(k="n_nationkey"),
+)
+
+
+@query(
+    "q_geo_haversine_nation_anchor",
+    oracle=f"""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(MIN({_ANCHOR_HAV}), 3) AS min_km,
+           round(MAX({_ANCHOR_HAV}), 3) AS max_km
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q_geo_haversine_nation_anchor(spark: SparkSession, sf: str) -> DataFrame:
+    """Great-circle distance from each customer point to its nation's
+    anchor point; per nation, count + min/max distance.  The haversine
+    expression is the SAME SQL fragment on both engines (identical
+    token-level IEEE op order); min/max are order-free aggregates, so
+    no accumulation-order hazard — the only float risk is a trig ulp
+    landing exactly on a round(,3) boundary (~1e-12 vs 5e-4 margin).
+    Scale: broadcast join against the 25-row nation dim, partial agg
+    before the single group-by shuffle."""
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    d = F.expr(_ANCHOR_HAV)
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.min(d), 3).alias("min_km"),
+            F.round(F.max(d), 3).alias("max_km"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_NN_HAV = _HAV.format(lat1="c_latm", lon1="c_lonm", lat2="s_latm", lon2="s_lonm")
+_NN_D2 = _D2.format(latm1="c_latm", latm2="s_latm", lonm1="c_lonm", lonm2="s_lonm")
+
+
+def _grid_nn_oracle() -> str:
+    c_latm = _LATM.format(k="c_custkey")
+    c_lonm = _LONM.format(k="c_custkey")
+    s_latm = _LATM.format(k="s_suppkey * 31 + 7")
+    s_lonm = _LONM.format(k="s_suppkey * 31 + 7")
+    return f"""
+    WITH cpts AS (
+      SELECT c_custkey, {c_latm} AS c_latm, {c_lonm} AS c_lonm,
+             ({_CY.format(latm=c_latm)}) AS cy,
+             ({_CX.format(lonm=c_lonm)}) AS cx
+      FROM customer),
+    spts AS (
+      SELECT s_suppkey, s_nationkey, {s_latm} AS s_latm, {s_lonm} AS s_lonm,
+             ({_CY.format(latm=s_latm)}) AS cy,
+             ({_CX.format(lonm=s_lonm)}) AS cx
+      FROM supplier),
+    cand AS (
+      SELECT c.c_custkey, s.s_suppkey, s.s_nationkey,
+             ({_NN_D2}) AS d2, ({_NN_HAV}) AS km
+      FROM cpts c JOIN spts s
+        ON ((s.cx - c.cx + 24) % 24) IN (0, 1, 23)
+       AND abs(s.cy - c.cy) <= 1),
+    best AS (
+      SELECT c_custkey, s_suppkey, s_nationkey, km,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY d2, s_suppkey) AS rn
+      FROM cand)
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(MIN(km), 3) AS min_km,
+           round(MAX(km), 3) AS max_km
+    FROM best WHERE rn = 1
+    GROUP BY s_nationkey
+    ORDER BY s_nationkey
+    """
+
+
+@query("q_geo_grid_nearest_supplier", oracle=_grid_nn_oracle(), bench=False)
+def q_geo_grid_nearest_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest supplier per customer via grid-cell bucketing: suppliers
+    fan out to their 3x3 cell neighborhood (explode of 9 offsets,
+    longitude wraps at the date line, latitude edges clamp by the join
+    finding no partner), candidates meet in an EQUI-join on (cy, cx),
+    and a row_number top-1 per customer picks the nearest — ranked on
+    the exact integer squared equirectangular metric (engine-
+    independent ordering; suppkey tie-break), haversine reported.
+    Customers with no supplier in their neighborhood are absent —
+    the declared semantics of a bounded spatial probe (supplier keys
+    are scrambled *31+7 so the two point sets don't collide).
+
+    Scale: the ONLY join is hash/sort-merge on the cell id — never
+    all-pairs; the small side grows 9x (explode), the big side never
+    moves except for the join shuffle.  The top-1 compiles to
+    WindowGroupLimit (rank pushdown), so each partition keeps one row
+    per customer before the exchange.  Exactness: cells and ranking
+    pure BIGINT; reported km rounded to 3 with min/max (order-free).
+    """
+    c = t(spark, sf, "customer").selectExpr(
+        "c_custkey",
+        f"{_LATM.format(k='c_custkey')} AS c_latm",
+        f"{_LONM.format(k='c_custkey')} AS c_lonm",
+    )
+    c = c.selectExpr(
+        "c_custkey",
+        "c_latm",
+        "c_lonm",
+        f"{_CY.format(latm='c_latm')} AS cy",
+        f"{_CX.format(lonm='c_lonm')} AS cx",
+    )
+    s = t(spark, sf, "supplier").selectExpr(
+        "s_suppkey",
+        "s_nationkey",
+        f"{_LATM.format(k='s_suppkey * 31 + 7')} AS s_latm",
+        f"{_LONM.format(k='s_suppkey * 31 + 7')} AS s_lonm",
+    )
+    # fan the small side out to its 3x3 neighborhood; join key = the
+    # NEIGHBOR cell, so a customer cell meets every supplier within
+    # one cell in each direction
+    s = s.selectExpr(
+        "s_suppkey",
+        "s_nationkey",
+        "s_latm",
+        "s_lonm",
+        f"{_CY.format(latm='s_latm')} AS scy",
+        f"{_CX.format(lonm='s_lonm')} AS scx",
+    ).selectExpr(
+        "s_suppkey",
+        "s_nationkey",
+        "s_latm",
+        "s_lonm",
+        "explode(array(-1, 0, 1)) AS dy",
+        "scy",
+        "scx",
+    ).selectExpr(
+        "s_suppkey",
+        "s_nationkey",
+        "s_latm",
+        "s_lonm",
+        "scy + dy AS cy",
+        "explode(array(scx - 1, scx, scx + 1)) AS cx0",
+    ).selectExpr(
+        "s_suppkey",
+        "s_nationkey",
+        "s_latm",
+        "s_lonm",
+        "cy",
+        "(cx0 + 24) % 24 AS cx",
+    )
+    cand = c.join(s, ["cy", "cx"]).select(
+        "c_custkey",
+        "s_suppkey",
+        "s_nationkey",
+        F.expr(_NN_D2).alias("d2"),
+        F.expr(_NN_HAV).alias("km"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
+    best = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.min("km"), 3).alias("min_km"),
+            F.round(F.max("km"), 3).alias("max_km"),
+        )
+        .orderBy("s_nationkey")
+    )
