@@ -60,6 +60,10 @@ def _normalized_plan(df) -> str:
     s = re.sub(r"Location: [^\n]*", "Location: _", s)
     s = re.sub(r"Statistics\([^)]*\)", "Statistics(_)", s)
     s = re.sub(r"0x[0-9a-f]+", "0x_", s)
+    # RDD creation callsites ("at NativeMethodAccessorImpl.java:0" vs
+    # "at <unknown>:0") vary with the JVM's reflection accessor state,
+    # not the plan — the r9 kmeans false-positive class
+    s = re.sub(r"at \S+:\d+", "at _", s)
     return s
 
 
