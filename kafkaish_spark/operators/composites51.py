@@ -229,7 +229,7 @@ def _grid_nn_oracle() -> str:
     """
 
 
-@query("q_geo_grid_nearest_supplier", oracle=_grid_nn_oracle(), bench=False)
+@query("q_geo_grid_nearest_supplier", oracle=_grid_nn_oracle(), bench=True)
 def q_geo_grid_nearest_supplier(spark: SparkSession, sf: str) -> DataFrame:
     """Nearest supplier per customer via grid-cell bucketing: suppliers
     fan out to their 3x3 cell neighborhood (explode of 9 offsets,
