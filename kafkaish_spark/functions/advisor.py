@@ -154,6 +154,31 @@ def advise_join(
     )
 
 
+# Measured advice keyed by a caller-chosen token (e.g. (sf_dir,
+# edge)).  JoinAdvice is plain scalars — no DataFrame, no session
+# handle — so a cached verdict is valid across sessions for the same
+# data; clear the dict to force re-measurement.  Registered queries
+# route through this so building their DataFrame stays LAZY after the
+# first measurement: without it, every plan enumeration (bench
+# plan-diff, registry contract sweep, each timed bench rep) re-runs
+# the advisor's measurement jobs and folds them into query timings
+# (review r9).
+_ADVICE_CACHE: dict = {}
+
+
+def advise_join_cached(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    *,
+    cache_key,
+    **kwargs,
+) -> JoinAdvice:
+    if cache_key not in _ADVICE_CACHE:
+        _ADVICE_CACHE[cache_key] = advise_join(fact, dim, fact_key, **kwargs)
+    return _ADVICE_CACHE[cache_key]
+
+
 def advised_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -179,7 +204,28 @@ def advised_join(
 
     Every strategy returns bit-identical rows to the plain join (the
     equivalence oracle q_advised_star_revenue proves it end-to-end),
-    so the advisor can never change ANSWERS, only plans."""
+    so the advisor can never change ANSWERS, only plans.
+
+    ``how`` is validated against the salted contract UP FRONT, not
+    only when the measurement happens to pick salt: otherwise a
+    right/full-outer advised join works for months while the dim fits
+    the broadcast threshold, then starts raising the day the data
+    grows into the salt regime — a data-dependent latent error
+    (review r9).  Non-fact-preserving joins must opt out of salting
+    explicitly by calling the plain/broadcast join themselves."""
+    _SALTABLE = {"inner", "left", "leftouter", "left_outer",
+                 "semi", "leftsemi", "left_semi",
+                 "anti", "leftanti", "left_anti"}
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in _SALTABLE
+    }:
+        raise ValueError(
+            f"advised_join: how={how!r} is not fact-preserving, so the "
+            "salt strategy could never apply to it — and deferring the "
+            "error until the data grows into the salt regime would "
+            "make it a data-dependent runtime failure.  Use a plain "
+            f"fact.join(dim, on, {how!r}) (or broadcast(dim)) directly."
+        )
     if advice is None:
         advice = advise_join(
             fact, dim, on,

@@ -205,12 +205,20 @@ def q_sketch_tdigest_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     ev = t(spark, sf, "events").select("event_type", "value")
 
     def summarize(batches):
+        # Bounded state: per key, re-compress whenever the buffer
+        # exceeds 10x DELTA — the executor holds O(DELTA) centroids
+        # per key, never the partition's raw values (the whole point
+        # of a sketch; review r9 replaced a buffer-everything dict).
+        cap = 10 * DELTA
         accum: dict[str, list] = {}
         for pdf in batches:
             for et, g in pdf.groupby("event_type"):
-                accum.setdefault(et, []).extend(
-                    (float(v), 1) for v in g["value"].dropna()
-                )
+                buf = accum.setdefault(et, [])
+                buf.extend((float(v), 1) for v in g["value"].dropna())
+                if len(buf) > cap:
+                    accum[et] = [
+                        (m, w) for m, w in tdigest_compress(buf, DELTA)
+                    ]
         rows = []
         for et, pairs in accum.items():
             for m, w in tdigest_compress(pairs, DELTA):

@@ -16,7 +16,9 @@ as the rank-correlation wave (composites54):
   (v0, n0) in arm 0 and (v1, n1) in arm 1, pairs with v0 > v1
   contribute n0*n1 wins, v0 == v1 contribute n0*n1 half-wins — a
   bounded |V| x |V| broadcast join on the 50-value domain, never a
-  row-pair join.  Half-units keep U exact (U2 = 2U is a BIGINT).
+  row-pair join.  Half-units keep U exact (U2 = 2U), accumulated in
+  decimal(38,0) like the Kendall twin (2*n0*n1 overflows BIGINT past
+  ~4.3e9 rows per arm).
   The normal approximation with TIE CORRECTION gives z:
   sigma^2 = n0*n1/12 * ((n+1) - sum(t^3 - t)/(n(n-1))) — every term
   an exact integer ratio assembled in one fixed IEEE sequence.
@@ -65,8 +67,13 @@ _MW_ORACLE = f"""
     a0 AS (SELECT v, cnt FROM cells WHERE arm = 0),
     a1 AS (SELECT v, cnt FROM cells WHERE arm = 1),
     u AS (
-      SELECT SUM(CASE WHEN a0.v > a1.v THEN 2 * a0.cnt * a1.cnt
-                      WHEN a0.v = a1.v THEN a0.cnt * a1.cnt
+      -- cell products in decimal(38,0): U2 <= 2*n0*n1 overflows
+      -- BIGINT past ~4.3e9 rows per arm (review r9 — the Kendall
+      -- twin's accumulation pattern)
+      SELECT SUM(CASE WHEN a0.v > a1.v
+                      THEN 2 * CAST(a0.cnt AS DECIMAL(38,0)) * a1.cnt
+                      WHEN a0.v = a1.v
+                      THEN CAST(a0.cnt AS DECIMAL(38,0)) * a1.cnt
                       ELSE 0 END) AS u2
       FROM a0 CROSS JOIN a1),
     ns AS (
@@ -106,11 +113,12 @@ def q_ab_mann_whitney(spark: SparkSession, sf: str) -> DataFrame:
     a1 = cells.where(F.col("arm") == 1).select(
         F.col("v").alias("v1"), F.col("cnt").alias("c1")
     )
+    c0d = F.col("c0").cast("decimal(38,0)")
     u = a0.crossJoin(F.broadcast(a1)).agg(
         F.sum(
-            F.when(F.col("v0") > F.col("v1"), 2 * F.col("c0") * F.col("c1"))
-            .when(F.col("v0") == F.col("v1"), F.col("c0") * F.col("c1"))
-            .otherwise(F.lit(0))
+            F.when(F.col("v0") > F.col("v1"), 2 * c0d * F.col("c1"))
+            .when(F.col("v0") == F.col("v1"), c0d * F.col("c1"))
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
         ).alias("u2")
     )
     ns = cells.agg(

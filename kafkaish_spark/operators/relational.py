@@ -281,8 +281,15 @@ def q_star_revenue_by_region(spark: SparkSession, sf: str) -> DataFrame:
     hard-coded, now derived from the audit statistics instead of
     asserted (the measured decision stays correct when a dim grows).
     customer broadcasts via AQE at small SF and stays a shuffle join
-    at 100 TB — exactly what we want Catalyst to decide at runtime."""
-    from kafkaish_spark.functions.advisor import advised_join
+    at 100 TB — exactly what we want Catalyst to decide at runtime.
+    Advice is MEASURED ONCE per (sf, edge) and cached (plain scalars),
+    so repeated plan builds — bench reps, plan-diff, the contract
+    sweep — stay lazy instead of re-running measurement jobs and
+    folding them into this query's timings (review r9)."""
+    from kafkaish_spark.functions.advisor import (
+        advise_join_cached,
+        advised_join,
+    )
 
     l = t(spark, sf, "lineitem")
     o = t(spark, sf, "orders")
@@ -296,8 +303,15 @@ def q_star_revenue_by_region(spark: SparkSession, sf: str) -> DataFrame:
     base = l.join(o, l.l_orderkey == o.o_orderkey).join(
         c, o.o_custkey == c.c_custkey
     )
+    adv_n = advise_join_cached(
+        base, n, "c_nationkey", cache_key=(sf, "star.nation")
+    )
+    joined_n = advised_join(base, n, "c_nationkey", advice=adv_n)
+    adv_r = advise_join_cached(
+        joined_n, r, "n_regionkey", cache_key=(sf, "star.region")
+    )
     return (
-        advised_join(advised_join(base, n, "c_nationkey"), r, "n_regionkey")
+        advised_join(joined_n, r, "n_regionkey", advice=adv_r)
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),

@@ -213,6 +213,39 @@ def writer_lock(topic_root: str, what: str = "publish"):
                 os.remove(path)
 
 
+def _session_zone_date(now, sess_tz: str):
+    """The calendar date of instant ``now`` in the Spark session
+    timezone ``sess_tz`` — resolving BOTH region ids (zoneinfo) and the
+    fixed-offset spellings Spark accepts but zoneinfo rejects
+    ("GMT+08:00", "UTC+8", "+08:00", "-0530").  Without the offset
+    branch, an offset-zone session would file _publish_direct segments
+    under the UTC date while publish_df files the same instant under
+    the session-zone date — the two-path partition mismatch ADVICE r8
+    flagged (review r9 closed the offset-id hole)."""
+    import re as _re
+    from datetime import timedelta, timezone as _tz
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        return now.astimezone(ZoneInfo(sess_tz)).date()
+    except Exception:
+        pass
+    m = _re.fullmatch(
+        r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?",
+        sess_tz.strip(),
+    )
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        delta = timedelta(
+            hours=int(m.group(2)),
+            minutes=int(m.group(3) or 0),
+            seconds=int(m.group(4) or 0),
+        )
+        return now.astimezone(_tz(sign * delta)).date()
+    return now.date()  # unresolvable id: UTC, the session-pin date
+
+
 def _assign_contiguous_ids(df: DataFrame, start: int) -> DataFrame:
     """Add ``offset`` = start+1, start+2, ... in input partition order.
 
@@ -375,18 +408,16 @@ class Topic:
                 # rows under to_date(ts) evaluated in the session zone,
                 # and the two write paths must agree on which partition
                 # a given instant belongs to even when a user overrides
-                # get_spark's UTC pin (ADVICE r8).  Offsets like
-                # "GMT+08:00" (valid for Spark, unknown to zoneinfo)
-                # fall back to UTC — the same date the session pin gives.
+                # get_spark's UTC pin (ADVICE r8).  Fixed-offset ids
+                # ("GMT+08:00", "UTC+8", "+08:00" — valid for Spark,
+                # unknown to zoneinfo) are parsed into a fixed-offset
+                # tzinfo so the two paths agree for them too (review
+                # r9); only a genuinely unresolvable id falls back to
+                # UTC — the date the session pin gives.
                 sess_tz = self.spark.conf.get(
                     "spark.sql.session.timeZone", "UTC"
                 )
-                try:
-                    from zoneinfo import ZoneInfo
-
-                    part_date = now.astimezone(ZoneInfo(sess_tz)).date()
-                except Exception:
-                    part_date = now.date()
+                part_date = _session_zone_date(now, sess_tz)
                 seg_dir = os.path.join(
                     self.log_dir, f"pub_date={part_date.isoformat()}"
                 )
@@ -1379,13 +1410,43 @@ class Topic:
                 for fn in filenames:
                     if fn.startswith("part-") and fn.endswith(".parquet"):
                         path = os.path.join(dirpath, fn)
-                        rows = pq.ParquetFile(path).metadata.num_rows
-                        if rows:
-                            staged.append(path)
-                            n += rows
+                        meta = pq.ParquetFile(path).metadata
+                        if not meta.num_rows:
+                            continue
+                        min_off = None
+                        try:
+                            idx = {
+                                meta.schema.column(i).name: i
+                                for i in range(meta.num_columns)
+                            }["offset"]
+                            stats = meta.row_group(0).column(idx).statistics
+                            if stats is not None and stats.has_min_max:
+                                min_off = min(
+                                    meta.row_group(g)
+                                    .column(idx)
+                                    .statistics.min
+                                    for g in range(meta.num_row_groups)
+                                )
+                        except Exception:
+                            min_off = None
+                        if min_off is None:  # stats missing: read column
+                            min_off = min(
+                                pq.read_table(path, columns=["offset"])
+                                .column("offset")
+                                .to_pylist()
+                            )
+                        staged.append((min_off, path))
+                        n += meta.num_rows
             if n == 0:
                 shutil.rmtree(staging, ignore_errors=True)
                 return 0
+            # Rename in ASCENDING offset order: a crash mid-phase then
+            # leaves a contiguous prefix of the delta visible, and the
+            # next mirror_to's watermark (dst.latest()) resumes exactly
+            # after it.  os.walk order would let a higher-offset file
+            # land first, and a crash before its lower siblings would
+            # freeze a hole UNDER the watermark forever (review r9).
+            staged.sort()
             # -- phase 3: append (destination lock only) --------------
             with writer_lock(dst.root, what="mirror"):
                 if dst.latest() != tail:
@@ -1396,7 +1457,7 @@ class Topic:
                         "mirror_to: destination tail moved during copy"
                     )
                     continue
-                for path in staged:
+                for _min_off, path in staged:
                     rel = os.path.relpath(path, staging)
                     target = os.path.join(dst.log_dir, rel)
                     os.makedirs(os.path.dirname(target), exist_ok=True)
