@@ -249,3 +249,87 @@ def pattern_detect_stream(stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_percentiles(
+    stream: DataFrame,
+    key_col: str = "event",
+    value_col: str = "value",
+    *,
+    delta: int = 200,
+) -> DataFrame:
+    """Per-key streaming percentiles over an unbounded stream via a
+    t-digest in the state store — the streaming twin of the batch
+    sketch (operators/composites52.q_sketch_tdigest_quantiles, r9):
+    each micro-batch folds its values into the key's <= ``delta``
+    (mean, weight) centroids (bounded state regardless of stream
+    length — the property that makes a percentile dashboard viable on
+    an unbounded topic), and emits the current p50/p90/p99 estimates
+    in update mode.  The rank-error bound |rank(est) - q| <= 2/delta
+    is the same partitioning-independent invariant the batch tests
+    pin; tests/test_composites52.py::test_streaming_percentiles_*
+    drives it through a real availableNow stream and checks the
+    final estimates against exact quantiles of everything published.
+
+    State encoding: two parallel DOUBLE arrays (means, weights) — the
+    state store schema must be a flat struct, so the centroid list is
+    columnar, like the digest itself."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    from kafkaish_spark.operators.composites52 import (
+        tdigest_compress,
+        tdigest_quantile,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("q", DoubleType()),
+            StructField("value_est", DoubleType()),
+            StructField("n_total", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("means", ArrayType(DoubleType())),
+            StructField("weights", ArrayType(DoubleType())),
+        ]
+    )
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            means, weights = state.get
+            cents = list(zip(list(means), list(weights)))
+        else:
+            cents = []
+        buf = list(cents)
+        for pdf in pdfs:
+            buf.extend((float(v), 1.0) for v in pdf[value_col].dropna())
+            if len(buf) > 10 * delta:
+                buf = [(m, w) for m, w in tdigest_compress(buf, delta)]
+        cents = [(m, float(w)) for m, w in tdigest_compress(buf, delta)]
+        if not cents:
+            return
+        state.update(
+            ([m for m, _ in cents], [w for _, w in cents])
+        )
+        total = sum(w for _, w in cents)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * 3,
+                "q": [0.5, 0.9, 0.99],
+                "value_est": [
+                    tdigest_quantile(cents, q) for q in (0.5, 0.9, 0.99)
+                ],
+                "n_total": [total] * 3,
+            }
+        )
+
+    keyed = stream.withColumn("key", stream[key_col])
+    return keyed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

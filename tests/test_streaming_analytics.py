@@ -866,3 +866,50 @@ def test_streaming_drift_histograms_match_batch_psi_twin(
     assert ta == tb == 40
     # the synthetic shift is detectable: PSI well above the 0.25 alert
     assert psi_stream > 0.25
+
+
+def test_streaming_percentiles_tdigest(engine, spark, tmp_path):
+    """S9 library op 4 (r9): per-key t-digest percentiles over the
+    stream — bounded state, update-mode emissions, and the same
+    rank-error bound the batch sketch pins, here checked against the
+    exact quantiles of everything published (two micro-batch rounds,
+    state carried through the checkpoint)."""
+    from kafkaish_spark.streaming.stateful import streaming_percentiles
+
+    vals1 = [float(v) for v in range(0, 100)]
+    topic = _seed_topic(
+        engine,
+        "w_tdigest",
+        [("a", str(v), "2024-01-01 10:00:00") for v in vals1],
+    )
+
+    def op(t):
+        return streaming_percentiles(
+            t.stream().withColumn("value", F.col("message").cast("double")),
+            delta=50,
+        )
+
+    rows = _collect_stream(spark, op(topic), tmp_path)
+    got = {(r["key"], r["q"]): r["value_est"] for r in rows}
+    assert got, "no emissions"
+
+    # second round: more data continues the digest from checkpointed
+    # state — totals include BOTH rounds
+    vals2 = [float(v) for v in range(100, 200)]
+    topic.publish_df(
+        spark.createDataFrame(
+            [("a", str(v), "2024-01-01 10:01:00") for v in vals2],
+            "event string, message string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    rows2 = _collect_stream(spark, op(topic), tmp_path)
+    got2 = {(r["key"], r["q"]): r for r in rows2}
+    allv = sorted(vals1 + vals2)
+    n = len(allv)
+    assert got2[("a", 0.5)]["n_total"] == n
+    for q in (0.5, 0.9, 0.99):
+        est = got2[("a", q)]["value_est"]
+        lo = sum(1 for v in allv if v < est - 1e-9) / n
+        hi = sum(1 for v in allv if v <= est + 1e-9) / n
+        tol = 2.0 / 50 + 2.0 / n
+        assert lo - tol <= q <= hi + tol, (q, est, lo, hi)
