@@ -196,3 +196,30 @@ def test_geo_queries_basic(spark, sf_dir):
     for r in nn:
         assert r["n_customers"] >= 1
         assert 0.0 <= r["min_km"] <= r["max_km"]
+
+
+@given(
+    st.lists(
+        st.integers(0, 10_000).map(float), min_size=2, max_size=40
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_holt_duckdb_fold_matches_python(ys):
+    """The DuckDB side of the Holt fold (list_reduce over the
+    [level, trend] ARRAY accumulator) equals the python recurrence on
+    arbitrary series — the regression guard for the DuckDB 1.0
+    struct-lambda miscomputation the array form works around (a
+    struct accumulator silently corrupts the second field; see the
+    module docstring)."""
+    import duckdb
+
+    from kafkaish_spark.operators.composites52 import _b_next, _l_next
+
+    lam = f"(acc, e) -> [{_l_next(1)}, {_b_next(1)}]"
+    elems = ", ".join(f"[{y}::DOUBLE, 0.0::DOUBLE]" for y in ys[1:])
+    seed = f"[{ys[0]}::DOUBLE, {ys[1] - ys[0]}::DOUBLE]"
+    q = f"SELECT list_reduce([{seed}, {elems}], {lam})"
+    got = duckdb.sql(q).fetchall()[0][0]
+    l, b = _holt_python(ys)
+    assert got[0] == pytest.approx(l, abs=1e-12, rel=1e-12)
+    assert got[1] == pytest.approx(b, abs=1e-12, rel=1e-12)
