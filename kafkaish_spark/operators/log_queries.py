@@ -345,3 +345,35 @@ def q_log_topic_stats(spark: SparkSession, sf: str) -> DataFrame:
         ).drop("event_id")
     )
     return eng.describe_topics()
+
+
+@query("q_log_compaction_advice", oracle=None)
+def q_log_compaction_advice(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine.compaction_advice as data — the log layer's audit→action
+    loop (the fragmentation twin of the query layer's join-strategy
+    advisor): build one FRAGMENTED topic (40 single-message publishes
+    — the direct fast path's many-tiny-segments pattern) and one
+    compact topic (a single publish_df batch), and return the advice
+    table: the fragmented topic earns ``compact_small`` with a
+    files_after estimate, the compact one reads ``ok``.  Footer stats
+    only — no Spark job per topic.  Rows-only check (temp paths aren't
+    SQL-visible); the verdict/threshold invariants are pinned by
+    tests/test_log_layer.py::test_compaction_advice."""
+    from kafkaish_spark.sources.topic_log import Engine
+
+    eng = Engine(spark, tempfile.mkdtemp(prefix="kafkaish_compadv_"))
+    frag = eng.prepare_topic("fragmented")
+    for i in range(40):
+        frag.publish("e", {"i": i})
+    packed = eng.prepare_topic("packed")
+    ev = (
+        t(spark, sf, "events")
+        .filter(F.col("event_id") <= 300)
+        .select(
+            F.col("event_type").alias("event"),
+            F.col("props").alias("message"),
+            F.col("ts"),
+        )
+    )
+    packed.publish_df(ev, target_files=1)
+    return eng.compaction_advice(min_files=8).orderBy("topic")

@@ -1617,6 +1617,64 @@ class Engine:
             "n_bad_files long",
         )
 
+    def compaction_advice(
+        self,
+        *,
+        target_bytes: int = 128 * 1024 * 1024,
+        small_frac: float = 0.25,
+        min_files: int = 4,
+    ) -> DataFrame:
+        """The describe_topics fragmentation signal turned into ACTION
+        (the log-layer twin of the query layer's join-strategy advisor,
+        functions/advisor.py): per topic, the small-file economics and
+        the verdict — ``compact_small`` when at least ``min_files``
+        segments sit under ``small_frac * target_bytes`` (the many-tiny-
+        publishes pattern the direct fast path produces), else ``ok``.
+        ``files_after`` is the post-compaction file count at
+        ``target_bytes`` packing, so the row quantifies the win (scan
+        tasks saved) before anyone pays for it.
+
+        Cost: footer stats only, no Spark job — safe to poll; the
+        advised action is ``Topic.compact_small(target_bytes)``, which
+        preserves offsets and replay semantics (its own tests).  At
+        100 TB the same row gates a compaction scheduler: act when
+        ``n_small``'s scan-task overhead outweighs one rewrite of
+        ``small_bytes``."""
+        rows = []
+        cutoff = int(small_frac * target_bytes)
+        for name in self.topics():
+            topic = self.prepare_topic(name)
+            segs = [
+                s
+                for s in topic._segment_stats(tolerant=True)
+                if s["num_rows"] and not s.get("bad")
+            ]
+            small = [s for s in segs if s["size"] < cutoff]
+            total = sum(s["size"] for s in segs)
+            small_bytes = sum(s["size"] for s in small)
+            if small:
+                merged = max(1, -(-small_bytes // target_bytes))  # ceil
+                n_after = len(segs) - len(small) + merged
+            else:
+                n_after = len(segs)
+            advise = len(small) >= min_files
+            rows.append(
+                (
+                    name,
+                    len(segs),
+                    len(small),
+                    int(total),
+                    int(small_bytes),
+                    int(n_after if advise else len(segs)),
+                    "compact_small" if advise else "ok",
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "topic string, n_files long, n_small long, bytes long, "
+            "small_bytes long, files_after long, advice string",
+        )
+
     def topics(self) -> list[str]:
         """All topics under this root, prepared or not (the reference
         exposes no listing; Mongo's collection list is the analog)."""

@@ -1089,3 +1089,36 @@ def test_mirror_to_rejects_self_and_survives_lock_ordering(engine):
     other.publish_batch([("e1", {"k": 2})])
     assert other.mirror_to(src) == 1
     assert src.latest() == other.latest() == 2
+
+
+def test_compaction_advice(engine, spark):
+    """The fragmentation audit→action row: many tiny direct publishes
+    earn compact_small with a files_after estimate; one coalesced
+    publish_df batch reads ok; and acting on the advice
+    (compact_small) flips the verdict back to ok with replay intact."""
+    frag = engine.prepare_topic("ca_frag")
+    for i in range(12):
+        frag.publish("e", {"i": i})
+    packed = engine.prepare_topic("ca_packed")
+    packed.publish_df(
+        spark.createDataFrame(
+            [("e", str(i), "2024-01-01 10:00:00") for i in range(50)],
+            "event string, message string, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")),
+        target_files=1,
+    )
+    adv = {r["topic"]: r for r in engine.compaction_advice(min_files=8).collect()}
+    fr, pk = adv["ca_frag"], adv["ca_packed"]
+    assert fr["advice"] == "compact_small"
+    assert fr["n_small"] >= 8
+    assert fr["files_after"] < fr["n_files"]
+    assert pk["advice"] == "ok"
+    assert pk["files_after"] == pk["n_files"]
+    # act on the advice: the verdict flips to ok, replay unchanged
+    before = sorted(r["offset"] for r in frag.log().collect())
+    frag.compact_small()
+    adv2 = {
+        r["topic"]: r for r in engine.compaction_advice(min_files=8).collect()
+    }
+    assert adv2["ca_frag"]["advice"] == "ok"
+    assert sorted(r["offset"] for r in frag.log().collect()) == before
