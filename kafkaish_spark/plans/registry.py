@@ -225,26 +225,57 @@ _DRIVER_PRIORITY = (
 )
 
 
-def _driver_history() -> tuple[set[str], list[str]]:
-    """Parse the driver's ``CORRECTNESS_r*.json`` files at the repo root.
-
-    Returns ``(checked, reds)``: every name that ever received a driver
-    row, and the names whose LATEST row is red (neither a hash-green nor
-    a declared ``no_oracle`` rows-only check).  This makes the rotation
-    rule structural (r4 verdict): a driver-red name re-enters the next
-    50-query window automatically, and the never-checked pool is derived
-    rather than hand-maintained.  Falls back to the static history sets
-    when no files exist (fresh clone / first round).
-    """
+def _driver_files() -> list[str]:
+    """Basenames of the driver's ``CORRECTNESS_r*.json`` files present at
+    the repo root, in round order.  ``tools/dump_queries.py`` records this
+    list in the QUERIES.md header as the *proof basis*, and the freshness
+    contract test recomputes the header from exactly that basis — so a
+    CORRECTNESS file the driver drops AFTER the round's final commit can
+    never fail a suite the builder already proved (r9 verdict item 1)."""
     import glob
-    import json
     import os
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
+    return sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    )
+
+
+def _driver_history(
+    files: list[str] | None = None,
+) -> tuple[set[str], list[str], dict[str, int]]:
+    """Parse the driver's ``CORRECTNESS_r*.json`` files at the repo root.
+
+    Returns ``(checked, reds, latest_round)``: every name that ever
+    received a driver row, the names whose LATEST row is red (neither a
+    hash-green nor a declared ``no_oracle`` rows-only check), and the
+    round number each name's latest row came from.  This makes the
+    rotation rule structural (r4 verdict): a driver-red name re-enters
+    the next 50-query window automatically, the never-checked pool is
+    derived rather than hand-maintained, and — with the pool empty since
+    r9 — ``latest_round`` drives least-recently-proven re-proof rotation
+    (r9 verdict item 2).  Falls back to the static history sets when no
+    files exist (fresh clone / first round).
+
+    ``files``: optional explicit basenames to parse (the QUERIES.md proof
+    basis); ``None`` parses everything present.
+    """
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     latest: dict[str, dict] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    latest_round: dict[str, int] = {}
+    for base in _driver_files() if files is None else files:
+        path = os.path.join(root, base)
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", base)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -254,14 +285,15 @@ def _driver_history() -> tuple[set[str], list[str]]:
             for name, rec in rows.items():
                 if isinstance(rec, dict):
                     latest[name] = rec
+                    latest_round[name] = max(rnd, latest_round.get(name, 0))
     if not latest:
-        return set(_DRIVER_CHECKED), []
+        return set(_DRIVER_CHECKED), [], {}
 
     def _green(rec: dict) -> bool:
         return bool(rec.get("hash_match")) or rec.get("err") == "no_oracle"
 
     reds = [n for n, rec in latest.items() if not _green(rec)]
-    return set(latest), reds
+    return set(latest), reds, latest_round
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -269,10 +301,15 @@ def all_queries() -> dict[str, QuerySpec]:
     (structural auto-front-load), (2) explicit new-feature priorities,
     (3) never-driver-checked oracle-backed queries in registration
     order, (4) never-checked rows-only queries, (5) everything already
-    green.  The driver samples the FIRST 50, so this ordering maximizes
-    cumulative proven coverage each round."""
+    green, LEAST-recently-proven first (ties in registration order).
+    The driver samples the FIRST 50, so this ordering maximizes
+    cumulative proven coverage each round — and once the never-checked
+    pool is empty (r9), bucket 5's staleness order makes the 50-slot
+    window cycle through the whole converged registry (~8 rounds per
+    full re-proof) instead of re-checking the oldest registrations
+    forever (r9 verdict item 2)."""
     _load_all()
-    checked, reds = _driver_history()
+    checked, reds, latest_round = _driver_history()
     ordered: dict[str, QuerySpec] = {}
     for n in reds:
         if n in _REGISTRY and _REGISTRY[n].oracle is not None:
@@ -289,9 +326,17 @@ def all_queries() -> dict[str, QuerySpec]:
     for n, s in _REGISTRY.items():
         if n not in ordered and n not in checked:
             ordered[n] = s
-    for n, s in _REGISTRY.items():
-        if n not in ordered:
-            ordered[n] = s
+    # already-green tail: stalest proof first.  Names absent from
+    # latest_round (static-fallback history) sort as round 0 = stalest.
+    green_tail = sorted(
+        (n for n in _REGISTRY if n not in ordered),
+        key=lambda n, _idx={m: i for i, m in enumerate(_REGISTRY)}: (
+            latest_round.get(n, 0),
+            _idx[n],
+        ),
+    )
+    for n in green_tail:
+        ordered[n] = _REGISTRY[n]
     return ordered
 
 

