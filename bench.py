@@ -34,13 +34,17 @@ def _normalized_plan(df) -> str:
     and testdata roots differ per machine), row-count/size statistics,
     and codegen ids."""
     import io
-    import re
     from contextlib import redirect_stdout
 
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-    s = buf.getvalue()
+    return _normalize_plan_text(buf.getvalue())
+
+
+def _normalize_plan_text(s: str) -> str:
+    import re
+
     s = re.sub(r"#\d+", "#_", s)
     s = re.sub(r"plan_id=\d+", "plan_id=_", s)
     # session-global counters: lambda variables (lambda x_341),
@@ -63,7 +67,7 @@ def _normalized_plan(df) -> str:
     # RDD creation callsites ("at NativeMethodAccessorImpl.java:0" vs
     # "at <unknown>:0") vary with the JVM's reflection accessor state,
     # not the plan — the r9 kmeans false-positive class
-    s = re.sub(r"at \S+:\d+", "at _", s)
+    s = re.sub(r"at (?:\S+\.(?:java|scala)|<unknown>):\d+", "at _", s)
     return s
 
 

@@ -174,9 +174,16 @@ def advise_join_cached(
     cache_key,
     **kwargs,
 ) -> JoinAdvice:
-    if cache_key not in _ADVICE_CACHE:
-        _ADVICE_CACHE[cache_key] = advise_join(fact, dim, fact_key, **kwargs)
-    return _ADVICE_CACHE[cache_key]
+    # the full key includes the threshold kwargs: two call sites sharing
+    # a cache_key with different broadcast_bytes / hot_share_threshold /
+    # scale_factor must not reuse each other's verdict (r9 ADVICE).
+    # Caveat: the cache lives for the process; tests that REGENERATE the
+    # data under a cached sf path must clear _ADVICE_CACHE (plan-only
+    # impact — answers are strategy-independent by construction).
+    full_key = (cache_key, tuple(sorted(kwargs.items())))
+    if full_key not in _ADVICE_CACHE:
+        _ADVICE_CACHE[full_key] = advise_join(fact, dim, fact_key, **kwargs)
+    return _ADVICE_CACHE[full_key]
 
 
 def advised_join(

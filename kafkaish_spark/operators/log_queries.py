@@ -347,23 +347,32 @@ def q_log_topic_stats(spark: SparkSession, sf: str) -> DataFrame:
     return eng.describe_topics()
 
 
-@query("q_log_compaction_advice", oracle=None)
-def q_log_compaction_advice(spark: SparkSession, sf: str) -> DataFrame:
-    """Engine.compaction_advice as data — the log layer's audit→action
-    loop (the fragmentation twin of the query layer's join-strategy
-    advisor): build one FRAGMENTED topic (40 single-message publishes
-    — the direct fast path's many-tiny-segments pattern) and one
-    compact topic (a single publish_df batch), and return the advice
-    table: the fragmented topic earns ``compact_small`` with a
-    files_after estimate, the compact one reads ``ok``.  Footer stats
-    only — no Spark job per topic.  Rows-only check (temp paths aren't
-    SQL-visible); the verdict/threshold invariants are pinned by
-    tests/test_log_layer.py::test_compaction_advice."""
+# Memoized per-application fixture for q_log_compaction_advice: the
+# fragmented/packed topic pair is built ONCE per Spark app and reused
+# by every plan enumeration (bench plan-diff, contract sweep, timed
+# reps) — the same eager-work-at-plan-build fix the r9 advisor cache
+# made for joins (r9 ADVICE item 5).  The temp root is removed at
+# interpreter exit.
+_COMPADV_FIXTURE: dict = {}
+
+
+def _compadv_engine(spark: SparkSession, sf: str):
+    import atexit
+    import shutil
+
     from kafkaish_spark.sources.topic_log import Engine
 
-    eng = Engine(spark, tempfile.mkdtemp(prefix="kafkaish_compadv_"))
+    app = spark.sparkContext.applicationId
+    if app in _COMPADV_FIXTURE:
+        return _COMPADV_FIXTURE[app]
+    root = tempfile.mkdtemp(prefix="kafkaish_compadv_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    eng = Engine(spark, root)
     frag = eng.prepare_topic("fragmented")
-    for i in range(40):
+    # 10 single-message publishes still clears min_files=8 while paying
+    # a quarter of the writer-lock/parquet-write cycles the r9 version
+    # did (r9 ADVICE item 5)
+    for i in range(10):
         frag.publish("e", {"i": i})
     packed = eng.prepare_topic("packed")
     ev = (
@@ -376,4 +385,22 @@ def q_log_compaction_advice(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     packed.publish_df(ev, target_files=1)
+    _COMPADV_FIXTURE[app] = eng
+    return eng
+
+
+@query("q_log_compaction_advice", oracle=None)
+def q_log_compaction_advice(spark: SparkSession, sf: str) -> DataFrame:
+    """Engine.compaction_advice as data — the log layer's audit→action
+    loop (the fragmentation twin of the query layer's join-strategy
+    advisor): build one FRAGMENTED topic (10 single-message publishes
+    — the direct fast path's many-tiny-segments pattern, memoized per
+    Spark app so plan enumeration stays cheap) and one compact topic
+    (a single publish_df batch), and return the advice table: the
+    fragmented topic earns ``compact_small`` with a files_after
+    estimate, the compact one reads ``ok``.  Footer stats only — no
+    Spark job per topic.  Rows-only check (temp paths aren't
+    SQL-visible); the verdict/threshold invariants are pinned by
+    tests/test_log_layer.py::test_compaction_advice."""
+    eng = _compadv_engine(spark, sf)
     return eng.compaction_advice(min_files=8).orderBy("topic")

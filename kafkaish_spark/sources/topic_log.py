@@ -242,7 +242,13 @@ def _session_zone_date(now, sess_tz: str):
             minutes=int(m.group(3) or 0),
             seconds=int(m.group(4) or 0),
         )
-        return now.astimezone(_tz(sign * delta)).date()
+        # datetime.timezone rejects offsets outside (-24h, +24h); an
+        # out-of-range conf like '+25:00' must fall back to UTC, not
+        # crash the publish path (r9 ADVICE)
+        try:
+            return now.astimezone(_tz(sign * delta)).date()
+        except (ValueError, OverflowError):
+            pass
     return now.date()  # unresolvable id: UTC, the session-pin date
 
 

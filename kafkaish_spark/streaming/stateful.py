@@ -267,7 +267,7 @@ def streaming_percentiles(
     an unbounded topic), and emits the current p50/p90/p99 estimates
     in update mode.  The rank-error bound |rank(est) - q| <= 2/delta
     is the same partitioning-independent invariant the batch tests
-    pin; tests/test_composites52.py::test_streaming_percentiles_*
+    pin; tests/test_streaming_analytics.py::test_streaming_percentiles_tdigest
     drives it through a real availableNow stream and checks the
     final estimates against exact quantiles of everything published.
 
