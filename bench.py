@@ -119,6 +119,20 @@ def main() -> None:
             spec.fn(spark, warm_sf).write.mode("overwrite").format("noop").save()
         except Exception as ex:  # warm-up must never fail the bench
             print(f"# warmup {name} skipped: {ex}", file=sys.stderr)
+    # Untimed DataFrame BUILD at the target sf: one-time eager fixture
+    # work keyed on the sf path (the CDC log validation/publish, the
+    # advisor's measurement jobs, the compaction-advice topic pair)
+    # happens at plan-build time and is per-root, so the tiny-sf warm-up
+    # above doesn't cover it — without this, rep 1 billed the fixture
+    # setup to the timed region and q_cdc_capture_apply_roundtrip's
+    # noise band read 10-30x its peers (r9 verdict item 4).  Building
+    # the frame (no action) is enough: the one-time jobs run here, the
+    # timed reps below still do all real scans/shuffles cold.
+    for name, spec in sorted(specs.items()):
+        try:
+            spec.fn(spark, sf_dir)
+        except Exception as ex:
+            print(f"# target-sf prebuild {name} skipped: {ex}", file=sys.stderr)
     # Each query is timed REPS times and the MINIMUM is reported: this
     # box shares a host with co-tenant VMs and single-shot timings for
     # UNCHANGED queries vary by 1.5-2x run to run (measured; see

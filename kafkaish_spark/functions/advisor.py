@@ -253,3 +253,136 @@ def advised_join(
         )
     out_dim = dim.hint(dim_hint) if dim_hint else dim
     return fact.join(out_dim, on, how)
+
+
+# --------------------------------------------------------- aggregations
+# The r9 advisor decided joins; r10 completes it symmetrically for
+# group-bys (r9 verdict item 5).  The skew economics differ from joins:
+# Spark's own map-side partial aggregation already compresses a
+# low-cardinality ALGEBRAIC aggregate to (distinct keys) rows per map
+# task, so a hot key rarely hurts a plain count/sum.  Where it DOES
+# hurt — and what the salted two-phase plan fixes — is reducer-side
+# per-group state that partials can't shrink: count(DISTINCT x) on the
+# hot key, collect_list, exact medians, or simply a grouping whose
+# value-side cardinality defeats the map-side hash table.  AQE can't
+# help either way: OptimizeSkewedJoin splits join partitions, never
+# aggregation keys (tools/bench_skew.py; q_agg_salted_skew documents
+# the manual spelling this consumer now chooses automatically).
+
+
+@dataclass(frozen=True)
+class AggAdvice:
+    """advise_agg's verdict plus the measurement it rests on."""
+
+    strategy: str  # "plain" | "salt"
+    hot_key: object  # hottest grouping key
+    hot_share: float  # its share of fact rows
+    hot_share_threshold: float  # threshold used
+
+
+def advise_agg(
+    fact: DataFrame,
+    key: str,
+    *,
+    hot_share_threshold: float = HOT_SHARE_THRESHOLD_DEFAULT,
+) -> AggAdvice:
+    """Measure the hottest grouping key's share of the fact rows (the
+    same scale-free statistic ``advise_join`` uses — one hash agg with
+    map-side partials + a top-1) and decide: ``salt`` when one key
+    would saturate its reducer >= 1/threshold× sooner than average,
+    else ``plain`` (Catalyst's single hash aggregate is right)."""
+    hot_key, hot_share = fact_hot_share(fact, key)
+    strategy = "salt" if hot_share >= hot_share_threshold else "plain"
+    return AggAdvice(strategy, hot_key, hot_share, hot_share_threshold)
+
+
+def advise_agg_cached(
+    fact: DataFrame,
+    key: str,
+    *,
+    cache_key,
+    **kwargs,
+) -> AggAdvice:
+    """Memoized advise_agg — same contract (and same cache) as
+    advise_join_cached: the verdict is plain scalars, valid across
+    sessions for the same data, keyed on (caller token, kwargs)."""
+    full_key = ("agg", cache_key, tuple(sorted(kwargs.items())))
+    if full_key not in _ADVICE_CACHE:
+        _ADVICE_CACHE[full_key] = advise_agg(fact, key, **kwargs)
+    return _ADVICE_CACHE[full_key]
+
+
+# partial-phase expression and merge-phase expression per aggregate
+# kind — the commutative-monoid decompositions that make the salted
+# two-phase plan bit-identical to the plain group-by
+_AGG_KINDS = {
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "sum": (F.sum, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def advised_agg(
+    fact: DataFrame,
+    key: str,
+    aggs: dict,
+    *,
+    advice: AggAdvice | None = None,
+    salt_buckets: int = 64,
+    salt_on: list[str] | None = None,
+    hot_share_threshold: float = HOT_SHARE_THRESHOLD_DEFAULT,
+) -> DataFrame:
+    """Group ``fact`` by ``key`` computing ``aggs`` (ordered mapping
+    ``name -> (kind, column)`` with kind in count/sum/min/max; column
+    ignored for count) using the advised strategy (measured here
+    unless a cached ``advice`` is passed):
+
+    - ``plain`` → one hash aggregate, Catalyst's pick;
+    - ``salt``  → the q_agg_salted_skew two-phase plan: phase 1
+      pre-aggregates (key, pmod(xxhash64(salt_on), salt_buckets)) —
+      ``salt_buckets``-way parallel regardless of key skew — and
+      phase 2 merges the (keys × buckets) partials, a trivially small
+      second shuffle.  The salt is deterministic (xxhash64 of
+      ``salt_on``, default every fact column) and never reaches the
+      result.
+
+    Only monoid kinds are accepted, which is exactly what makes the
+    two plans answer-identical: merge(partials) == direct aggregate
+    for count/sum/min/max.  AVG callers compose sum/count; holistic
+    aggregates (exact percentiles, collect_*) have no merge phase and
+    must not route here.  The equivalence is driver-proven end-to-end
+    by q_advised_agg_quantity_stats' plain-SQL oracle."""
+    for name, (kind, _col) in aggs.items():
+        if kind not in _AGG_KINDS:
+            raise ValueError(
+                f"advised_agg: kind {kind!r} for {name!r} is not a "
+                f"mergeable monoid ({sorted(_AGG_KINDS)}) — a salted "
+                "two-phase plan could silently change its answer"
+            )
+    if advice is None:
+        advice = advise_agg(
+            fact, key, hot_share_threshold=hot_share_threshold
+        )
+    if advice.strategy == "plain":
+        return fact.groupBy(key).agg(
+            *[
+                _AGG_KINDS[kind][0](col).alias(name)
+                for name, (kind, col) in aggs.items()
+            ]
+        )
+    salt_cols = salt_on if salt_on is not None else fact.columns
+    partial = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt_buckets))
+    ).groupBy(key, "_salt").agg(
+        *[
+            _AGG_KINDS[kind][0](col).alias(f"_p_{name}")
+            for name, (kind, col) in aggs.items()
+        ]
+    )
+    return partial.groupBy(key).agg(
+        *[
+            _AGG_KINDS[kind][1](f"_p_{name}").alias(name)
+            for name, (kind, col) in aggs.items()
+        ]
+    )

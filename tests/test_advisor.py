@@ -134,6 +134,69 @@ def test_advice_is_cacheable_and_explicit(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_advise_agg_salts_hot_key_and_leaves_uniform_plain(spark, sf_dir):
+    """The r10 aggregation side of the advisor (r9 verdict item 5):
+    l_returnflag's hottest value carries ~half the fact rows -> salt;
+    o_custkey is uniform -> plain."""
+    from kafkaish_spark.functions.advisor import advise_agg
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag")
+    hot = advise_agg(li, "l_returnflag")
+    assert hot.strategy == "salt"
+    assert hot.hot_share >= hot.hot_share_threshold
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    mild = advise_agg(o, "o_custkey")
+    assert mild.strategy == "plain"
+    assert mild.hot_share < mild.hot_share_threshold
+
+
+def test_advised_agg_plans_match_verdicts(spark, sf_dir):
+    """Salt verdict -> the two-phase plan (an exchange on (key, _salt)
+    before the merge exchange on key); plain verdict -> one exchange.
+    Both return the plain group-by's rows."""
+    from kafkaish_spark.functions.advisor import AggAdvice, advised_agg
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("long").alias("qty")
+    )
+    aggs = {"n": ("count", None), "mx": ("max", F.col("qty"))}
+    salted = advised_agg(
+        li, "l_returnflag", aggs,
+        advice=AggAdvice("salt", "N", 0.5, 0.125), salt_on=["qty"],
+    )
+    plain = advised_agg(
+        li, "l_returnflag", aggs,
+        advice=AggAdvice("plain", None, 0.0, 0.125),
+    )
+    sp, pp = _plan(salted), _plan(plain)
+    # two-phase: exchange on (key, _salt) then the tiny merge exchange
+    assert "_salt" in sp and sp.count("hashpartitioning(l_returnflag") == 2, sp
+    assert "_salt" not in pp and pp.count("hashpartitioning") == 1, pp
+    rows = lambda df: {  # noqa: E731
+        (r["l_returnflag"], r["n"], r["mx"]) for r in df.collect()
+    }
+    want = {
+        (r["l_returnflag"], r["n"], r["mx"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("qty").alias("mx"))
+        .collect()
+    }
+    assert rows(salted) == want and rows(plain) == want
+
+
+def test_advised_agg_rejects_non_monoid_kinds(spark, sf_dir):
+    import pytest
+
+    from kafkaish_spark.functions.advisor import AggAdvice, advised_agg
+
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag")
+    with pytest.raises(ValueError, match="monoid"):
+        advised_agg(
+            li, "l_returnflag", {"bad": ("avg", F.lit(1))},
+            advice=AggAdvice("plain", None, 0.0, 0.125),
+        )
+
+
 def test_measurement_helpers_are_exact(spark):
     """dim_projected_bytes and fact_hot_share on a frame with known
     arithmetic: 3 rows x (8 fixed + octet_length) and a 2/4 hot key."""
