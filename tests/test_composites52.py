@@ -198,6 +198,79 @@ def test_geo_queries_basic(spark, sf_dir):
         assert 0.0 <= r["min_km"] <= r["max_km"]
 
 
+def test_geo_bbox_is_one_scan(spark, sf_dir):
+    """r10 rewrite (r9 verdict item 7): the box report must read the
+    customer table ONCE — the r9 form unioned 4 filtered scans, a 4x
+    scan multiplier at 100 TB."""
+    from kafkaish_spark.operators.composites51 import q_geo_bbox_customers
+
+    plan = (
+        q_geo_bbox_customers(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def _brute_nearest(points, sites):
+    """Exact integer brute force: (p_id -> (d2, s_id)) with the same
+    wraparound metric and tie-break the engine uses."""
+    out = {}
+    for p_id, plat, plon in points:
+        best = None
+        for s_id, _tag, slat, slon in sites:
+            dlon = min((plon - slon) % 36000, (slon - plon) % 36000)
+            d2 = (plat - slat) ** 2 + dlon * dlon
+            if best is None or (d2, s_id) < best:
+                best = (d2, s_id)
+        out[p_id] = best
+    return out
+
+
+def test_grid_nearest_complete_matches_brute_force_sparse(spark):
+    """The ring-expansion fallback (r9 verdict item 6): with only TWO
+    sites on the whole grid, almost every point has an empty 3x3 (and
+    most an empty 7x7) neighborhood — the r9 bounded probe would drop
+    them.  grid_nearest_complete must return EVERY point exactly once
+    with its true nearest site (exact d2 + id tie-break equality vs
+    python brute force), and the fallback legs must actually engage."""
+    from kafkaish_spark.operators.composites51 import grid_nearest_complete
+
+    points = [
+        (k, (k * 9973) % 17000, (k * 6151) % 36000) for k in range(1, 201)
+    ]
+    # two far-apart sites; site 2 near the date line to exercise wrap
+    sites = [(1, 10, 100, 150), (2, 20, 16900, 35950)]
+    p_df = spark.createDataFrame(
+        points, "p_id long, p_latm long, p_lonm long"
+    )
+    s_df = spark.createDataFrame(
+        sites, "s_id long, s_tag long, s_latm long, s_lonm long"
+    )
+    got = grid_nearest_complete(p_df, s_df).collect()
+    assert len(got) == len(points)  # every point, exactly once
+    assert len({r["p_id"] for r in got}) == len(points)
+    want = _brute_nearest(points, sites)
+    for r in got:
+        assert (r["d2"], r["s_id"]) == want[r["p_id"]], r
+    radii = {r["settle_r"] for r in got}
+    assert max(radii) > 1, radii  # the fallback legs engaged
+
+
+def test_grid_nn_complete_covers_every_customer(spark, sf_dir):
+    """The registered query's coverage contract: totals equal
+    |customer| (the bounded headliner may drop; the complete variant
+    may not)."""
+    from kafkaish_spark.operators.composites51 import q_geo_grid_nn_complete
+    from kafkaish_spark.sources.tables import load_table as t
+
+    rows = q_geo_grid_nn_complete(spark, sf_dir).collect()
+    assert sum(r["n_customers"] for r in rows) == t(
+        spark, sf_dir, "customer"
+    ).count()
+
+
 @given(
     st.lists(
         st.integers(0, 10_000).map(float), min_size=2, max_size=40
