@@ -194,6 +194,60 @@ def q_advised_star_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _agg_strategy_oracle() -> str:
+    edges = [
+        ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+        ("lineitem.l_linenumber", "lineitem", "l_linenumber"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("customer.c_nationkey", "customer", "c_nationkey"),
+    ]
+    parts = [
+        f"""
+        SELECT '{edge}' AS grouping_key,
+               CASE WHEN hot_share >= {_HOT} THEN 'salt'
+                    ELSE 'plain' END AS strategy,
+               hot_share
+        FROM (SELECT round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS hot_share
+              FROM (SELECT COUNT(*) AS n FROM {table} GROUP BY {key}))"""
+        for edge, table, key in edges
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("q_advisor_agg_strategy", oracle=_agg_strategy_oracle())
+def q_advisor_agg_strategy(spark: SparkSession, sf: str) -> DataFrame:
+    """The aggregation advisor's verdict per grouping key (the r10
+    symmetry completion of q_advisor_strategy_table): the real
+    ``advise_agg`` measures each key's hottest share and its salt/plain
+    decision is hash-compared against the same rule in ANSI SQL.
+    Covers both regimes twice over: l_returnflag (~half the rows on one
+    flag) and l_linenumber (~a quarter on line 1) earn salt;
+    o_custkey and c_nationkey are uniform — plain.
+
+    Scale: per edge one map-partial hash agg + top-1 (the advisor's
+    own cost model), memoized per (sf, edge) so plan enumeration stays
+    lazy; verdicts are bounded driver scalars (4 rows).  Exactness:
+    the share is ONE IEEE division of exact counts rounded to 6 on
+    both engines."""
+    from kafkaish_spark.functions.advisor import advise_agg_cached
+
+    edges = [
+        ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+        ("lineitem.l_linenumber", "lineitem", "l_linenumber"),
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("customer.c_nationkey", "customer", "c_nationkey"),
+    ]
+    rows = []
+    for edge, table, key in edges:
+        a = advise_agg_cached(
+            t(spark, sf, table).select(key), key, cache_key=(sf, edge)
+        )
+        rows.append((edge, a.strategy, round(a.hot_share, 6)))
+    return spark.createDataFrame(
+        rows, "grouping_key string, strategy string, hot_share double"
+    )
+
+
 @query(
     "q_advised_agg_quantity_stats",
     oracle="""

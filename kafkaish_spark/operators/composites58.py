@@ -1,0 +1,136 @@
+"""Round-10 wave: rank fusion for retrieval pipelines.
+
+Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009) is
+the standard way a search/RAG pipeline merges heterogeneous top-k
+lists (BM25 + embedding ANN, or two different rankers) without score
+calibration: each list contributes 1/(k0 + rank) and the fused order
+is the sum.  The inventory has every individual ranker (cosine top-k,
+ANN, TF-IDF, MMR); this adds the combiner they feed.
+
+[NS] north-star extension — the reference
+(/root/reference/src/topic.js, ~350 LoC pub/sub) has no query surface.
+
+House exactness: ranks are exact integers from deterministically
+tie-broken top-k lists; the RRF score is ONE fixed IEEE composition
+(two exact-int divisions + one add, mirrored token-for-token), rounded
+to 6 before the final deterministic (score, key) ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+_K = 100  # per-list candidate depth
+_K0 = 60  # the canonical RRF smoothing constant
+
+
+def _rrf_oracle() -> str:
+    return f"""
+    WITH per AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_partkey),
+    ra AS (
+      SELECT l_partkey,
+             row_number() OVER (ORDER BY cents DESC, l_partkey) AS rank_rev
+      FROM (SELECT l_partkey, cents FROM per
+            ORDER BY cents DESC, l_partkey LIMIT {_K})),
+    rb AS (
+      SELECT l_partkey,
+             row_number() OVER (ORDER BY n_lines DESC, l_partkey) AS rank_cnt
+      FROM (SELECT l_partkey, n_lines FROM per
+            ORDER BY n_lines DESC, l_partkey LIMIT {_K})),
+    fused AS (
+      SELECT COALESCE(ra.l_partkey, rb.l_partkey) AS l_partkey,
+             rank_rev, rank_cnt,
+             round(COALESCE(CAST(1.0 AS DOUBLE) / ({_K0} + rank_rev),
+                            CAST(0.0 AS DOUBLE))
+                   + COALESCE(CAST(1.0 AS DOUBLE) / ({_K0} + rank_cnt),
+                              CAST(0.0 AS DOUBLE)), 6) AS rrf_score
+      FROM ra FULL JOIN rb ON ra.l_partkey = rb.l_partkey)
+    SELECT l_partkey,
+           CAST(COALESCE(rank_rev, 0) AS BIGINT) AS rank_rev,
+           CAST(COALESCE(rank_cnt, 0) AS BIGINT) AS rank_cnt,
+           rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, l_partkey
+    LIMIT 10
+    """
+
+
+@query("q_rank_rrf_fusion", oracle=_rrf_oracle())
+def q_rank_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal Rank Fusion of two part rankings — by exact revenue
+    cents and by line count (standing in for the BM25/embedding pair a
+    text pipeline fuses): top-{_K} per list with deterministic
+    (measure DESC, key) tie-break, full-outer join on the item, score
+    = 1/(60+rank_a) + 1/(60+rank_b) with an absent rank contributing
+    0, top-10 fused.  rank 0 in the output means "not in that list".
+
+    Scale: candidate generation is TakeOrderedAndProject (per-partition
+    top-k merged on the driver — never a global sort of the item
+    space); ranking windows and the fusion join run on the two
+    <= 100-row candidate frames, a bounded tail the contract suite
+    whitelists.  This is the shape that holds at 100 TB: fusing
+    top-100 lists costs the same whether the corpus has 2e5 or 2e11
+    candidates — only the per-list retrieval scans scale.
+    Exactness: ranks exact ints; one mirrored IEEE composition
+    rounded to 6; final order (rounded score DESC, key)."""
+    li = t(spark, sf, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.sum("cents").alias("cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    ra = (
+        per.orderBy(F.col("cents").desc(), "l_partkey")
+        .limit(_K)
+        .select(
+            "l_partkey",
+            F.row_number()
+            .over(Window.orderBy(F.col("cents").desc(), "l_partkey"))
+            .alias("rank_rev"),
+        )
+    )
+    rb = (
+        per.orderBy(F.col("n_lines").desc(), "l_partkey")
+        .limit(_K)
+        .select(
+            "l_partkey",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_lines").desc(), "l_partkey"))
+            .alias("rank_cnt"),
+        )
+    )
+    fused = ra.join(rb, "l_partkey", "full").select(
+        "l_partkey",
+        "rank_rev",
+        "rank_cnt",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_K0) + F.col("rank_rev")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_K0) + F.col("rank_cnt")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return (
+        fused.select(
+            "l_partkey",
+            F.coalesce("rank_rev", F.lit(0)).cast("long").alias("rank_rev"),
+            F.coalesce("rank_cnt", F.lit(0)).cast("long").alias("rank_cnt"),
+            "rrf_score",
+        )
+        .orderBy(F.col("rrf_score").desc(), "l_partkey")
+        .limit(10)
+    )
