@@ -74,17 +74,20 @@ def _strategy_oracle() -> str:
         parts.append(f"""
         SELECT '{edge}' AS edge,
                CASE WHEN dim_bytes * {scale} <= {_BC} THEN 'broadcast'
-                    WHEN hot_share >= {_HOT} THEN 'salt'
+                    WHEN raw_share >= {_HOT} THEN 'salt'
                     ELSE 'shuffle' END AS strategy,
                dim_bytes,
                CASE WHEN dim_bytes * {scale} <= {_BC} THEN 0.0
-                    ELSE hot_share END AS hot_share
+                    ELSE round(raw_share, 6) END AS hot_share
         FROM (
           SELECT (SELECT CAST(COALESCE(SUM(b), 0) AS BIGINT)
                   FROM ({dim_sql})) AS dim_bytes,
-                 (SELECT round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6)
+                 -- threshold on the RAW share exactly like advise_join;
+                 -- round only the REPORTED column (review r10: rounding
+                 -- before the CASE flips a within-5e-7-of-threshold key)
+                 (SELECT CAST(MAX(n) AS DOUBLE) / SUM(n)
                   FROM (SELECT COUNT(*) AS n FROM ({fact_sql})
-                        GROUP BY k)) AS hot_share)""")
+                        GROUP BY k)) AS raw_share)""")
     return " UNION ALL ".join(parts)
 
 
@@ -204,10 +207,10 @@ def _agg_strategy_oracle() -> str:
     parts = [
         f"""
         SELECT '{edge}' AS grouping_key,
-               CASE WHEN hot_share >= {_HOT} THEN 'salt'
+               CASE WHEN raw_share >= {_HOT} THEN 'salt'
                     ELSE 'plain' END AS strategy,
-               hot_share
-        FROM (SELECT round(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS hot_share
+               round(raw_share, 6) AS hot_share
+        FROM (SELECT CAST(MAX(n) AS DOUBLE) / SUM(n) AS raw_share
               FROM (SELECT COUNT(*) AS n FROM {table} GROUP BY {key}))"""
         for edge, table, key in edges
     ]

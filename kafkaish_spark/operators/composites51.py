@@ -360,11 +360,14 @@ def grid_nearest_complete(points: DataFrame, sites: DataFrame) -> DataFrame:
     property tests/test_composites51.py pins against brute force on a
     sparse fixture.
 
-    Per round r in (1, 3, 12): still-unmatched points fan out to their
-    wrapped (2r+1)^2 cell neighborhood (two explodes), candidates meet
-    sites in an EQUI-join on the cell id (sites keyed by their OWN
-    cell — no site fanout), a WindowGroupLimit top-1 picks the round's
-    best, and the point SETTLES only if d2 <= (r*1500)^2: a point in
+    Per round r in (1, 3, 12): round 1 covers EVERY point, so the
+    SITE side fans out to its 3x3 neighborhood (9x the small side, the
+    headliner's shape) while points join on their own cell; the
+    straggler legs invert — the shrunken unmatched-point side fans out
+    to its wrapped (2r+1)^2 disc and sites stay keyed by their own
+    cell.  Either way candidates meet in an EQUI-join on the cell id,
+    a WindowGroupLimit top-1 picks the round's best, and the point
+    SETTLES only if d2 <= (r*1500)^2: a point in
     any unprobed cell (Chebyshev distance >= r+1) is at least r*1500+1
     centi-degrees away on some axis, so an accepted winner provably
     beats everything unseen.  An unguaranteed winner is re-derived at
@@ -398,26 +401,50 @@ def grid_nearest_complete(points: DataFrame, sites: DataFrame) -> DataFrame:
     )
     settled = []
     for r in _NN_ROUNDS:
-        probes = pts.withColumn(
-            "cy",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(-r), F.lit(r)),
-                    lambda d: F.col("pcy") + d,
-                )
-            ),
-        ).withColumn(
-            "cx",
-            F.explode(
-                F.array_distinct(
+        if r == _NN_ROUNDS[0]:
+            # round 1 runs over EVERY point, so fan out the SITE side
+            # (the small one, 9x — the headliner's documented shape)
+            # and let points join on their own cell: the big side
+            # never explodes before the shuffle (review r10)
+            fan = sites.selectExpr(
+                "s_id", "s_tag", "s_latm", "s_lonm",
+                "explode(array(cy - 1, cy, cy + 1)) AS fcy",
+                "cx AS scx",
+            ).selectExpr(
+                "s_id", "s_tag", "s_latm", "s_lonm", "fcy AS cy",
+                "explode(array(scx - 1, scx, scx + 1)) AS fcx",
+            ).selectExpr(
+                "s_id", "s_tag", "s_latm", "s_lonm", "cy",
+                "(fcx + 24) % 24 AS cx",
+            )
+            probes = pts.select(
+                "p_id", "p_latm", "p_lonm",
+                F.col("pcy").alias("cy"), F.col("pcx").alias("cx"),
+            )
+        else:
+            # straggler legs: the shrunken point side fans out to its
+            # wrapped (2r+1)^2 disc; sites stay keyed by their own cell
+            fan = sites
+            probes = pts.withColumn(
+                "cy",
+                F.explode(
                     F.transform(
                         F.sequence(F.lit(-r), F.lit(r)),
-                        lambda d: (F.col("pcx") + d + F.lit(48)) % 24,
+                        lambda d: F.col("pcy") + d,
                     )
-                )
-            ),
-        )
-        cand = probes.join(sites, ["cy", "cx"]).select(
+                ),
+            ).withColumn(
+                "cx",
+                F.explode(
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(-r), F.lit(r)),
+                            lambda d: (F.col("pcx") + d + F.lit(48)) % 24,
+                        )
+                    )
+                ),
+            )
+        cand = probes.join(fan, ["cy", "cx"]).select(
             "p_id",
             "s_id",
             "s_tag",

@@ -64,6 +64,15 @@ def main() -> None:
     multi = rematerialize(spark, src, n_files)
     print(f"# rematerialized {src} -> {multi} ({n_files} files/table)",
           file=sys.stderr)
+    try:
+        _run(spark, specs, src, multi, n_files, reps)
+    finally:
+        # never leak the multi-GB rematerialized tree, even when a
+        # timed rep raises
+        shutil.rmtree(os.path.dirname(multi), ignore_errors=True)
+
+
+def _run(spark, specs, src, multi, n_files, reps) -> None:
 
     # bench.py's two warm-up tiers: codegen at the tiny sf, then an
     # untimed DataFrame build per layout so one-time per-root fixture
@@ -129,14 +138,17 @@ def main() -> None:
                 },
                 "plan_same_as_committed": plan_same,
                 "method": f"min-of-{reps}-interleaved-adjacent-layouts",
-                "sf": float(
-                    os.path.basename(src.rstrip("/")).removeprefix("sf")
-                    or "0.1"
-                ),
+                "sf": _sf_of(src),
             }
         )
     )
-    shutil.rmtree(os.path.dirname(multi), ignore_errors=True)
+
+
+def _sf_of(src: str) -> float | None:
+    try:
+        return float(os.path.basename(src.rstrip("/")).removeprefix("sf"))
+    except ValueError:  # non-sfX dir name: report null, never crash
+        return None
 
 
 if __name__ == "__main__":
