@@ -499,7 +499,7 @@ def _grid_nn_complete_oracle() -> str:
     """
 
 
-@query("q_geo_grid_nn_complete", oracle=_grid_nn_complete_oracle())
+@query("q_geo_grid_nn_complete", oracle=_grid_nn_complete_oracle(), bench=True)
 def q_geo_grid_nn_complete(spark: SparkSession, sf: str) -> DataFrame:
     """EVERY customer's true nearest supplier via the ring-expanding
     grid probe (``grid_nearest_complete``) — the guaranteed companion

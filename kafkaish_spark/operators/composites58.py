@@ -64,7 +64,7 @@ def _rrf_oracle() -> str:
     """
 
 
-@query("q_rank_rrf_fusion", oracle=_rrf_oracle())
+@query("q_rank_rrf_fusion", oracle=_rrf_oracle(), bench=True)
 def q_rank_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
     """Reciprocal Rank Fusion of two part rankings — by exact revenue
     cents and by line count (standing in for the BM25/embedding pair a
