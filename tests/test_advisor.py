@@ -197,6 +197,69 @@ def test_advised_agg_rejects_non_monoid_kinds(spark, sf_dir):
         )
 
 
+def test_advised_agg_property_random_frames(spark):
+    """Hypothesis property (the salted_join property's aggregation
+    twin): for ANY small (key, value) multiset — including NULL values,
+    single-key collapse (the hot shape), and empty frames — the salted
+    two-phase plan's rows equal the plain group-by's for every monoid
+    kind, at several salt widths."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafkaish_spark.functions.advisor import AggAdvice, advised_agg
+
+    rows = st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.one_of(st.none(), st.integers(-50, 50)),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(data=rows, buckets=st.sampled_from([2, 7]))
+    def run(data, buckets):
+        fact = spark.createDataFrame(
+            data or [(None, None)], "k int, v int"
+        )
+        if not data:
+            fact = fact.filter("k IS NOT NULL")
+        aggs = {
+            "n": ("count", None),
+            "s": ("sum", F.col("v")),
+            "lo": ("min", F.col("v")),
+            "hi": ("max", F.col("v")),
+        }
+        key = lambda r: (r["k"], r["n"], r["s"], r["lo"], r["hi"])  # noqa: E731
+        plain = sorted(
+            map(
+                key,
+                advised_agg(
+                    fact, "k", aggs,
+                    advice=AggAdvice("plain", None, 0.0, 0.125),
+                ).collect(),
+            )
+        )
+        salted = sorted(
+            map(
+                key,
+                advised_agg(
+                    fact, "k", aggs,
+                    advice=AggAdvice("salt", 0, 1.0, 0.125),
+                    salt_buckets=buckets, salt_on=["v"],
+                ).collect(),
+            )
+        )
+        assert salted == plain
+
+    run()
+
+
 def test_measurement_helpers_are_exact(spark):
     """dim_projected_bytes and fact_hot_share on a frame with known
     arithmetic: 3 rows x (8 fixed + octet_length) and a 2/4 hot key."""

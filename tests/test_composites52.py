@@ -258,6 +258,41 @@ def test_grid_nearest_complete_matches_brute_force_sparse(spark):
     assert max(radii) > 1, radii  # the fallback legs engaged
 
 
+@pytest.mark.parametrize("seed,n_sites", [(7, 1), (11, 3), (23, 5)])
+def test_grid_nearest_complete_matches_brute_force_random(
+    spark, seed, n_sites
+):
+    """Randomized sparse fixtures (seeded — deterministic across
+    runs): site counts 1/3/5 scattered by a multiplicative hash, 150
+    points; the ring expansion must return the exact brute-force
+    nearest for every point regardless of where the sites land
+    (corner cells, date-line cells, shared cells)."""
+    from kafkaish_spark.operators.composites51 import grid_nearest_complete
+
+    points = [
+        (k, (k * 9973) % 17000, (k * 6151) % 36000) for k in range(1, 151)
+    ]
+    sites = [
+        (
+            i,
+            i,
+            (i * seed * 7919 + 13) % 17000,
+            (i * seed * 104729 + 5) % 36000,
+        )
+        for i in range(1, n_sites + 1)
+    ]
+    got = grid_nearest_complete(
+        spark.createDataFrame(points, "p_id long, p_latm long, p_lonm long"),
+        spark.createDataFrame(
+            sites, "s_id long, s_tag long, s_latm long, s_lonm long"
+        ),
+    ).collect()
+    assert len(got) == len(points)
+    want = _brute_nearest(points, sites)
+    for r in got:
+        assert (r["d2"], r["s_id"]) == want[r["p_id"]], r
+
+
 def test_grid_nn_complete_covers_every_customer(spark, sf_dir):
     """The registered query's coverage contract: totals equal
     |customer| (the bounded headliner may drop; the complete variant
