@@ -383,7 +383,16 @@ def grid_nearest_complete(points: DataFrame, sites: DataFrame) -> DataFrame:
     is the honest worst case: points that reach it genuinely need to
     see every cell (their 7x7 was empty), and they meet each site
     exactly once — bounded by |stragglers| x |sites|, never an
-    all-pairs over the corpus."""
+    all-pairs over the corpus.
+
+    Lineage note: leg r's unmatched frame is derived by anti-joining
+    the previous legs, so Spark recomputes those legs inside it (the
+    DAG is a tree — cheap at bench scale, where leg 1 settles almost
+    everything).  A cluster run over a 100 TB point set would insert a
+    checkpoint (or persist) on the unmatched frame between legs to cap
+    the recompute at one pass per leg; the logic is unchanged either
+    way, which is why the operator does not bake the caching decision
+    in."""
     sites = sites.selectExpr(
         "s_id",
         "s_tag",
