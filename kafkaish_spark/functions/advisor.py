@@ -364,25 +364,22 @@ def advised_agg(
         advice = advise_agg(
             fact, key, hot_share_threshold=hot_share_threshold
         )
+    partials = [
+        _AGG_KINDS[kind][0](col) for kind, col in aggs.values()
+    ]
     if advice.strategy == "plain":
         return fact.groupBy(key).agg(
-            *[
-                _AGG_KINDS[kind][0](col).alias(name)
-                for name, (kind, col) in aggs.items()
-            ]
+            *[e.alias(n) for n, e in zip(aggs, partials)]
         )
     salt_cols = salt_on if salt_on is not None else fact.columns
     partial = fact.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_cols), F.lit(salt_buckets))
     ).groupBy(key, "_salt").agg(
-        *[
-            _AGG_KINDS[kind][0](col).alias(f"_p_{name}")
-            for name, (kind, col) in aggs.items()
-        ]
+        *[e.alias(f"_p_{n}") for n, e in zip(aggs, partials)]
     )
     return partial.groupBy(key).agg(
         *[
             _AGG_KINDS[kind][1](f"_p_{name}").alias(name)
-            for name, (kind, col) in aggs.items()
+            for name, (kind, _col) in aggs.items()
         ]
     )

@@ -197,13 +197,17 @@ def q_advised_star_revenue(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# (edge label, table, grouping key) — shared by the oracle SQL and the
+# engine-side query so the two can never drift
+_AGG_EDGES = [
+    ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+    ("lineitem.l_linenumber", "lineitem", "l_linenumber"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("customer.c_nationkey", "customer", "c_nationkey"),
+]
+
+
 def _agg_strategy_oracle() -> str:
-    edges = [
-        ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
-        ("lineitem.l_linenumber", "lineitem", "l_linenumber"),
-        ("orders.o_custkey", "orders", "o_custkey"),
-        ("customer.c_nationkey", "customer", "c_nationkey"),
-    ]
     parts = [
         f"""
         SELECT '{edge}' AS grouping_key,
@@ -212,7 +216,7 @@ def _agg_strategy_oracle() -> str:
                round(raw_share, 6) AS hot_share
         FROM (SELECT CAST(MAX(n) AS DOUBLE) / SUM(n) AS raw_share
               FROM (SELECT COUNT(*) AS n FROM {table} GROUP BY {key}))"""
-        for edge, table, key in edges
+        for edge, table, key in _AGG_EDGES
     ]
     return " UNION ALL ".join(parts)
 
@@ -234,14 +238,8 @@ def q_advisor_agg_strategy(spark: SparkSession, sf: str) -> DataFrame:
     both engines."""
     from kafkaish_spark.functions.advisor import advise_agg_cached
 
-    edges = [
-        ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
-        ("lineitem.l_linenumber", "lineitem", "l_linenumber"),
-        ("orders.o_custkey", "orders", "o_custkey"),
-        ("customer.c_nationkey", "customer", "c_nationkey"),
-    ]
     rows = []
-    for edge, table, key in edges:
+    for edge, table, key in _AGG_EDGES:
         a = advise_agg_cached(
             t(spark, sf, table).select(key), key, cache_key=(sf, edge)
         )
