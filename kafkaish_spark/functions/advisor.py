@@ -174,13 +174,14 @@ def advise_join_cached(
     cache_key,
     **kwargs,
 ) -> JoinAdvice:
-    # the full key includes the threshold kwargs: two call sites sharing
-    # a cache_key with different broadcast_bytes / hot_share_threshold /
-    # scale_factor must not reuse each other's verdict (r9 ADVICE).
+    # the full key includes the join column AND the threshold kwargs:
+    # two call sites sharing a cache_key but joining on different keys
+    # (or with different broadcast_bytes / hot_share_threshold /
+    # scale_factor) must not reuse each other's verdict (r9/r10 ADVICE).
     # Caveat: the cache lives for the process; tests that REGENERATE the
     # data under a cached sf path must clear _ADVICE_CACHE (plan-only
     # impact — answers are strategy-independent by construction).
-    full_key = (cache_key, tuple(sorted(kwargs.items())))
+    full_key = ("join", cache_key, fact_key, tuple(sorted(kwargs.items())))
     if full_key not in _ADVICE_CACHE:
         _ADVICE_CACHE[full_key] = advise_join(fact, dim, fact_key, **kwargs)
     return _ADVICE_CACHE[full_key]
@@ -306,7 +307,7 @@ def advise_agg_cached(
     """Memoized advise_agg — same contract (and same cache) as
     advise_join_cached: the verdict is plain scalars, valid across
     sessions for the same data, keyed on (caller token, kwargs)."""
-    full_key = ("agg", cache_key, tuple(sorted(kwargs.items())))
+    full_key = ("agg", cache_key, key, tuple(sorted(kwargs.items())))
     if full_key not in _ADVICE_CACHE:
         _ADVICE_CACHE[full_key] = advise_agg(fact, key, **kwargs)
     return _ADVICE_CACHE[full_key]
@@ -370,6 +371,19 @@ def advised_agg(
     if advice.strategy == "plain":
         return fact.groupBy(key).agg(
             *[e.alias(n) for n, e in zip(aggs, partials)]
+        )
+    # internal phase-1 column names must not collide with caller columns:
+    # withColumn would silently REPLACE an existing `_salt` (changing the
+    # default salt_on input and dropping the caller's column from phase-1
+    # grouping) — reject loudly instead, like skew.py's reserved __salt
+    # (r10 ADVICE)
+    reserved = {"_salt"} | {f"_p_{n}" for n in aggs}
+    clash = reserved & set(fact.columns)
+    if clash:
+        raise ValueError(
+            f"advised_agg: fact columns {sorted(clash)} collide with the "
+            "salted plan's internal names (_salt, _p_<agg>) — rename them "
+            "or pass an explicit salt_on"
         )
     salt_cols = salt_on if salt_on is not None else fact.columns
     partial = fact.withColumn(

@@ -68,7 +68,7 @@ def _rrf_oracle() -> str:
 def q_rank_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
     """Reciprocal Rank Fusion of two part rankings — by exact revenue
     cents and by line count (standing in for the BM25/embedding pair a
-    text pipeline fuses): top-{_K} per list with deterministic
+    text pipeline fuses): top-100 per list with deterministic
     (measure DESC, key) tie-break, full-outer join on the item, score
     = 1/(60+rank_a) + 1/(60+rank_b) with an absent rank contributing
     0, top-10 fused.  rank 0 in the output means "not in that list".
@@ -90,13 +90,26 @@ def q_rank_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("cents").alias("cents"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+    # Ranking windows over the <=_K-row candidate frames.  The frames
+    # are provably bounded (TakeOrderedAndProject above them), but a
+    # bare no-partition Window sprays "No Partition Defined" warnings
+    # an operator can't tell from a real scale bug (r10 verdict nit 1).
+    # pmod(key, 1) is a constant-0 partition key the optimizer does NOT
+    # fold away (lit(1) it would), so the warning is silenced while the
+    # physical plan stays exchange-free: TakeOrderedAndProject already
+    # outputs SinglePartition, which satisfies the clustered
+    # distribution without a shuffle — only a <=100-row Sort is added.
+    one = F.pmod(F.col("l_partkey"), F.lit(1))
     ra = (
         per.orderBy(F.col("cents").desc(), "l_partkey")
         .limit(_K)
         .select(
             "l_partkey",
             F.row_number()
-            .over(Window.orderBy(F.col("cents").desc(), "l_partkey"))
+            .over(
+                Window.partitionBy(one)
+                .orderBy(F.col("cents").desc(), "l_partkey")
+            )
             .alias("rank_rev"),
         )
     )
@@ -106,7 +119,10 @@ def q_rank_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "l_partkey",
             F.row_number()
-            .over(Window.orderBy(F.col("n_lines").desc(), "l_partkey"))
+            .over(
+                Window.partitionBy(one)
+                .orderBy(F.col("n_lines").desc(), "l_partkey")
+            )
             .alias("rank_cnt"),
         )
     )

@@ -72,6 +72,46 @@ SUBSCRIBERS_SCHEMA = StructType(
 _LOCK_TIMEOUT_S = 120.0
 _LOCK_STALE_S = 600.0
 
+# The compaction packing unit: ~128 MiB per data file — the scan-task
+# size the engine's own partition-plan audit (q_audit_scan_partition_plan,
+# composites47.py) targets and the r10 8-file layout study
+# (tools/bench_parallel.py, BASELINE.md) validated; its 16-file addendum
+# also records the other side of the knee (don't split a small topic
+# into sub-MB tasks).  compact/compact_small derive their file counts
+# from this by default, and Engine.compaction_advice quotes the same
+# arithmetic in files_after, so advice -> action -> re-advice converges.
+TARGET_BYTES_DEFAULT = 128 * 1024 * 1024
+
+
+def _files_for_bytes(total_bytes: int, target_bytes: int) -> int:
+    """ceil(total/target), never below one file."""
+    return max(1, -(-int(total_bytes) // int(target_bytes)))
+
+
+def _prune_empty_parts(root: str) -> None:
+    """Remove zero-row part files from a rewrite staging dir:
+    ``repartitionByRange`` decides bounds by sampling, so a partition
+    can come out empty, and the writer still materializes a schema-only
+    file for it — which would inflate file counts, pollute footer-stat
+    walks, and break the compaction byte arithmetic's file-count
+    promise.  Keeps one file when ALL are empty (an empty log must stay
+    schema-readable)."""
+    import pyarrow.parquet as pq
+
+    parts = [
+        os.path.join(dirpath, fn)
+        for dirpath, _dirs, files in os.walk(root)
+        for fn in files
+        if fn.startswith("part-") and fn.endswith(".parquet")
+    ]
+    empties = [
+        p for p in parts if pq.ParquetFile(p).metadata.num_rows == 0
+    ]
+    if len(empties) == len(parts) and parts:
+        empties = empties[1:]
+    for p in empties:
+        os.remove(p)
+
 
 import contextlib  # noqa: E402
 
@@ -984,11 +1024,27 @@ class Topic:
             "subscribers": sorted(subs),
         }
 
-    def compact(self, target_files: int = 1) -> int:
-        """Merge small log segments into ``target_files`` per partition
-        — the companion job to streaming ingest (many tiny appends
-        degrade file listing; see SCALE.md §6).  Offsets ride in the
-        data, so content and order are exactly preserved.
+    def compact(
+        self,
+        target_files: int | None = None,
+        *,
+        target_bytes: int = TARGET_BYTES_DEFAULT,
+    ) -> int:
+        """Merge small log segments — the companion job to streaming
+        ingest (many tiny appends degrade file listing; see SCALE.md
+        §6).  Offsets ride in the data, so content and order are
+        exactly preserved.
+
+        The packing unit is BYTES, not a file count: by default the
+        rewrite lands at ``ceil(log bytes / target_bytes)`` files
+        (~128 MiB each — the task size the engine's own scan-plan
+        audit, q_audit_scan_partition_plan, and the r10 8-file layout
+        study converged on; compacting a large topic toward ONE file
+        per partition would serialize its scans).  Pass an explicit
+        ``target_files`` to override the arithmetic.  Multi-file
+        rewrites are range-partitioned on offset so every output file
+        covers a disjoint contiguous offset range — replay/seek footer
+        pruning keeps working.
 
         Run this QUIESCED — it is a maintenance op, not a concurrent
         one: (a) the dir swap is two renames, so a reader listing the
@@ -998,6 +1054,11 @@ class Topic:
         after compaction re-delivers the compacted range —
         at-least-once, never lost.  Returns the number of data files
         after compaction."""
+        if target_files is None:
+            total = sum(
+                s["size"] for s in self._segment_stats() if s["num_rows"]
+            )
+            target_files = _files_for_bytes(total, target_bytes)
         current = self.log().cache()
         n_before = current.count()  # materialize before the swap
         frame = (
@@ -1026,7 +1087,11 @@ class Topic:
         )
 
     def compact_small(
-        self, small_bytes: int = 1 << 20, target_files: int = 1
+        self,
+        small_bytes: int = 1 << 20,
+        target_files: int | None = None,
+        *,
+        target_bytes: int = TARGET_BYTES_DEFAULT,
     ) -> int:
         """SELECTIVE segment compaction: merge only data files smaller
         than ``small_bytes``, leaving full-size segments untouched —
@@ -1048,7 +1113,17 @@ class Topic:
         preserved; validation re-reads the merged files and aborts
         (originals untouched) on any count mismatch.  Like the other
         compaction ops, run quiesced.  Returns the net reduction in
-        file count."""
+        file count.
+
+        Like ``compact``, the packing unit defaults to BYTES: each
+        adjacency run merges to ``ceil(run bytes / target_bytes)``
+        files (never fewer than one), so a 300 MiB small-file backlog
+        lands at ~3 files of ~128 MiB — the task size the scan-plan
+        audit says a 1000-executor scan wants — not one fat file.
+        ``target_files`` overrides the arithmetic per run.  This is
+        the same rule ``Engine.compaction_advice`` quotes in its
+        ``files_after`` column, so advice → action → re-advice
+        converges."""
         by_dir: dict[str, list[dict]] = {}
         for s in self._segment_stats():
             if s["min_off"] is not None:
@@ -1080,7 +1155,14 @@ class Topic:
                 runs.append((d, run))
         removed = 0
         for d, smalls in runs:
-            if len(smalls) <= target_files:
+            run_files = (
+                target_files
+                if target_files is not None
+                else _files_for_bytes(
+                    sum(s["size"] for s in smalls), target_bytes
+                )
+            )
+            if len(smalls) <= run_files:
                 continue
             paths = sorted(s["path"] for s in smalls)
             merged = self.spark.read.parquet(*paths)
@@ -1091,11 +1173,12 @@ class Topic:
             # concatenate arbitrary input subsets and interleave
             # ranges, which fsck() rightly flags as overlap.
             writer = (
-                merged.repartitionByRange(target_files, F.col("offset"))
-                if target_files > 1
+                merged.repartitionByRange(run_files, F.col("offset"))
+                if run_files > 1
                 else merged.coalesce(1)
             )
             writer.write.mode("overwrite").parquet(tmp)
+            _prune_empty_parts(tmp)
             new_files = [
                 f
                 for f in os.listdir(tmp)
@@ -1135,12 +1218,24 @@ class Topic:
         callers that cached the pre-swap log MUST drop that cache here
         (blocking), or ``validate``'s re-read of the log path matches
         the cached logical plan and sees the OLD rows — validation
-        would then pass or fail vacuously against stale data."""
+        would then pass or fail vacuously against stale data.
+
+        Multi-file rewrites range-partition on offset (one dense
+        commit group either way, so fsck is satisfied, but disjoint
+        per-file offset ranges keep replay/seek footer pruning
+        effective — coalesce(n>1) would interleave ranges across
+        files)."""
         tmp = self.log_dir + ".compact.tmp"
-        writer = frame.coalesce(target_files).write.mode("overwrite")
+        shaped = (
+            frame.repartitionByRange(target_files, F.col("offset"))
+            if target_files > 1
+            else frame.coalesce(1)
+        )
+        writer = shaped.write.mode("overwrite")
         if self.partitioned:
             writer = writer.partitionBy("pub_date")
         writer.parquet(tmp)
+        _prune_empty_parts(tmp)
         if release is not None:
             release()
         old = self.log_dir + ".compact.old"
@@ -1626,7 +1721,7 @@ class Engine:
     def compaction_advice(
         self,
         *,
-        target_bytes: int = 128 * 1024 * 1024,
+        target_bytes: int = TARGET_BYTES_DEFAULT,
         small_frac: float = 0.25,
         min_files: int = 4,
     ) -> DataFrame:
