@@ -397,3 +397,141 @@ def advised_agg(
             for name, (kind, _col) in aggs.items()
         ]
     )
+
+
+# --------------------------------------------------------------- windows
+# The advisor's third leg (r10 verdict item 7): joins (r9) and
+# aggregations (r10) close the audit→action loop for shuffles; windows
+# are the remaining shuffle consumer, and their skew economics are the
+# HARSHEST of the three.  A window's partition is ONE reducer task and
+# — unlike aggregation — NO map-side partial exists to shrink it: every
+# row of the hottest partition key lands in one task's sort buffer.
+# The constant-cardinality window gate (tests/test_registry_contract.py,
+# the r5 audit) FAILS bad windows; this advisor supplies the decision
+# and advised_rank the rewrite the gate's offenders are told to use
+# (the q_train_global_shuffle two-phase plan, generalized).
+
+
+@dataclass(frozen=True)
+class WindowAdvice:
+    """advise_window's verdict plus the measurement it rests on."""
+
+    strategy: str  # "plain" | "two_phase"
+    hot_key: object  # hottest partition key
+    hot_share: float  # its share of fact rows
+    hot_share_threshold: float  # threshold used
+
+
+def advise_window(
+    fact: DataFrame,
+    partition_key: str,
+    *,
+    hot_share_threshold: float = HOT_SHARE_THRESHOLD_DEFAULT,
+) -> WindowAdvice:
+    """Measure the hottest window-partition key's share of the fact
+    rows (the same scale-free statistic the join and agg advisors use)
+    and decide: ``two_phase`` when one partition would put >=
+    ``hot_share_threshold`` of the corpus into a single window task
+    (at 100 TB that task is share x corpus — it must be decomposed),
+    else ``plain`` (Catalyst's windowed sort is right)."""
+    hot_key, hot_share = fact_hot_share(fact, partition_key)
+    strategy = (
+        "two_phase" if hot_share >= hot_share_threshold else "plain"
+    )
+    return WindowAdvice(strategy, hot_key, hot_share, hot_share_threshold)
+
+
+def advise_window_cached(
+    fact: DataFrame,
+    partition_key: str,
+    *,
+    cache_key,
+    **kwargs,
+) -> WindowAdvice:
+    """Memoized advise_window — same contract (and same cache) as the
+    join/agg variants, keyed on (caller token, partition column,
+    kwargs)."""
+    full_key = (
+        "window", cache_key, partition_key, tuple(sorted(kwargs.items()))
+    )
+    if full_key not in _ADVICE_CACHE:
+        _ADVICE_CACHE[full_key] = advise_window(
+            fact, partition_key, **kwargs
+        )
+    return _ADVICE_CACHE[full_key]
+
+
+def advised_rank(
+    fact: DataFrame,
+    partition_key: str,
+    order_cols: list[str],
+    bucket,
+    *,
+    rank_name: str = "rnk",
+    advice: WindowAdvice | None = None,
+    hot_share_threshold: float = HOT_SHARE_THRESHOLD_DEFAULT,
+) -> DataFrame:
+    """``row_number() OVER (PARTITION BY partition_key ORDER BY
+    order_cols ASC)`` as ``rank_name``, using the advised strategy
+    (measured here unless a cached ``advice`` is passed):
+
+    - ``plain``     → one window, Catalyst's pick;
+    - ``two_phase`` → the q_train_global_shuffle decomposition,
+      per-key: (1) histogram rows into ``bucket`` (a caller-supplied
+      expression that must be monotone NON-DECREASING in the leading
+      order column — rows of bucket b all sort before rows of bucket
+      b+1), (2) rank WITHIN each (key, bucket) in parallel, (3) add
+      the bucket's starting position from a per-key prefix sum over
+      the (key, bucket) histogram — a bounded frame (keys x buckets
+      rows), broadcast back.  No task ever sorts more than one
+      bucket's slice of the hot key.
+
+    ``order_cols`` must be unique per partition (they define
+    row_number's total order; with ties the two plans could rank
+    differently — same caveat as any deterministic-rank SQL).  The
+    equivalence oracle q_advised_window_order_rank proves plans can
+    differ, answers can't."""
+    reserved = {"_wbucket", "_w_r_in", "_w_off0", rank_name}
+    clash = reserved & set(fact.columns)
+    if clash:
+        raise ValueError(
+            f"advised_rank: fact columns {sorted(clash)} collide with "
+            "the two-phase plan's internal names (_wbucket, _w_r_in, "
+            "_w_off0) or the rank output — rename them"
+        )
+    if advice is None:
+        advice = advise_window(
+            fact, partition_key, hot_share_threshold=hot_share_threshold
+        )
+    from pyspark.sql import Window
+
+    order = [F.col(c).asc() for c in order_cols]
+    if advice.strategy == "plain":
+        w = Window.partitionBy(partition_key).orderBy(*order)
+        return fact.withColumn(rank_name, F.row_number().over(w))
+    b = fact.withColumn("_wbucket", bucket)
+    hist = b.groupBy(partition_key, "_wbucket").agg(
+        F.count(F.lit(1)).alias("_w_n")
+    )
+    # per-key prefix over the HISTOGRAM (keys x buckets rows — the
+    # bounded class), never over the corpus
+    w_prefix = (
+        Window.partitionBy(partition_key)
+        .orderBy("_wbucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = hist.select(
+        partition_key,
+        "_wbucket",
+        F.coalesce(F.sum("_w_n").over(w_prefix), F.lit(0)).alias("_w_off0"),
+    )
+    w_in = Window.partitionBy(partition_key, "_wbucket").orderBy(*order)
+    return (
+        b.withColumn("_w_r_in", F.row_number().over(w_in))
+        .join(F.broadcast(prefix), [partition_key, "_wbucket"])
+        .withColumn(
+            rank_name,
+            (F.col("_w_off0") + F.col("_w_r_in")).cast("int"),
+        )
+        .drop("_wbucket", "_w_r_in", "_w_off0")
+    )

@@ -1727,20 +1727,35 @@ class Engine:
     ) -> DataFrame:
         """The describe_topics fragmentation signal turned into ACTION
         (the log-layer twin of the query layer's join-strategy advisor,
-        functions/advisor.py): per topic, the small-file economics and
-        the verdict — ``compact_small`` when at least ``min_files``
-        segments sit under ``small_frac * target_bytes`` (the many-tiny-
-        publishes pattern the direct fast path produces), else ``ok``.
-        ``files_after`` is the post-compaction file count at
-        ``target_bytes`` packing, so the row quantifies the win (scan
-        tasks saved) before anyone pays for it.
+        functions/advisor.py): per topic, the file-size economics and
+        the verdict, in BOTH directions of the layout knee:
 
-        Cost: footer stats only, no Spark job — safe to poll; the
-        advised action is ``Topic.compact_small(target_bytes)``, which
-        preserves offsets and replay semantics (its own tests).  At
-        100 TB the same row gates a compaction scheduler: act when
-        ``n_small``'s scan-task overhead outweighs one rewrite of
-        ``small_bytes``."""
+        - ``compact_small`` — at least ``min_files`` segments sit under
+          ``small_frac * target_bytes`` (the many-tiny-publishes
+          pattern the direct fast path produces); action =
+          ``Topic.compact_small(target_bytes=...)``.
+        - ``split`` — some segment holds >= 2x ``target_bytes`` (a fat
+          file — e.g. one bulk publish_df(target_files=1) — that would
+          serialize its share of the topic's scans on a wide cluster);
+          action = ``Topic.compact()``, whose byte-targeted range
+          rewrite is exactly the splitter.  The 2x hysteresis keeps the
+          verdict stable: a rewrite adds per-file overhead bytes, and
+          a topic already at ~1 target unit per file must not
+          re-advise forever; it also means the 16-file knee
+          (BASELINE.md r10: sub-MB tasks cost more than they
+          parallelize) can't be crossed — nothing below 2 target units
+          is ever split.
+        - ``ok`` — the layout already matches the byte rule.
+
+        ``files_after`` quantifies the win (scan tasks saved or gained)
+        before anyone pays for it.
+
+        Cost: footer stats only, no Spark job — safe to poll; both
+        advised actions preserve offsets and replay semantics (their
+        own tests).  At 100 TB the same rows gate a compaction
+        scheduler symmetrically: merge when tiny-file listing/task
+        overhead dominates, split when per-file parallelism is the
+        bottleneck."""
         rows = []
         cutoff = int(small_frac * target_bytes)
         for name in self.topics():
@@ -1751,14 +1766,21 @@ class Engine:
                 if s["num_rows"] and not s.get("bad")
             ]
             small = [s for s in segs if s["size"] < cutoff]
+            fat = [s for s in segs if s["size"] >= 2 * target_bytes]
             total = sum(s["size"] for s in segs)
             small_bytes = sum(s["size"] for s in small)
-            if small:
-                merged = max(1, -(-small_bytes // target_bytes))  # ceil
+            if len(small) >= min_files:
+                merged = _files_for_bytes(small_bytes, target_bytes)
+                advice = "compact_small"
                 n_after = len(segs) - len(small) + merged
+            elif fat:
+                advice = "split"
+                n_after = len(segs) - len(fat) + sum(
+                    _files_for_bytes(s["size"], target_bytes) for s in fat
+                )
             else:
+                advice = "ok"
                 n_after = len(segs)
-            advise = len(small) >= min_files
             rows.append(
                 (
                     name,
@@ -1766,8 +1788,8 @@ class Engine:
                     len(small),
                     int(total),
                     int(small_bytes),
-                    int(n_after if advise else len(segs)),
-                    "compact_small" if advise else "ok",
+                    int(n_after),
+                    advice,
                 )
             )
         return self.spark.createDataFrame(

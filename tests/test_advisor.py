@@ -272,3 +272,91 @@ def test_measurement_helpers_are_exact(spark):
     )
     key, share = fact_hot_share(fact, "k")
     assert key == 7 and share == 0.5
+
+
+# ------------------------------------------------------------- windows
+
+
+def test_advise_window_decides_by_hot_share(spark, sf_dir):
+    """The window advisor's two regimes on real tables: o_orderstatus
+    (~1/3 of rows in one window partition) → two_phase; o_custkey
+    (fine partitioning) → plain."""
+    from kafkaish_spark.functions.advisor import advise_window
+    from kafkaish_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    assert advise_window(o, "o_orderstatus").strategy == "two_phase"
+    assert advise_window(o, "o_custkey").strategy == "plain"
+
+
+def test_advised_rank_two_phase_equals_plain(spark):
+    """The two-phase decomposition is exact: on a skewed synthetic
+    frame with a unique order column, ranks from the bucketed plan
+    equal the one-window plan bit-for-bit — including order values
+    that straddle bucket boundaries and buckets with a single row."""
+    from kafkaish_spark.functions.advisor import WindowAdvice, advised_rank
+
+    rows = [(k, v) for k in ("a", "b") for v in range(1, 101)]
+    rows += [("a", 1000 + v) for v in range(50)]  # skew + far bucket
+    fact = spark.createDataFrame(rows, "k string, v long").repartition(8)
+    bucket = (F.col("v") / F.lit(16)).cast("long")
+    plain = advised_rank(
+        fact, "k", ["v"], bucket,
+        advice=WindowAdvice("plain", None, 0.0, 0.125),
+    )
+    two = advised_rank(
+        fact, "k", ["v"], bucket,
+        advice=WindowAdvice("two_phase", "a", 0.6, 0.125),
+    )
+    key = lambda r: (r["k"], r["v"], r["rnk"])  # noqa: E731
+    assert sorted(map(key, two.collect())) == sorted(
+        map(key, plain.collect())
+    )
+
+
+def test_advised_rank_two_phase_plan_shape(spark, sf_dir):
+    """The two-phase plan must contain NO window partitioned only by
+    the hot key over the corpus: every corpus-scale window carries the
+    bucket column, and the hot-key-only prefix window runs above an
+    aggregate (the bounded histogram)."""
+    from kafkaish_spark.functions.advisor import WindowAdvice, advised_rank
+    from kafkaish_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("long").alias("p")
+    )
+    two = advised_rank(
+        o, "o_orderstatus", ["p", "o_orderkey"],
+        F.floor(F.col("p") / F.lit(10_000)).cast("long"),
+        advice=WindowAdvice("two_phase", "P", 0.34, 0.125),
+    )
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow(?:Exec)?\s+\[[^\]]*\],\s*\[([^\]]*)\]", line)
+        if not m:
+            continue
+        cols = {c.strip().split("#")[0] for c in m.group(1).split(",") if c.strip()}
+        # the only status-only window is the histogram prefix (its
+        # child aggregates); the corpus rank window must carry _wbucket
+        if cols == {"o_orderstatus"}:
+            assert "_w_n" in plan  # histogram aggregate present
+        else:
+            assert "_wbucket" in cols, line
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_advised_rank_rejects_internal_name_collisions(spark):
+    """A fact frame already carrying _wbucket (or the rank output
+    name) must be rejected loudly, same convention as advised_agg."""
+    import pytest as _pytest
+
+    from kafkaish_spark.functions.advisor import WindowAdvice, advised_rank
+
+    fact = spark.createDataFrame([(1, 2)], "k long, _wbucket long")
+    with _pytest.raises(ValueError, match="collide"):
+        advised_rank(
+            fact, "k", ["_wbucket"], F.lit(0),
+            advice=WindowAdvice("two_phase", 1, 1.0, 0.125),
+        )

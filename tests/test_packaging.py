@@ -1,0 +1,114 @@
+"""Packaging smoke (r10 verdict item 6): the engine must be a real
+installable package, not a PYTHONPATH-only tree.
+
+The editable-install test is env-gated on pip+wheel availability (this
+sandbox has pip but not `wheel`, and setuptools 65's PEP 660 editable
+build needs it — same probe-and-skip pattern as the PIL/protobuf
+tiers).  The sdist build runs OFFLINE through setuptools.build_meta
+directly, so the pyproject and package discovery are proven here
+regardless."""
+
+import os
+import subprocess
+import sys
+import tarfile
+import tomllib
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_pyproject_declares_the_package():
+    with open(os.path.join(_REPO, "pyproject.toml"), "rb") as fh:
+        cfg = tomllib.load(fh)
+    proj = cfg["project"]
+    assert proj["name"] == "kafkaish-spark"
+    deps = " ".join(proj["dependencies"])
+    for required in ("pyspark", "pyarrow", "pandas", "numpy"):
+        assert required in deps
+    # optional tiers must NOT be hard dependencies
+    for gated in ("Pillow", "PIL", "protobuf", "duckdb"):
+        assert gated not in deps
+    assert cfg["build-system"]["build-backend"] == "setuptools.build_meta"
+
+
+def test_sdist_builds_and_contains_every_subpackage(tmp_path):
+    """Offline proof the packaging config is sound: build an sdist via
+    the declared backend (no wheel module needed) and check every
+    kafkaish_spark subpackage made it in."""
+    import shutil
+
+    from setuptools import build_meta
+
+    cwd = os.getcwd()
+    egg = os.path.join(_REPO, "kafkaish_spark.egg-info")
+    had_egg = os.path.isdir(egg)
+    os.chdir(_REPO)
+    try:
+        name = build_meta.build_sdist(str(tmp_path))
+    finally:
+        os.chdir(cwd)
+        if not had_egg:  # don't litter the working tree
+            shutil.rmtree(egg, ignore_errors=True)
+    members = tarfile.open(tmp_path / name).getnames()
+    mods = {m.split("/", 1)[1] for m in members if "/" in m}
+    for sub in (
+        "kafkaish_spark/__init__.py",
+        "kafkaish_spark/sources/topic_log.py",
+        "kafkaish_spark/functions/advisor.py",
+        "kafkaish_spark/operators/relational.py",
+        "kafkaish_spark/streaming/subscribe.py",
+        "kafkaish_spark/plans/registry.py",
+        "pyproject.toml",
+    ):
+        assert sub in mods, sorted(m for m in mods if m.endswith(".py"))[:20]
+
+
+def _editable_install_usable() -> bool:
+    try:
+        subprocess.run(
+            [sys.executable, "-m", "pip", "--version"],
+            check=True, capture_output=True, timeout=60,
+        )
+        import setuptools  # noqa: F401
+        import wheel  # noqa: F401  (PEP 660 editable needs it here)
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _editable_install_usable(),
+    reason="pip/setuptools/wheel unavailable in this env "
+    "(editable builds need the wheel module with setuptools<70)",
+)
+def test_editable_install_imports_without_pythonpath(tmp_path):
+    """`pip install -e .` into an isolated target, then import the
+    package from a clean interpreter with NO repo dir on sys.path.
+    --no-build-isolation keeps the build offline."""
+    target = tmp_path / "site"
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "pip", "install",
+            "--no-build-isolation", "--no-deps",
+            "--target", str(target), "-e", _REPO,
+        ],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    check = subprocess.run(
+        [
+            sys.executable, "-c",
+            "import kafkaish_spark, kafkaish_spark.sources.topic_log, "
+            "kafkaish_spark.functions.advisor; "
+            "print(kafkaish_spark.__name__)",
+        ],
+        capture_output=True, text=True, timeout=120,
+        env={**env, "PYTHONPATH": str(target)},
+        cwd=str(tmp_path),  # NOT the repo dir — no implicit cwd import
+    )
+    assert check.returncode == 0, check.stdout + check.stderr
+    assert check.stdout.strip() == "kafkaish_spark"

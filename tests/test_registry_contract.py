@@ -388,6 +388,7 @@ _BOUNDED_WINDOW_WHITELIST = {
     "q_split_kfold_stratified": "per-lang prefix over the (lang, 256-bucket) histogram; the data rank itself is two-phase",
     "q_split_fold_leakage": "same two-phase fold assignment as q_split_kfold_stratified (bounded histogram prefix)",
     "q_corpus_quantile_norm": "per-source CDF prefix over the (source, n_chars) cell frame — bounded by the value domain",
+    "q_advised_window_order_rank": "per-status prefix over the (status, price-bucket) histogram — advised_rank's two-phase plan; the corpus-scale rank runs per (status, bucket)",
 }
 
 

@@ -190,8 +190,65 @@ def test_compact_default_is_bytes_targeted_and_range_disjoint(engine):
         assert hi1 < lo2, spans
 
 
+# ---------------------------- verdict item 3: publish→deliver latency
+
+
+def test_deliver_latency_path(engine):
+    """Pin tools/bench_log.measure_deliver_latency: a live ephemeral
+    subscriber delivers each published message, the per-message
+    latencies are positive finite seconds, and the subscriber is torn
+    down afterward.  (The bench reports p50/p95 of this exact path.)"""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_log", os.path.join(repo, "tools", "bench_log.py")
+    )
+    bench_log = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_log)
+    measure_deliver_latency = bench_log.measure_deliver_latency
+
+    lats = measure_deliver_latency(engine, n_msgs=3, warm=1, timeout_s=120)
+    assert len(lats) == 3
+    assert all(0 < v < 120 for v in lats)
+    # ephemeral subscriber must be gone: a second measurement on the
+    # same topic must not double-deliver into the first's callback
+    lats2 = measure_deliver_latency(
+        engine, n_msgs=2, warm=1, timeout_s=120, topic_name="live_latency2"
+    )
+    assert len(lats2) == 2
+
+
 def test_compact_explicit_count_still_overrides(engine):
     """target_files remains an explicit override of the byte rule."""
     topic = _fragmented_topic(engine, n_msgs=6, pad_kb=4)
     assert topic.compact(target_files=1) == 1
+    assert topic.fsck()["ok"]
+
+
+def test_compaction_advice_flags_underspilt_topics(engine):
+    """The other side of the layout knee (r10 verdict nit 3): a topic
+    whose bytes span several target units but sits in ONE fat file
+    earns 'split' with the byte-rule files_after, and acting on it
+    (byte-targeted compact) flips the verdict to ok."""
+    topic = _fragmented_topic(engine, n_msgs=12)
+    topic.compact(target_files=1)  # the fat-single-file shape
+    total = sum(s["size"] for s in topic._segment_stats() if s["num_rows"])
+    tb = -(-total // 3)
+    adv = {
+        r["topic"]: r
+        for r in engine.compaction_advice(target_bytes=tb).collect()
+    }["bytes_target"]
+    assert adv["advice"] == "split"
+    assert adv["files_after"] == 3
+    assert adv["n_files"] == 1
+
+    topic.compact(target_bytes=tb)
+
+    adv2 = {
+        r["topic"]: r
+        for r in engine.compaction_advice(target_bytes=tb).collect()
+    }["bytes_target"]
+    assert adv2["advice"] == "ok"
     assert topic.fsck()["ok"]
