@@ -488,16 +488,24 @@ def advised_rank(
 
     ``order_cols`` must be unique per partition (they define
     row_number's total order; with ties the two plans could rank
-    differently — same caveat as any deterministic-rank SQL).  The
+    differently — same caveat as any deterministic-rank SQL).  NULLs
+    are first-class: the histogram join is NULL-safe, so NULL
+    partition keys and NULL buckets rank exactly as the plain window
+    ranks them (ASC = nulls first) — provided ``bucket`` maps a NULL
+    leading order value to NULL (any expression arithmetic on the
+    column does), which keeps the NULL bucket sorting before every
+    numeric bucket just as NULL order values sort first.  The
     equivalence oracle q_advised_window_order_rank proves plans can
     differ, answers can't."""
-    reserved = {"_wbucket", "_w_r_in", "_w_off0", rank_name}
+    reserved = {
+        "_wbucket", "_w_r_in", "_w_off0", "_w_pk", "_w_bk", rank_name
+    }
     clash = reserved & set(fact.columns)
     if clash:
         raise ValueError(
             f"advised_rank: fact columns {sorted(clash)} collide with "
             "the two-phase plan's internal names (_wbucket, _w_r_in, "
-            "_w_off0) or the rank output — rename them"
+            "_w_off0, _w_pk, _w_bk) or the rank output — rename them"
         )
     if advice is None:
         advice = advise_window(
@@ -521,17 +529,25 @@ def advised_rank(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = hist.select(
-        partition_key,
-        "_wbucket",
+        F.col(partition_key).alias("_w_pk"),
+        F.col("_wbucket").alias("_w_bk"),
         F.coalesce(F.sum("_w_n").over(w_prefix), F.lit(0)).alias("_w_off0"),
     )
     w_in = Window.partitionBy(partition_key, "_wbucket").orderBy(*order)
+    # NULL-safe join back: a plain equi-join would silently DROP rows
+    # whose partition key or bucket is NULL (NULL never equals NULL),
+    # letting the measured strategy change row counts, not just plans
+    # (review r11).  The histogram keeps NULL groups; so must the join.
     return (
         b.withColumn("_w_r_in", F.row_number().over(w_in))
-        .join(F.broadcast(prefix), [partition_key, "_wbucket"])
+        .join(
+            F.broadcast(prefix),
+            F.col(partition_key).eqNullSafe(F.col("_w_pk"))
+            & F.col("_wbucket").eqNullSafe(F.col("_w_bk")),
+        )
         .withColumn(
             rank_name,
             (F.col("_w_off0") + F.col("_w_r_in")).cast("int"),
         )
-        .drop("_wbucket", "_w_r_in", "_w_off0")
+        .drop("_wbucket", "_w_r_in", "_w_off0", "_w_pk", "_w_bk")
     )

@@ -94,6 +94,7 @@ def q_advisor_window_strategy(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "q_advised_window_order_rank",
+    bench=True,
     oracle="""
     WITH ranked AS (
       SELECT o_orderkey, o_orderstatus,

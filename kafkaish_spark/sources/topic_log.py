@@ -88,6 +88,54 @@ def _files_for_bytes(total_bytes: int, target_bytes: int) -> int:
     return max(1, -(-int(total_bytes) // int(target_bytes)))
 
 
+def _adjacency_runs(
+    segs: list[dict], small_bytes: int
+) -> list[tuple[str, list[dict]]]:
+    """Group segments smaller than ``small_bytes`` into per-directory
+    offset-ADJACENCY runs — the exact unit ``compact_small`` merges
+    and therefore the exact unit ``compaction_advice`` must cost
+    (review r11: an advice computed by any other arithmetic quotes a
+    files_after the action cannot produce).  A large segment or an
+    offset gap breaks the run; see compact_small's docstring for why
+    merging across either would corrupt retention/fsck invariants."""
+    by_dir: dict[str, list[dict]] = {}
+    for s in segs:
+        if s["min_off"] is not None:
+            by_dir.setdefault(os.path.dirname(s["path"]), []).append(s)
+    runs: list[tuple[str, list[dict]]] = []
+    for d, group in sorted(by_dir.items()):
+        run: list[dict] = []
+        for s in sorted(group, key=lambda s: s["min_off"]):
+            if s["size"] < small_bytes:
+                if run and s["min_off"] != run[-1]["max_off"] + 1:
+                    runs.append((d, run))
+                    run = []
+                run.append(s)
+            else:
+                if run:
+                    runs.append((d, run))
+                run = []
+        if run:
+            runs.append((d, run))
+    return runs
+
+
+def _small_compaction_gain(
+    segs: list[dict], small_bytes: int, target_bytes: int
+) -> int:
+    """Net file-count reduction compact_small(small_bytes,
+    target_bytes) would achieve on ``segs`` — runs that already meet
+    the byte rule contribute nothing, exactly like the action."""
+    gain = 0
+    for _d, smalls in _adjacency_runs(segs, small_bytes):
+        run_files = _files_for_bytes(
+            sum(s["size"] for s in smalls), target_bytes
+        )
+        if len(smalls) > run_files:
+            gain += len(smalls) - run_files
+    return gain
+
+
 def _prune_empty_parts(root: str) -> None:
     """Remove zero-row part files from a rewrite staging dir:
     ``repartitionByRange`` decides bounds by sampling, so a partition
@@ -1124,35 +1172,18 @@ class Topic:
         the same rule ``Engine.compaction_advice`` quotes in its
         ``files_after`` column, so advice → action → re-advice
         converges."""
-        by_dir: dict[str, list[dict]] = {}
-        for s in self._segment_stats():
-            if s["min_off"] is not None:
-                by_dir.setdefault(os.path.dirname(s["path"]), []).append(s)
-        runs: list[tuple[str, list[dict]]] = []
-        for d, segs in sorted(by_dir.items()):
-            run: list[dict] = []
-            for s in sorted(segs, key=lambda s: s["min_off"]):
-                if s["size"] < small_bytes:
-                    # An offset GAP also breaks the run, not just an
-                    # intervening large segment in the same directory:
-                    # with caller-supplied ts, a later publish (higher
-                    # offsets) can land in an EARLIER pub_date dir, so
-                    # two small files here can be offset-non-contiguous
-                    # while the gap's rows live in another directory.
-                    # Merging across that gap would create a non-dense
-                    # commit group that overlaps the other directory's
-                    # range — tripping fsck and mis-ordering retention's
-                    # min-offset whole-group eviction.
-                    if run and s["min_off"] != run[-1]["max_off"] + 1:
-                        runs.append((d, run))
-                        run = []
-                    run.append(s)
-                else:  # a large segment breaks the adjacency run
-                    if run:
-                        runs.append((d, run))
-                    run = []
-            if run:
-                runs.append((d, run))
+        # An offset GAP also breaks a run, not just an intervening
+        # large segment in the same directory: with caller-supplied
+        # ts, a later publish (higher offsets) can land in an EARLIER
+        # pub_date dir, so two small files here can be
+        # offset-non-contiguous while the gap's rows live in another
+        # directory.  Merging across that gap would create a non-dense
+        # commit group that overlaps the other directory's range —
+        # tripping fsck and mis-ordering retention's min-offset
+        # whole-group eviction.  The grouping lives in
+        # _adjacency_runs, SHARED with compaction_advice so the advice
+        # can only ever quote what this action does.
+        runs = _adjacency_runs(self._segment_stats(), small_bytes)
         removed = 0
         for d, smalls in runs:
             run_files = (
@@ -1730,32 +1761,41 @@ class Engine:
         functions/advisor.py): per topic, the file-size economics and
         the verdict, in BOTH directions of the layout knee:
 
-        - ``compact_small`` — at least ``min_files`` segments sit under
-          ``small_frac * target_bytes`` (the many-tiny-publishes
-          pattern the direct fast path produces); action =
-          ``Topic.compact_small(target_bytes=...)``.
         - ``split`` — some segment holds >= 2x ``target_bytes`` (a fat
           file — e.g. one bulk publish_df(target_files=1) — that would
           serialize its share of the topic's scans on a wide cluster);
-          action = ``Topic.compact()``, whose byte-targeted range
-          rewrite is exactly the splitter.  The 2x hysteresis keeps the
-          verdict stable: a rewrite adds per-file overhead bytes, and
-          a topic already at ~1 target unit per file must not
-          re-advise forever; it also means the 16-file knee
-          (BASELINE.md r10: sub-MB tasks cost more than they
-          parallelize) can't be crossed — nothing below 2 target units
-          is ever split.
+          action = ``Topic.compact(target_bytes=row.target_bytes)``,
+          the whole-log byte-targeted range rewrite, and
+          ``files_after`` is exactly what it produces:
+          ceil(bytes / target_bytes).  Split wins over compact_small
+          when both apply — the whole-log repack fixes the small
+          backlog too.  The 2x hysteresis keeps the verdict stable (a
+          rewrite adds per-file overhead bytes; a topic already at ~1
+          target unit per file must not re-advise forever) and means
+          the 16-file knee (BASELINE.md r10: sub-MB tasks cost more
+          than they parallelize) can't be crossed — nothing below 2
+          target units is ever split.
+        - ``compact_small`` — at least ``min_files`` segments sit
+          under the cutoff ``small_frac * target_bytes`` AND merging
+          them would actually reduce the file count; action =
+          ``Topic.compact_small(small_bytes=row.small_cutoff,
+          target_bytes=row.target_bytes)`` — the row CARRIES the
+          cutoff precisely so the advised call uses the same
+          small-file definition the verdict did (compact_small's own
+          default is a different, steady-state cutoff).
+          ``files_after`` comes from the SAME per-directory
+          offset-adjacency-run arithmetic the action executes
+          (_adjacency_runs, shared code), never a global estimate.
         - ``ok`` — the layout already matches the byte rule.
-
-        ``files_after`` quantifies the win (scan tasks saved or gained)
-        before anyone pays for it.
 
         Cost: footer stats only, no Spark job — safe to poll; both
         advised actions preserve offsets and replay semantics (their
-        own tests).  At 100 TB the same rows gate a compaction
-        scheduler symmetrically: merge when tiny-file listing/task
-        overhead dominates, split when per-file parallelism is the
-        bottleneck."""
+        own tests).  advice → action (with the row's parameters) →
+        re-advice converges, driven end-to-end in
+        tests/test_review_r11.py.  At 100 TB the same rows gate a
+        compaction scheduler symmetrically: merge when tiny-file
+        listing/task overhead dominates, split when per-file
+        parallelism is the bottleneck."""
         rows = []
         cutoff = int(small_frac * target_bytes)
         for name in self.topics():
@@ -1769,15 +1809,13 @@ class Engine:
             fat = [s for s in segs if s["size"] >= 2 * target_bytes]
             total = sum(s["size"] for s in segs)
             small_bytes = sum(s["size"] for s in small)
-            if len(small) >= min_files:
-                merged = _files_for_bytes(small_bytes, target_bytes)
-                advice = "compact_small"
-                n_after = len(segs) - len(small) + merged
-            elif fat:
+            gain = _small_compaction_gain(segs, cutoff, target_bytes)
+            if fat:
                 advice = "split"
-                n_after = len(segs) - len(fat) + sum(
-                    _files_for_bytes(s["size"], target_bytes) for s in fat
-                )
+                n_after = _files_for_bytes(total, target_bytes)
+            elif len(small) >= min_files and gain > 0:
+                advice = "compact_small"
+                n_after = len(segs) - gain
             else:
                 advice = "ok"
                 n_after = len(segs)
@@ -1788,6 +1826,8 @@ class Engine:
                     len(small),
                     int(total),
                     int(small_bytes),
+                    int(cutoff),
+                    int(target_bytes),
                     int(n_after),
                     advice,
                 )
@@ -1795,7 +1835,8 @@ class Engine:
         return self.spark.createDataFrame(
             rows,
             "topic string, n_files long, n_small long, bytes long, "
-            "small_bytes long, files_after long, advice string",
+            "small_bytes long, small_cutoff long, target_bytes long, "
+            "files_after long, advice string",
         )
 
     def topics(self) -> list[str]:

@@ -293,11 +293,16 @@ def test_advised_rank_two_phase_equals_plain(spark):
     """The two-phase decomposition is exact: on a skewed synthetic
     frame with a unique order column, ranks from the bucketed plan
     equal the one-window plan bit-for-bit — including order values
-    that straddle bucket boundaries and buckets with a single row."""
+    that straddle bucket boundaries, buckets with a single row, a
+    NULL partition key, and NULL order values (NULL bucket): the
+    histogram join is NULL-safe, so the strategy can never change row
+    counts (review r11)."""
     from kafkaish_spark.functions.advisor import WindowAdvice, advised_rank
 
     rows = [(k, v) for k in ("a", "b") for v in range(1, 101)]
     rows += [("a", 1000 + v) for v in range(50)]  # skew + far bucket
+    rows += [("a", None), ("b", None)]  # NULL order -> NULL bucket
+    rows += [(None, 7), (None, None)]  # NULL partition key
     fact = spark.createDataFrame(rows, "k string, v long").repartition(8)
     bucket = (F.col("v") / F.lit(16)).cast("long")
     plain = advised_rank(
@@ -308,8 +313,11 @@ def test_advised_rank_two_phase_equals_plain(spark):
         fact, "k", ["v"], bucket,
         advice=WindowAdvice("two_phase", "a", 0.6, 0.125),
     )
+    from collections import Counter
+
     key = lambda r: (r["k"], r["v"], r["rnk"])  # noqa: E731
-    assert sorted(map(key, two.collect())) == sorted(
+    # multiset compare — tuples contain Nones, which Python won't sort
+    assert Counter(map(key, two.collect())) == Counter(
         map(key, plain.collect())
     )
 

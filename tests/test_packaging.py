@@ -12,9 +12,12 @@ import os
 import subprocess
 import sys
 import tarfile
-import tomllib
 
 import pytest
+
+# stdlib from 3.11 only; pyproject declares >=3.10, so skip (not
+# collection-error) the toml assertions on an older interpreter
+tomllib = pytest.importorskip("tomllib")
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

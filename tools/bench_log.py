@@ -108,7 +108,7 @@ def measure_deliver_latency(
                 if remaining <= 0:
                     raise TimeoutError(
                         f"message offset {off} not delivered in "
-                        f"{timeout_s}s (subscriber active: {sub.is_active()})"
+                        f"{timeout_s}s (subscriber active: {sub.is_active})"
                     )
                 seen.wait(min(remaining, 0.25))
                 seen.clear()

@@ -156,14 +156,17 @@ def _run(spark, specs, base, big, src, replicas, n_files, reps) -> None:
             except Exception as ex:
                 print(f"# warmup {name}@{d} skipped: {ex}", file=sys.stderr)
 
+    # keys carry the actual multiplier so a 100x artifact can't read
+    # as 10x (review r11)
+    tN = f"t{replicas}"
     names = sorted(specs)
-    samples = {sc: {n: [] for n in names} for sc in ("t1", "t10")}
+    samples = {sc: {n: [] for n in names} for sc in ("t1", tN)}
     for rep in range(reps):
         shift = (rep * 7) % max(len(names), 1)
         for name in names[shift:] + names[:shift]:
-            # adjacent 1x/10x runs of the SAME query: co-tenant bursts
+            # adjacent 1x/Nx runs of the SAME query: co-tenant bursts
             # tax both scales alike, preserving the per-query ratio
-            for sc, d in (("t1", base), ("t10", big)):
+            for sc, d in (("t1", base), (tN, big)):
                 t0 = time.perf_counter()
                 specs[name].fn(spark, d).write.mode("overwrite").format(
                     "noop"
@@ -186,8 +189,8 @@ def _run(spark, specs, base, big, src, replicas, n_files, reps) -> None:
     queries = {
         n: {
             "t1": timings["t1"][n],
-            "t10": timings["t10"][n],
-            "ratio": round(timings["t10"][n] / timings["t1"][n], 2)
+            tN: timings[tN][n],
+            "ratio": round(timings[tN][n] / timings["t1"][n], 2)
             if timings["t1"][n]
             else None,
         }
@@ -202,14 +205,14 @@ def _run(spark, specs, base, big, src, replicas, n_files, reps) -> None:
         json.dumps(
             {
                 "metric": "weak_scaling_compare",
-                "value": round(sum(timings["t10"].values()), 4),
+                "value": round(sum(timings[tN].values()), 4),
                 "unit": "sec",
                 "replicas": replicas,
                 "files_per_table": n_files,
                 "t1_total_sec": round(sum(timings["t1"].values()), 4),
-                "t10_total_sec": round(sum(timings["t10"].values()), 4),
+                f"{tN}_total_sec": round(sum(timings[tN].values()), 4),
                 "queries": queries,
-                "plan_same_1x_vs_10x": plan_same,
+                f"plan_same_1x_vs_{replicas}x": plan_same,
                 "superlinear": superlinear,
                 "method": f"min-of-{reps}-interleaved-adjacent-scales",
                 "sf": os.path.basename(src.rstrip("/")),
