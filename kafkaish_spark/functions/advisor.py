@@ -468,23 +468,32 @@ def advised_rank(
     bucket,
     *,
     rank_name: str = "rnk",
+    ascending: bool = True,
     advice: WindowAdvice | None = None,
     hot_share_threshold: float = HOT_SHARE_THRESHOLD_DEFAULT,
 ) -> DataFrame:
     """``row_number() OVER (PARTITION BY partition_key ORDER BY
-    order_cols ASC)`` as ``rank_name``, using the advised strategy
-    (measured here unless a cached ``advice`` is passed):
+    order_cols ASC|DESC)`` as ``rank_name``, using the advised
+    strategy (measured here unless a cached ``advice`` is passed):
 
     - ``plain``     → one window, Catalyst's pick;
     - ``two_phase`` → the q_train_global_shuffle decomposition,
       per-key: (1) histogram rows into ``bucket`` (a caller-supplied
       expression that must be monotone NON-DECREASING in the leading
       order column — rows of bucket b all sort before rows of bucket
-      b+1), (2) rank WITHIN each (key, bucket) in parallel, (3) add
-      the bucket's starting position from a per-key prefix sum over
-      the (key, bucket) histogram — a bounded frame (keys x buckets
-      rows), broadcast back.  No task ever sorts more than one
-      bucket's slice of the hot key.
+      b+1 when ascending; the SAME bucket expression serves DESC, the
+      prefix just accumulates from the other end), (2) rank WITHIN
+      each (key, bucket) in parallel, (3) add the bucket's starting
+      position from a per-key prefix sum over the (key, bucket)
+      histogram — a bounded frame (keys x buckets rows), broadcast
+      back.  No task ever sorts more than one bucket's slice of the
+      hot key.
+
+    ``ascending=False`` ranks 1 = largest, with Spark's DESC null
+    placement (nulls last) in both plans: the bucket prefix orders
+    buckets DESC nulls-last, mirroring how the NULL order values (→
+    NULL bucket, by the bucket-expression contract) sort within the
+    plain window.
 
     ``order_cols`` must be unique per partition (they define
     row_number's total order; with ties the two plans could rank
@@ -513,7 +522,10 @@ def advised_rank(
         )
     from pyspark.sql import Window
 
-    order = [F.col(c).asc() for c in order_cols]
+    order = [
+        F.col(c).asc() if ascending else F.col(c).desc()
+        for c in order_cols
+    ]
     if advice.strategy == "plain":
         w = Window.partitionBy(partition_key).orderBy(*order)
         return fact.withColumn(rank_name, F.row_number().over(w))
@@ -522,10 +534,16 @@ def advised_rank(
         F.count(F.lit(1)).alias("_w_n")
     )
     # per-key prefix over the HISTOGRAM (keys x buckets rows — the
-    # bounded class), never over the corpus
+    # bounded class), never over the corpus.  Bucket order mirrors the
+    # row order exactly, including null placement (asc = nulls first,
+    # desc = nulls last — Spark's defaults, which the plain window
+    # also uses).
+    bucket_order = (
+        F.col("_wbucket").asc() if ascending else F.col("_wbucket").desc()
+    )
     w_prefix = (
         Window.partitionBy(partition_key)
-        .orderBy("_wbucket")
+        .orderBy(bucket_order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = hist.select(

@@ -322,6 +322,34 @@ def test_advised_rank_two_phase_equals_plain(spark):
     )
 
 
+def test_advised_rank_descending_equals_plain(spark):
+    """DESC ranks (1 = largest) must also be bit-identical between the
+    plans — the prefix accumulates from the other end of the SAME
+    bucket histogram, and NULL order values (nulls last under DESC)
+    land after every numeric bucket in both."""
+    from collections import Counter
+
+    from kafkaish_spark.functions.advisor import WindowAdvice, advised_rank
+
+    rows = [(k, v) for k in ("a", "b") for v in range(1, 101)]
+    rows += [("a", 1000 + v) for v in range(50)]
+    rows += [("a", None), ("b", None), (None, 7), (None, None)]
+    fact = spark.createDataFrame(rows, "k string, v long").repartition(8)
+    bucket = (F.col("v") / F.lit(16)).cast("long")
+    plain = advised_rank(
+        fact, "k", ["v"], bucket, ascending=False,
+        advice=WindowAdvice("plain", None, 0.0, 0.125),
+    )
+    two = advised_rank(
+        fact, "k", ["v"], bucket, ascending=False,
+        advice=WindowAdvice("two_phase", "a", 0.6, 0.125),
+    )
+    key = lambda r: (r["k"], r["v"], r["rnk"])  # noqa: E731
+    assert Counter(map(key, two.collect())) == Counter(
+        map(key, plain.collect())
+    )
+
+
 def test_advised_rank_two_phase_plan_shape(spark, sf_dir):
     """The two-phase plan must contain NO window partitioned only by
     the hot key over the corpus: every corpus-scale window carries the

@@ -431,7 +431,9 @@ def test_constant_key_windows_are_group_limited_or_bounded(spark, sf_dir):
                 break
     assert not offenders, (
         "constant-cardinality-only window partitions without group-limit "
-        f"or whitelist (see SCALE.md round-5 audit): {offenders}"
+        "or whitelist (see SCALE.md round-5 audit; the constructive fix "
+        "is functions.advisor.advised_rank's two-phase plan — r11): "
+        f"{offenders}"
     )
 
 
