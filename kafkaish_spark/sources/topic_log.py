@@ -136,6 +136,26 @@ def _small_compaction_gain(
     return gain
 
 
+def _dir_rows(root: str) -> int:
+    """Total data rows under ``root`` from parquet footers; an
+    UNREADABLE part file counts as data (returns at least 1) so no
+    caller ever treats a possibly-populated directory as empty and
+    deletes over it."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.startswith("part-") and fn.endswith(".parquet"):
+                try:
+                    n += pq.ParquetFile(
+                        os.path.join(dirpath, fn)
+                    ).metadata.num_rows
+                except Exception:
+                    return max(n, 1)
+    return n
+
+
 def _prune_empty_parts(root: str) -> None:
     """Remove zero-row part files from a rewrite staging dir:
     ``repartitionByRange`` decides bounds by sampling, so a partition
@@ -396,6 +416,14 @@ class Topic:
         # (src/topic.js:14 sets it false at construction); Engine
         # .prepare_topic recreates a handle whose flag is set
         self.closed = False
+        # A compaction that crashed between its two renames leaves the
+        # whole pre-swap log in .compact.old and NO log dir; restore it
+        # BEFORE layout detection and _ensure, or the handle would seed
+        # an empty topic (with the wrong layout) over the data (r11;
+        # the explicit maintenance entry point is Topic.vacuum).
+        _old = self.log_dir + ".compact.old"
+        if not os.path.exists(self.log_dir) and os.path.isdir(_old):
+            os.replace(_old, self.log_dir)
         # Auto-detect the layout of a pre-existing log in BOTH
         # directions: a fresh Engine must not misread a partitioned
         # topic as flat, and requesting partitioned=True over an
@@ -1280,6 +1308,66 @@ class Topic:
             raise RuntimeError(f"{err}; log restored")
         shutil.rmtree(old)
 
+    def vacuum(self, stale_s: float = 3600.0) -> dict:
+        """Garbage-collect compaction STAGING artifacts and recover
+        from crashed rewrites — the maintenance op a 100 TB deployment
+        runs alongside retention (Delta/Iceberg's VACUUM analog, sized
+        down to this log's two-rename swap protocol).
+
+        Handles, in safety order:
+
+        1. **Lost log** (``log`` missing, ``log.compact.old`` present —
+           a crash between _swap_log_with's two renames): restore the
+           old dir as the log.  Topic construction does this too, so
+           simply re-preparing a topic heals it; vacuum is the
+           explicit, reporting entry point.
+        2. **Seeded-over log** (``log`` present but holds ZERO data
+           rows while ``.compact.old`` holds rows — a handle was
+           constructed in the crash window before this round's
+           restore-on-init existed, seeding an empty log over the
+           data): drop the empty seed, restore the old dir.  Row
+           counts come from parquet footers, and an UNREADABLE footer
+           counts as data — the destructive branch is unreachable on
+           anything that might hold rows.
+        3. **Garbage** (``.compact.old`` after a COMPLETED swap,
+           ``.compact.tmp`` / ``.smallcompact.*.tmp`` from crashed
+           writes): removed once older than ``stale_s`` (default 1 h);
+           younger artifacts are reported as kept — they may belong to
+           a compaction in flight right now.
+
+        Returns {"recovered": [...], "removed": [...], "kept": [...]}
+        with the affected paths."""
+        import glob as _glob
+
+        now = time.time()
+        out: dict = {"recovered": [], "removed": [], "kept": []}
+        old = self.log_dir + ".compact.old"
+        if not os.path.isdir(self.log_dir) and os.path.isdir(old):
+            os.replace(old, self.log_dir)
+            out["recovered"].append(old)
+        elif os.path.isdir(old):
+            if _dir_rows(self.log_dir) == 0 and _dir_rows(old) > 0:
+                shutil.rmtree(self.log_dir)
+                os.replace(old, self.log_dir)
+                out["recovered"].append(old)
+            elif now - os.path.getmtime(old) >= stale_s:
+                shutil.rmtree(old)
+                out["removed"].append(old)
+            else:
+                out["kept"].append(old)
+        tmps = [self.log_dir + ".compact.tmp"] + sorted(
+            _glob.glob(self.log_dir + ".smallcompact.*.tmp")
+        )
+        for p in tmps:
+            if not os.path.isdir(p):
+                continue
+            if now - os.path.getmtime(p) >= stale_s:
+                shutil.rmtree(p)
+                out["removed"].append(p)
+            else:
+                out["kept"].append(p)
+        return out
+
     def offset_for_time(self, ts) -> int | None:
         """Earliest offset whose ``ts`` >= the given time (Kafka's
         ``offsetsForTimes`` analog; the reference can only seek by id).
@@ -1838,6 +1926,33 @@ class Engine:
             "small_bytes long, small_cutoff long, target_bytes long, "
             "files_after long, advice string",
         )
+
+    def vacuum(self, stale_s: float = 3600.0) -> dict:
+        """Engine-wide Topic.vacuum sweep.  Scans the ROOT listing
+        directly rather than ``topics()``: a topic whose log vanished
+        mid-compaction-swap has no ``log`` subdir and would be
+        invisible to the normal listing — exactly the one that most
+        needs recovering.  (Constructing its handle performs the
+        restore; its vacuum then handles staging garbage.)"""
+        out: dict = {"recovered": [], "removed": [], "kept": []}
+        if not os.path.isdir(self.root):
+            return out
+        for name in sorted(os.listdir(self.root)):
+            tdir = os.path.join(self.root, name)
+            if not os.path.isdir(tdir):
+                continue
+            has_log = os.path.isdir(os.path.join(tdir, "log"))
+            has_old = os.path.isdir(os.path.join(tdir, "log.compact.old"))
+            if not (has_log or has_old):
+                continue
+            if not has_log:  # init-time restore IS the recovery
+                out["recovered"].append(
+                    os.path.join(tdir, "log.compact.old")
+                )
+            sub = self.prepare_topic(name).vacuum(stale_s)
+            for k in out:
+                out[k].extend(p for p in sub[k] if p not in out[k])
+        return out
 
     def topics(self) -> list[str]:
         """All topics under this root, prepared or not (the reference

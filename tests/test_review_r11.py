@@ -258,3 +258,102 @@ def test_compaction_advice_flags_underspilt_topics(engine):
     }["bytes_target"]
     assert adv2["advice"] == "ok"
     assert topic.fsck()["ok"]
+
+
+# --------------------------------------- r11 wave 2: compaction vacuum
+
+
+def _crash_swap(topic):
+    """Simulate a compaction crash between _swap_log_with's two
+    renames: the log has moved to .compact.old, nothing replaced it."""
+    import os
+
+    os.replace(topic.log_dir, topic.log_dir + ".compact.old")
+
+
+def test_vacuum_recovers_log_lost_mid_swap(spark, tmp_path):
+    from kafkaish_spark.sources.topic_log import Engine
+
+    eng = Engine(spark, str(tmp_path / "t"))
+    topic = eng.prepare_topic("crashy")
+    for i in range(5):
+        topic.publish("e", {"i": i})
+    before = sorted(r["offset"] for r in topic.log().collect())
+    _crash_swap(topic)
+
+    # a FRESH engine (new process after the crash) heals on prepare
+    eng2 = Engine(spark, str(tmp_path / "t"))
+    healed = eng2.prepare_topic("crashy")
+    assert sorted(r["offset"] for r in healed.log().collect()) == before
+    assert healed.fsck()["ok"]
+
+
+def test_vacuum_restores_data_over_an_empty_seed(spark, tmp_path):
+    """The poisoned ordering: crash mid-swap, then an empty log dir
+    appears (a pre-r11 handle seeded it).  vacuum must prefer the
+    .compact.old DATA over the zero-row seed."""
+    import os
+
+    from kafkaish_spark.sources.topic_log import Engine
+
+    eng = Engine(spark, str(tmp_path / "t"))
+    topic = eng.prepare_topic("seeded")
+    for i in range(4):
+        topic.publish("e", {"i": i})
+    before = sorted(r["offset"] for r in topic.log().collect())
+    _crash_swap(topic)
+    os.makedirs(topic.log_dir)  # the empty seed
+
+    out = topic.vacuum()
+    assert out["recovered"] == [topic.log_dir + ".compact.old"]
+    assert sorted(r["offset"] for r in topic.log().collect()) == before
+
+
+def test_vacuum_removes_stale_staging_keeps_fresh(spark, tmp_path):
+    import os
+    import time
+
+    from kafkaish_spark.sources.topic_log import Engine
+
+    eng = Engine(spark, str(tmp_path / "t"))
+    topic = eng.prepare_topic("gc")
+    topic.publish("e", {"i": 1})
+    stale_tmp = topic.log_dir + ".compact.tmp"
+    fresh_tmp = topic.log_dir + ".smallcompact.deadbeef.tmp"
+    os.makedirs(stale_tmp)
+    os.makedirs(fresh_tmp)
+    past = time.time() - 7200
+    os.utime(stale_tmp, (past, past))
+
+    out = eng.vacuum(stale_s=3600)
+    assert stale_tmp in out["removed"]
+    assert fresh_tmp in out["kept"]
+    assert not os.path.isdir(stale_tmp)
+    assert os.path.isdir(fresh_tmp)
+    # the log itself is untouched
+    assert topic.log().count() == 1
+
+
+def test_vacuum_drops_stale_old_after_completed_swap(spark, tmp_path):
+    """.compact.old left by a crash AFTER a successful swap (log has
+    the data) is garbage once stale — but a fresh one is kept (a
+    compaction may be mid-flight)."""
+    import os
+    import shutil
+    import time
+
+    from kafkaish_spark.sources.topic_log import Engine
+
+    eng = Engine(spark, str(tmp_path / "t"))
+    topic = eng.prepare_topic("leftover")
+    for i in range(3):
+        topic.publish("e", {"i": i})
+    old = topic.log_dir + ".compact.old"
+    shutil.copytree(topic.log_dir, old)
+
+    assert topic.vacuum(stale_s=3600)["kept"] == [old]  # fresh: kept
+    past = time.time() - 7200
+    os.utime(old, (past, past))
+    assert topic.vacuum(stale_s=3600)["removed"] == [old]
+    assert not os.path.isdir(old)
+    assert topic.log().count() == 3
