@@ -34,16 +34,11 @@ _R = 40  # bootstrap replicates: order stats 2 and 39 are ~2.5%/97.5%
 _SEED = "boot5"
 
 # Poisson(1) inverse CDF thresholds: P(X <= k) = e^-1 * sum_{j<=k} 1/j!
-# written as double literals so both engines compare the same bits.
-_POIS_CDF = (
-    0.36787944117144233,  # k = 0
-    0.7357588823428847,   # k = 1
-    0.9196986029286058,   # k = 2
-    0.9810118431238462,   # k = 3
-    0.9963401531726563,   # k = 4
-    0.9994058151824183,   # k = 5
-    0.9999167588507119,   # k = 6
-)  # u above the last threshold -> weight 7 (P ~ 1e-5; tail truncation)
+# — the ONE shared copy (functions/stats.py; composites60's explode-
+# shaped bootstrap slices the same tuple), so the engines-must-agree
+# literals cannot drift between the two plan shapes (review r11).
+# u above the last threshold -> weight 7 (P ~ 1e-5; tail truncation)
+from kafkaish_spark.functions.stats import POISSON1_CDF as _POIS_CDF
 
 
 def _boot_sql() -> str:

@@ -11,7 +11,12 @@ quantification — two staples of corpus QA the drift family
   100 TB.  Classical resampling needs B full shuffles of the corpus;
   the Poisson bootstrap gives every (row, replicate) an independent
   Poisson(1) weight derived from a hash, so all B replicates ride ONE
-  scan and one hash aggregation.
+  scan.  This module is the EXPLODE shape (B-way row fan-out into one
+  ordinary hash aggregate — B can grow without widening the aggregate
+  row); composites34's q_ml_poisson_bootstrap is the R-COLUMN shape
+  (2R+2 weighted partials in a single aggregate, zero row
+  multiplication — cheapest at modest R).  Both slice the same shared
+  Poisson(1) CDF literals (functions/stats.py).
 
 Reference parity: [NS] — the reference (kafkaish, ~350 LoC pub/sub,
 /root/reference/src/topic.js) has no query surface.
@@ -39,16 +44,13 @@ _B = 64  # bootstrap replicates
 _SEED = "r11boot"
 # cumulative Poisson(1) CDF thresholds: P(X<=k) for k = 0..4; a
 # uniform u maps to the weight k whose cumulative first exceeds it
-# (w=5 for the ~0.06% tail).  The literals are written once here and
-# f-string-mirrored into the oracle SQL, so both engines compare the
-# same IEEE doubles.
-_POIS = (
-    "0.36787944117144233",
-    "0.7357588823428847",
-    "0.9196986029286058",
-    "0.9810118431238462",
-    "0.9963401531726563",
-)
+# (w=5 for the ~0.06% tail).  The literals live in ONE shared home
+# (functions/stats.py — composites34's R-column bootstrap uses the
+# same tuple at depth 7) and are repr-mirrored into the oracle SQL,
+# so both engines compare the same IEEE doubles.
+from kafkaish_spark.functions.stats import POISSON1_CDF as _P1
+
+_POIS = tuple(repr(c) for c in _P1[:5])
 
 
 def _ks_oracle() -> str:

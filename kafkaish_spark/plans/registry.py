@@ -113,6 +113,7 @@ def _load_all() -> None:
     import kafkaish_spark.operators.composites56  # noqa: F401
     import kafkaish_spark.operators.composites57  # noqa: F401
     import kafkaish_spark.operators.composites58  # noqa: F401
+    import kafkaish_spark.operators.composites34  # noqa: F401
     import kafkaish_spark.operators.composites59  # noqa: F401
     import kafkaish_spark.operators.composites60  # noqa: F401
 

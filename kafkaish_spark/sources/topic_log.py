@@ -136,6 +136,11 @@ def _small_compaction_gain(
     return gain
 
 
+# dotfile inside a .compact.old staging dir marking that its swap's
+# second rename was reached — see _swap_log_with / vacuum
+_SWAP_MARKER = ".swap_state"
+
+
 def _dir_rows(root: str) -> int:
     """Total data rows under ``root`` from parquet footers; an
     UNREADABLE part file counts as data (returns at least 1) so no
@@ -424,6 +429,8 @@ class Topic:
         _old = self.log_dir + ".compact.old"
         if not os.path.exists(self.log_dir) and os.path.isdir(_old):
             os.replace(_old, self.log_dir)
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(self.log_dir, _SWAP_MARKER))
         # Auto-detect the layout of a pre-existing log in BOTH
         # directions: a fresh Engine must not misread a partitioned
         # topic as flat, and requesting partitioned=True over an
@@ -1299,11 +1306,27 @@ class Topic:
             release()
         old = self.log_dir + ".compact.old"
         os.replace(self.log_dir, old)
+        # rename PRESERVES the dir's own mtime, so a just-swapped-out
+        # old dir would look hours stale to vacuum() — stamp the swap
+        # time explicitly (review r11)
+        os.utime(old)
+        # the swap-state marker distinguishes "swap completed, old is
+        # garbage" from "swap crashed, old is the data": written just
+        # before the second rename, so a marked old WITH a live log
+        # means the new log is authoritative — vacuum must never
+        # restore over it (a full redact would otherwise resurrect the
+        # erased rows).  A marked old WITHOUT a live log (crash between
+        # the marker and the second rename) still restores — rule 1
+        # keys on the missing log, not the marker.
+        with open(os.path.join(old, _SWAP_MARKER), "w") as fh:
+            fh.write("committing")
         os.replace(tmp, self.log_dir)
         err = validate(self.log())
         if err:
             os.replace(self.log_dir, tmp)
             os.replace(old, self.log_dir)
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(self.log_dir, _SWAP_MARKER))
             shutil.rmtree(tmp)
             raise RuntimeError(f"{err}; log restored")
         shutil.rmtree(old)
@@ -1314,59 +1337,101 @@ class Topic:
         runs alongside retention (Delta/Iceberg's VACUUM analog, sized
         down to this log's two-rename swap protocol).
 
-        Handles, in safety order:
+        Handles, in safety order (all under the topic's writer lock —
+        recovery must not race a publish into the directories it moves):
 
         1. **Lost log** (``log`` missing, ``log.compact.old`` present —
            a crash between _swap_log_with's two renames): restore the
-           old dir as the log.  Topic construction does this too, so
+           old dir as the log, unconditionally — an incomplete swap's
+           data must come back.  Topic construction does this too, so
            simply re-preparing a topic heals it; vacuum is the
            explicit, reporting entry point.
-        2. **Seeded-over log** (``log`` present but holds ZERO data
-           rows while ``.compact.old`` holds rows — a handle was
-           constructed in the crash window before this round's
-           restore-on-init existed, seeding an empty log over the
-           data): drop the empty seed, restore the old dir.  Row
-           counts come from parquet footers, and an UNREADABLE footer
-           counts as data — the destructive branch is unreachable on
-           anything that might hold rows.
-        3. **Garbage** (``.compact.old`` after a COMPLETED swap,
-           ``.compact.tmp`` / ``.smallcompact.*.tmp`` from crashed
-           writes): removed once older than ``stale_s`` (default 1 h);
-           younger artifacts are reported as kept — they may belong to
-           a compaction in flight right now.
+        2. **Completed-swap garbage** (``.compact.old`` carrying the
+           ``.swap_state`` marker while a live log exists — the swap's
+           second rename happened, the live log is authoritative):
+           removed once stale, NEVER restored.  This is what makes a
+           crashed redact-to-zero safe: its old dir is marked, so the
+           erased rows can never be resurrected by recovery.
+        3. **Seeded-over log** (UNMARKED ``.compact.old`` with rows
+           while the live log holds ZERO data rows — a pre-marker
+           handle seeded an empty log over crash-window data): drop
+           the empty seed, restore the old dir — but only once the
+           old dir is ``stale_s`` old, so an in-flight swap is never
+           raced.  Row counts come from parquet footers, and an
+           UNREADABLE footer counts as data — the destructive branch
+           is unreachable on anything that might hold rows.  An
+           unmarked old next to a log WITH rows is ambiguous (publishes
+           landed after the crash) and is reported kept for the
+           operator.
+        4. **Write staging** (``.compact.tmp`` / ``.smallcompact.*.tmp``
+           from crashed writes): removed once older than ``stale_s``
+           (default 1 h); younger artifacts are reported as kept —
+           they may belong to a compaction in flight right now.
 
-        Returns {"recovered": [...], "removed": [...], "kept": [...]}
-        with the affected paths."""
+        Layout (flat vs pub_date-partitioned) is re-detected after any
+        restore, so a handle constructed against the seed keeps
+        working.  Returns {"recovered": [...], "removed": [...],
+        "kept": [...]} with the affected paths."""
         import glob as _glob
 
-        now = time.time()
-        out: dict = {"recovered": [], "removed": [], "kept": []}
-        old = self.log_dir + ".compact.old"
-        if not os.path.isdir(self.log_dir) and os.path.isdir(old):
-            os.replace(old, self.log_dir)
-            out["recovered"].append(old)
-        elif os.path.isdir(old):
-            if _dir_rows(self.log_dir) == 0 and _dir_rows(old) > 0:
-                shutil.rmtree(self.log_dir)
+        with writer_lock(self.root, what="vacuum"):
+            now = time.time()
+            out: dict = {"recovered": [], "removed": [], "kept": []}
+            old = self.log_dir + ".compact.old"
+            marker = os.path.join(old, _SWAP_MARKER)
+            if not os.path.isdir(self.log_dir) and os.path.isdir(old):
                 os.replace(old, self.log_dir)
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(self.log_dir, _SWAP_MARKER))
+                self._redetect_layout()
                 out["recovered"].append(old)
-            elif now - os.path.getmtime(old) >= stale_s:
-                shutil.rmtree(old)
-                out["removed"].append(old)
-            else:
-                out["kept"].append(old)
-        tmps = [self.log_dir + ".compact.tmp"] + sorted(
-            _glob.glob(self.log_dir + ".smallcompact.*.tmp")
-        )
-        for p in tmps:
-            if not os.path.isdir(p):
-                continue
-            if now - os.path.getmtime(p) >= stale_s:
-                shutil.rmtree(p)
-                out["removed"].append(p)
-            else:
-                out["kept"].append(p)
-        return out
+            elif os.path.isdir(old):
+                stale = now - os.path.getmtime(old) >= stale_s
+                if os.path.exists(marker):
+                    (out["removed"] if stale else out["kept"]).append(old)
+                    if stale:
+                        shutil.rmtree(old)
+                elif (
+                    stale
+                    and _dir_rows(self.log_dir) == 0
+                    and _dir_rows(old) > 0
+                ):
+                    shutil.rmtree(self.log_dir)
+                    os.replace(old, self.log_dir)
+                    self._redetect_layout()
+                    out["recovered"].append(old)
+                elif stale and _dir_rows(old) == 0:
+                    shutil.rmtree(old)
+                    out["removed"].append(old)
+                else:
+                    out["kept"].append(old)
+            tmps = [self.log_dir + ".compact.tmp"] + sorted(
+                _glob.glob(_glob.escape(self.log_dir) + ".smallcompact.*.tmp")
+            )
+            for p in tmps:
+                if not os.path.isdir(p):
+                    continue
+                if now - os.path.getmtime(p) >= stale_s:
+                    shutil.rmtree(p)
+                    out["removed"].append(p)
+                else:
+                    out["kept"].append(p)
+            return out
+
+    def _redetect_layout(self) -> None:
+        """Refresh the partitioned flag from the on-disk layout after a
+        recovery moved directories under this handle (review r11: a
+        handle that detected a flat empty seed must not keep treating a
+        restored pub_date-partitioned log as flat)."""
+        if os.path.isdir(self.log_dir):
+            entries = os.listdir(self.log_dir)
+            if any(e.startswith("pub_date=") for e in entries):
+                self.partitioned = True
+            elif any(
+                e.startswith("part-") and e.endswith(".parquet")
+                for e in entries
+            ):
+                self.partitioned = False
 
     def offset_for_time(self, ts) -> int | None:
         """Earliest offset whose ``ts`` >= the given time (Kafka's

@@ -27,13 +27,19 @@ def test_bootstrap_ci_brackets_the_point_mean(spark, sf_dir):
 
 
 def test_poisson_ladder_mass_is_poisson_one():
-    """The CASE-ladder thresholds really are the Poisson(1) CDF —
-    guards against a typo'd literal silently skewing every weight."""
+    """The shared CASE-ladder thresholds really are the Poisson(1) CDF
+    — guards against a typo'd literal silently skewing every weight in
+    BOTH bootstrap shapes (composites60 explode / composites34
+    R-column), which slice the same functions/stats.py tuple."""
     import math
 
+    from kafkaish_spark.functions.stats import POISSON1_CDF
+    from kafkaish_spark.operators.composites34 import _POIS_CDF
     from kafkaish_spark.operators.composites60 import _POIS
 
     cum = 0.0
-    for k, lit in enumerate(_POIS):
+    for k, lit in enumerate(POISSON1_CDF):
         cum += math.exp(-1) / math.factorial(k)
-        assert abs(float(lit) - cum) < 1e-15, (k, lit, cum)
+        assert abs(lit - cum) < 1e-15, (k, lit, cum)
+    assert _POIS_CDF is POISSON1_CDF
+    assert _POIS == tuple(repr(c) for c in POISSON1_CDF[:5])

@@ -289,10 +289,13 @@ def test_vacuum_recovers_log_lost_mid_swap(spark, tmp_path):
 
 
 def test_vacuum_restores_data_over_an_empty_seed(spark, tmp_path):
-    """The poisoned ordering: crash mid-swap, then an empty log dir
-    appears (a pre-r11 handle seeded it).  vacuum must prefer the
-    .compact.old DATA over the zero-row seed."""
+    """The poisoned ordering: crash mid-swap (old dir UNMARKED — the
+    second rename never ran), then an empty log dir appears (a
+    pre-marker handle seeded it).  Once the old dir is stale, vacuum
+    must prefer its DATA over the zero-row seed; while fresh it is
+    kept (an in-flight swap must not be raced)."""
     import os
+    import time
 
     from kafkaish_spark.sources.topic_log import Engine
 
@@ -303,9 +306,13 @@ def test_vacuum_restores_data_over_an_empty_seed(spark, tmp_path):
     before = sorted(r["offset"] for r in topic.log().collect())
     _crash_swap(topic)
     os.makedirs(topic.log_dir)  # the empty seed
+    old = topic.log_dir + ".compact.old"
 
+    assert topic.vacuum()["kept"] == [old]  # fresh: never raced
+    past = time.time() - 7200
+    os.utime(old, (past, past))
     out = topic.vacuum()
-    assert out["recovered"] == [topic.log_dir + ".compact.old"]
+    assert out["recovered"] == [old]
     assert sorted(r["offset"] for r in topic.log().collect()) == before
 
 
@@ -335,14 +342,14 @@ def test_vacuum_removes_stale_staging_keeps_fresh(spark, tmp_path):
 
 
 def test_vacuum_drops_stale_old_after_completed_swap(spark, tmp_path):
-    """.compact.old left by a crash AFTER a successful swap (log has
-    the data) is garbage once stale — but a fresh one is kept (a
-    compaction may be mid-flight)."""
+    """.compact.old carrying the swap-state marker (the swap's second
+    rename happened — the live log is authoritative) is garbage once
+    stale — but a fresh one is kept (a compaction may be mid-flight)."""
     import os
     import shutil
     import time
 
-    from kafkaish_spark.sources.topic_log import Engine
+    from kafkaish_spark.sources.topic_log import Engine, _SWAP_MARKER
 
     eng = Engine(spark, str(tmp_path / "t"))
     topic = eng.prepare_topic("leftover")
@@ -350,6 +357,7 @@ def test_vacuum_drops_stale_old_after_completed_swap(spark, tmp_path):
         topic.publish("e", {"i": i})
     old = topic.log_dir + ".compact.old"
     shutil.copytree(topic.log_dir, old)
+    open(os.path.join(old, _SWAP_MARKER), "w").write("committing")
 
     assert topic.vacuum(stale_s=3600)["kept"] == [old]  # fresh: kept
     past = time.time() - 7200
@@ -357,3 +365,43 @@ def test_vacuum_drops_stale_old_after_completed_swap(spark, tmp_path):
     assert topic.vacuum(stale_s=3600)["removed"] == [old]
     assert not os.path.isdir(old)
     assert topic.log().count() == 3
+
+
+def test_vacuum_never_resurrects_a_completed_redact_to_zero(spark, tmp_path):
+    """A redact that legitimately emptied the topic, crashing AFTER its
+    swap completed (marked old dir still on disk, live log 0 rows):
+    vacuum must REMOVE the old data once stale — restoring it would
+    resurrect right-to-be-forgotten rows (review r11)."""
+    import os
+    import time
+
+    from kafkaish_spark.sources.topic_log import Engine
+
+    eng = Engine(spark, str(tmp_path / "t"))
+    topic = eng.prepare_topic("erased")
+    for i in range(3):
+        topic.publish("e", {"u": "gone", "i": i})
+    # a real full redact, then re-create the completed-swap crash state
+    # by copying the post-redact log and re-running the swap by hand is
+    # brittle; drive the REAL path instead: redact everything (the swap
+    # completes and normally removes old), then recreate the marked old
+    # from a data-bearing copy as the crash would have left it
+    import shutil
+
+    pre = topic.log_dir + ".pre_redact_copy"
+    shutil.copytree(topic.log_dir, pre)
+    removed = topic.redact("get_json_object(message, '$.u') = 'gone'")
+    assert removed == 3
+    assert topic.log().count() == 0
+    old = topic.log_dir + ".compact.old"
+    from kafkaish_spark.sources.topic_log import _SWAP_MARKER
+
+    os.replace(pre, old)
+    open(os.path.join(old, _SWAP_MARKER), "w").write("committing")
+    past = time.time() - 7200
+    os.utime(old, (past, past))
+
+    out = topic.vacuum()
+    assert out["removed"] == [old]
+    assert out["recovered"] == []
+    assert topic.log().count() == 0  # the erasure stands
