@@ -710,3 +710,39 @@ def test_all_queries_green_tail_rotates_by_staleness():
     # with zero reds and zero never-checked, slot 1 is the stalest proof
     if not reds and checked >= set(ordered):
         assert latest_round[ordered[0]] == min(tail_rounds)
+
+
+def test_every_operator_module_is_registered():
+    """No orphaned query modules: every kafkaish_spark/operators/*.py
+    that defines an @query must be imported by plans.registry._load_all
+    — composites34 sat written-but-unregistered for six rounds before
+    the r11 review found it; this guard makes that class structural."""
+    import os
+    import re
+
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "kafkaish_spark",
+    )
+    ops_dir = os.path.join(root, "operators")
+    modules = {
+        f[:-3]
+        for f in os.listdir(ops_dir)
+        if f.endswith(".py") and f != "__init__.py"
+    }
+    with_queries = {
+        m
+        for m in modules
+        if "@query(" in open(os.path.join(ops_dir, f"{m}.py")).read()
+    }
+    registered = set(
+        re.findall(
+            r"operators\.(\w+)",
+            open(os.path.join(root, "plans", "registry.py")).read(),
+        )
+    )
+    orphans = sorted(with_queries - registered)
+    assert not orphans, (
+        f"operator modules defining @query but never imported by "
+        f"plans.registry._load_all: {orphans}"
+    )
