@@ -44,7 +44,10 @@ _B = 64  # bootstrap replicates
 _SEED = "r11boot"
 # cumulative Poisson(1) CDF thresholds: P(X<=k) for k = 0..4; a
 # uniform u maps to the weight k whose cumulative first exceeds it
-# (w=5 for the ~0.06% tail).  The literals live in ONE shared home
+# (w=5 for the ~0.37% tail P(X>=5); composites34's R-column bootstrap
+# runs the same ladder at depth 7, truncating at ~0.01% instead — the
+# two are intentionally different fidelity tiers).  The literals live
+# in ONE shared home
 # (functions/stats.py — composites34's R-column bootstrap uses the
 # same tuple at depth 7) and are repr-mirrored into the oracle SQL,
 # so both engines compare the same IEEE doubles.

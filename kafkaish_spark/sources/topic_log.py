@@ -140,6 +140,18 @@ def _small_compaction_gain(
 # second rename was reached — see _swap_log_with / vacuum
 _SWAP_MARKER = ".swap_state"
 
+# Test instrumentation: the crash-point sweep (tests/
+# test_vacuum_crash_sweep.py) sets this to a callable that raises at a
+# named protocol step, proving construction+vacuum converge from a
+# crash at EVERY step of the rewrite protocols.  Never set in
+# production; the calls cost one None check each.
+_CRASH_POINT_HOOK = None
+
+
+def _crash_point(name: str) -> None:
+    if _CRASH_POINT_HOOK is not None:
+        _CRASH_POINT_HOOK(name)
+
 
 def _dir_rows(root: str) -> int:
     """Total data rows under ``root`` from parquet footers; an
@@ -159,6 +171,40 @@ def _dir_rows(root: str) -> int:
                 except Exception:
                     return max(n, 1)
     return n
+
+
+def _dir_offset_range(root: str) -> tuple[int, int] | None:
+    """(min, max) offset across every data row under ``root`` from
+    parquet FOOTER statistics, or None when the range cannot be fully
+    established (no data rows, an unreadable footer, or a row group
+    without offset stats).  None means "not adjudicable" — callers
+    (vacuum's completed-swap heuristic) must treat it conservatively
+    and keep the directory."""
+    import pyarrow.parquet as pq
+
+    lo = hi = None
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if not (fn.startswith("part-") and fn.endswith(".parquet")):
+                continue
+            try:
+                meta = pq.ParquetFile(os.path.join(dirpath, fn)).metadata
+            except Exception:
+                return None
+            cols = {
+                meta.schema.column(i).name: i for i in range(meta.num_columns)
+            }
+            if "offset" not in cols:
+                return None
+            for rg in range(meta.num_row_groups):
+                if meta.row_group(rg).num_rows == 0:
+                    continue
+                s = meta.row_group(rg).column(cols["offset"]).statistics
+                if s is None or s.min is None or s.max is None:
+                    return None
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+    return None if lo is None else (int(lo), int(hi))
 
 
 def _prune_empty_parts(root: str) -> None:
@@ -425,12 +471,24 @@ class Topic:
         # whole pre-swap log in .compact.old and NO log dir; restore it
         # BEFORE layout detection and _ensure, or the handle would seed
         # an empty topic (with the wrong layout) over the data (r11;
-        # the explicit maintenance entry point is Topic.vacuum).
+        # the explicit maintenance entry point is Topic.vacuum).  The
+        # restore runs under the writer lock (ADVICE r11): two handles
+        # constructed concurrently would both pass the missing-log
+        # check, and the loser's os.replace would raise — and without
+        # the lock the move could also race a LIVE _swap_log_with
+        # between its two renames, stealing the old dir that swap is
+        # about to commit over.  The missing-log state is re-checked
+        # inside the lock; a FileNotFoundError after that re-check
+        # (old vanished between the isdir and the replace on a racing
+        # PRE-lock writer) degrades to the normal _ensure seed only
+        # when a log dir appeared — otherwise it propagates.
         _old = self.log_dir + ".compact.old"
         if not os.path.exists(self.log_dir) and os.path.isdir(_old):
-            os.replace(_old, self.log_dir)
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(os.path.join(self.log_dir, _SWAP_MARKER))
+            with writer_lock(self.root, what="init-restore"):
+                if not os.path.exists(self.log_dir) and os.path.isdir(_old):
+                    os.replace(_old, self.log_dir)
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(os.path.join(self.log_dir, _SWAP_MARKER))
         # Auto-detect the layout of a pre-existing log in BOTH
         # directions: a fresh Engine must not misread a partitioned
         # topic as flat, and requesting partitioned=True over an
@@ -1119,15 +1177,22 @@ class Topic:
         exactly preserved.
 
         The packing unit is BYTES, not a file count: by default the
-        rewrite lands at ``ceil(log bytes / target_bytes)`` files
-        (~128 MiB each — the task size the engine's own scan-plan
-        audit, q_audit_scan_partition_plan, and the r10 8-file layout
-        study converged on; compacting a large topic toward ONE file
-        per partition would serialize its scans).  Pass an explicit
-        ``target_files`` to override the arithmetic.  Multi-file
-        rewrites are range-partitioned on offset so every output file
-        covers a disjoint contiguous offset range — replay/seek footer
-        pruning keeps working.
+        rewrite lands at ``sum over directories of ceil(dir bytes /
+        target_bytes)`` files (~128 MiB each — the task size the
+        engine's own scan-plan audit, q_audit_scan_partition_plan, and
+        the r10 8-file layout study converged on; compacting a large
+        topic toward ONE file per partition would serialize its
+        scans).  On a flat topic that is exactly ``ceil(log bytes /
+        target_bytes)``; on a pub_date-partitioned topic the sum
+        carries the one-file-per-date floor the layout imposes, and
+        the range keys below keep buckets date-aligned so the actual
+        count exceeds it by at most one straddle file per interior
+        date boundary (ADVICE r11).  Pass an explicit ``target_files``
+        to override the arithmetic.  Multi-file rewrites are
+        range-partitioned on offset — (pub_date, offset) when
+        partitioned — so every output file covers a disjoint
+        contiguous offset range within its directory — replay/seek
+        footer pruning keeps working.
 
         Run this QUIESCED — it is a maintenance op, not a concurrent
         one: (a) the dir swap is two renames, so a reader listing the
@@ -1138,10 +1203,14 @@ class Topic:
         at-least-once, never lost.  Returns the number of data files
         after compaction."""
         if target_files is None:
-            total = sum(
-                s["size"] for s in self._segment_stats() if s["num_rows"]
-            )
-            target_files = _files_for_bytes(total, target_bytes)
+            by_dir: dict[str, int] = {}
+            for s in self._segment_stats():
+                if s["num_rows"]:
+                    d = os.path.dirname(s["path"])
+                    by_dir[d] = by_dir.get(d, 0) + s["size"]
+            target_files = sum(
+                _files_for_bytes(b, target_bytes) for b in by_dir.values()
+            ) or 1
         current = self.log().cache()
         n_before = current.count()  # materialize before the swap
         frame = (
@@ -1206,7 +1275,16 @@ class Topic:
         ``target_files`` overrides the arithmetic per run.  This is
         the same rule ``Engine.compaction_advice`` quotes in its
         ``files_after`` column, so advice → action → re-advice
-        converges."""
+        converges.
+
+        Crash safety (r12): each run journals its move plan to a
+        ``.smallcompact.<id>.intent`` file (renamed into place
+        complete) before any file enters or leaves the live directory;
+        ``vacuum`` completes a crashed run from the journal — rollback
+        while the staging tmp survives, roll-forward once it is gone —
+        so no crash point can leave the run's rows duplicated.  The
+        whole sweep is proven step-by-step in
+        tests/test_vacuum_crash_sweep.py."""
         # An offset GAP also breaks a run, not just an intervening
         # large segment in the same directory: with caller-supplied
         # ts, a later publish (higher offsets) can land in an EARLIER
@@ -1259,14 +1337,44 @@ class Topic:
                     f"small-segment compaction mismatch in {d} "
                     f"({n_after} != {n_before}); originals untouched"
                 )
+            # INTENT journal (r12): the move phase below is multi-step
+            # (k file moves, a tmp rmtree, m original removes) and a
+            # crash inside it would leave the run's rows DUPLICATED —
+            # merged files plus surviving originals — which fsck flags
+            # but nothing could heal.  Durably record the exact plan
+            # first, so vacuum can finish the job from either side:
+            # tmp still present => nothing irreversible happened, roll
+            # BACK (remove moved-in files, drop tmp); tmp gone => every
+            # merged file is live, roll FORWARD (remove surviving
+            # originals).  Either way the log converges to exactly one
+            # copy of every row.  The journal itself is written via
+            # rename so a crash mid-write cannot leave a half-readable
+            # plan next to moved files.
+            _crash_point("small_pre_intent")
+            intent = tmp[: -len(".tmp")] + ".intent"
+            staged_intent = intent + ".writing"
+            with open(staged_intent, "w") as fh:
+                json.dump(
+                    {"dir": d, "new": new_files, "originals": paths}, fh
+                )
+            os.replace(staged_intent, intent)
+            _crash_point("small_post_intent")
             # merged files enter the live dir BEFORE originals leave, so
             # a concurrent (non-quiesced) reader sees duplicates, never
             # loss — the at-least-once direction.
-            for f in new_files:
+            for i, f in enumerate(new_files):
                 os.replace(os.path.join(tmp, f), os.path.join(d, f))
+                if i == 0:
+                    _crash_point("small_mid_move")
+            _crash_point("small_post_move")
             shutil.rmtree(tmp)
-            for p in paths:
+            _crash_point("small_post_tmp_rm")
+            for i, p in enumerate(paths):
                 os.remove(p)
+                if i == 0:
+                    _crash_point("small_mid_remove")
+            _crash_point("small_post_remove")
+            os.remove(intent)
             removed += len(paths) - len(new_files)
         return removed
 
@@ -1292,8 +1400,21 @@ class Topic:
         effective — coalesce(n>1) would interleave ranges across
         files)."""
         tmp = self.log_dir + ".compact.tmp"
+        # Partitioned rewrites lead the range keys with pub_date so the
+        # sampled bucket boundaries align with the date directories the
+        # writer is about to split on anyway: a bucket then straddles
+        # at most one date boundary, and the output file count stays
+        # within one straddle file per interior boundary of the
+        # per-directory byte arithmetic compact()/compaction_advice
+        # quote (ADVICE r11).  Ranging on offset alone would split
+        # EVERY bucket that crosses a date, multiplying files.
+        keys = (
+            [F.col("pub_date"), F.col("offset")]
+            if self.partitioned
+            else [F.col("offset")]
+        )
         shaped = (
-            frame.repartitionByRange(target_files, F.col("offset"))
+            frame.repartitionByRange(target_files, *keys)
             if target_files > 1
             else frame.coalesce(1)
         )
@@ -1304,34 +1425,49 @@ class Topic:
         _prune_empty_parts(tmp)
         if release is not None:
             release()
+        # The swap phase (renames + validate + rollback) runs under the
+        # writer lock (ADVICE r11): compactions are documented
+        # run-quiesced, but the lock makes the rename window safe
+        # against a concurrently-CONSTRUCTED handle's crash-restore
+        # (which also takes the lock) — without it, that restore could
+        # steal the old dir between our two renames and the second
+        # os.replace would land on a now-repopulated log path.
         old = self.log_dir + ".compact.old"
-        os.replace(self.log_dir, old)
-        # rename PRESERVES the dir's own mtime, so a just-swapped-out
-        # old dir would look hours stale to vacuum() — stamp the swap
-        # time explicitly (review r11)
-        os.utime(old)
-        # the swap-state marker distinguishes "swap completed, old is
-        # garbage" from "swap crashed, old is the data": written just
-        # before the second rename, so a marked old WITH a live log
-        # means the new log is authoritative — vacuum must never
-        # restore over it (a full redact would otherwise resurrect the
-        # erased rows).  A marked old WITHOUT a live log (crash between
-        # the marker and the second rename) still restores — rule 1
-        # keys on the missing log, not the marker.
-        with open(os.path.join(old, _SWAP_MARKER), "w") as fh:
-            fh.write("committing")
-        os.replace(tmp, self.log_dir)
-        err = validate(self.log())
-        if err:
-            os.replace(self.log_dir, tmp)
-            os.replace(old, self.log_dir)
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(os.path.join(self.log_dir, _SWAP_MARKER))
-            shutil.rmtree(tmp)
-            raise RuntimeError(f"{err}; log restored")
-        shutil.rmtree(old)
+        with writer_lock(self.root, what="compact-swap"):
+            _crash_point("pre_rename1")
+            os.replace(self.log_dir, old)
+            # rename PRESERVES the dir's own mtime, so a just-swapped-out
+            # old dir would look hours stale to vacuum() — stamp the swap
+            # time explicitly (review r11)
+            os.utime(old)
+            _crash_point("post_rename1")
+            # the swap-state marker distinguishes "swap completed, old is
+            # garbage" from "swap crashed, old is the data": written just
+            # before the second rename, so a marked old WITH a live log
+            # means the new log is authoritative — vacuum must never
+            # restore over it (a full redact would otherwise resurrect the
+            # erased rows).  A marked old WITHOUT a live log (crash between
+            # the marker and the second rename) still restores — rule 1
+            # keys on the missing log, not the marker.
+            with open(os.path.join(old, _SWAP_MARKER), "w") as fh:
+                fh.write("committing")
+            _crash_point("post_marker")
+            os.replace(tmp, self.log_dir)
+            _crash_point("post_rename2")
+            err = validate(self.log())
+            _crash_point("post_validate")
+            if err:
+                os.replace(self.log_dir, tmp)
+                os.replace(old, self.log_dir)
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(self.log_dir, _SWAP_MARKER))
+                shutil.rmtree(tmp)
+                raise RuntimeError(f"{err}; log restored")
+            shutil.rmtree(old)
 
-    def vacuum(self, stale_s: float = 3600.0) -> dict:
+    def vacuum(
+        self, stale_s: float = 3600.0, *, restore_seeded: bool = False
+    ) -> dict:
         """Garbage-collect compaction STAGING artifacts and recover
         from crashed rewrites — the maintenance op a 100 TB deployment
         runs alongside retention (Delta/Iceberg's VACUUM analog, sized
@@ -1352,19 +1488,46 @@ class Topic:
            removed once stale, NEVER restored.  This is what makes a
            crashed redact-to-zero safe: its old dir is marked, so the
            erased rows can never be resurrected by recovery.
-        3. **Seeded-over log** (UNMARKED ``.compact.old`` with rows
-           while the live log holds ZERO data rows — a pre-marker
-           handle seeded an empty log over crash-window data): drop
-           the empty seed, restore the old dir — but only once the
-           old dir is ``stale_s`` old, so an in-flight swap is never
-           raced.  Row counts come from parquet footers, and an
-           UNREADABLE footer counts as data — the destructive branch
-           is unreachable on anything that might hold rows.  An
-           unmarked old next to a log WITH rows is ambiguous (publishes
-           landed after the crash) and is reported kept for the
-           operator.
-        4. **Write staging** (``.compact.tmp`` / ``.smallcompact.*.tmp``
-           from crashed writes): removed once older than ``stale_s``
+        3. **Seeded-over log?** (UNMARKED ``.compact.old`` with rows
+           while the live log holds ZERO data rows): AMBIGUOUS, and
+           reported ``kept`` by default (ADVICE r11).  The state could
+           be a pre-marker handle's empty seed over crash-window data
+           (the old dir IS the data) — but it is byte-identical to a
+           PRE-marker-era completed redact-to-zero whose crash landed
+           after the second rename (the old dir is the erased rows,
+           and auto-restoring would violate right-to-be-forgotten).
+           An operator who has established the former passes
+           ``restore_seeded=True`` to drop the empty seed and restore
+           the old dir — still gated on staleness so an in-flight swap
+           is never raced.  Row counts come from parquet footers, and
+           an UNREADABLE footer counts as data — the destructive
+           branch is unreachable on anything that might hold rows.
+           All swaps from the marker era onward self-describe, so this
+           ambiguity only ever concerns legacy artifacts.
+        4. **Completed-swap garbage, legacy** (UNMARKED ``.compact.old``
+           next to a log WITH rows): auto-adjudicated by parquet-footer
+           OFFSET ranges (r12).  Offsets are immutable and
+           monotonically assigned, so if the old dir's [min, max]
+           offset range is CONTAINED in the live log's range, the live
+           log supersedes it positionally — a completed pre-marker
+           ``compact()`` (offset-preserving, possibly with later
+           publishes on top) — and the old dir is removed once stale.
+           Any other relationship (old reaches below or above the live
+           range, either range unreadable) stays ambiguous and is
+           reported kept for the operator.
+        5. **Small-compaction intent journals**
+           (``.smallcompact.*.intent`` — a ``compact_small`` run
+           crashed inside its move phase, the one window where the log
+           can hold duplicate rows): completed deterministically from
+           the journal — staging tmp still present means nothing
+           irreversible happened and the moved-in merged files are
+           rolled BACK; tmp gone means every merged file is live and
+           the surviving originals are rolled FORWARD out.  Either way
+           the log converges to exactly one copy of every row.  Fresh
+           journals belong to a run in flight and are kept.
+        6. **Write staging** (``.compact.tmp`` / ``.smallcompact.*.tmp``
+           / ``.smallcompact.*.intent.writing`` from crashed writes):
+           removed once older than ``stale_s``
            (default 1 h); younger artifacts are reported as kept —
            they may belong to a compaction in flight right now.
 
@@ -1387,24 +1550,81 @@ class Topic:
                 out["recovered"].append(old)
             elif os.path.isdir(old):
                 stale = now - os.path.getmtime(old) >= stale_s
+                live_rows = _dir_rows(self.log_dir)
                 if os.path.exists(marker):
                     (out["removed"] if stale else out["kept"]).append(old)
                     if stale:
                         shutil.rmtree(old)
-                elif (
-                    stale
-                    and _dir_rows(self.log_dir) == 0
-                    and _dir_rows(old) > 0
-                ):
-                    shutil.rmtree(self.log_dir)
-                    os.replace(old, self.log_dir)
-                    self._redetect_layout()
-                    out["recovered"].append(old)
+                elif stale and live_rows == 0 and _dir_rows(old) > 0:
+                    # rule 3: ambiguous legacy state — restore only on
+                    # explicit operator instruction
+                    if restore_seeded:
+                        shutil.rmtree(self.log_dir)
+                        os.replace(old, self.log_dir)
+                        self._redetect_layout()
+                        out["recovered"].append(old)
+                    else:
+                        out["kept"].append(old)
                 elif stale and _dir_rows(old) == 0:
                     shutil.rmtree(old)
                     out["removed"].append(old)
+                elif stale and live_rows > 0:
+                    # rule 4: offset-range adjudication of a legacy
+                    # unmarked old next to a populated live log
+                    old_rng = _dir_offset_range(old)
+                    live_rng = _dir_offset_range(self.log_dir)
+                    if (
+                        old_rng is not None
+                        and live_rng is not None
+                        and live_rng[0] <= old_rng[0]
+                        and old_rng[1] <= live_rng[1]
+                    ):
+                        shutil.rmtree(old)
+                        out["removed"].append(old)
+                    else:
+                        out["kept"].append(old)
                 else:
                     out["kept"].append(old)
+            # rule 5 (r12): small-compaction INTENT journals.  An intent
+            # on disk means a compact_small run crashed inside its move
+            # phase — the one window where the log can hold DUPLICATE
+            # rows (merged files moved in, originals not yet removed).
+            # The journal records the exact plan, so recovery completes
+            # it deterministically: tmp still present => roll BACK
+            # (remove moved-in merged files; the tmp GC below drops the
+            # staging); tmp gone => roll FORWARD (remove surviving
+            # originals).  Both converge to exactly one copy of every
+            # row.  Fresh intents belong to a run in flight and are
+            # kept.
+            for intent in sorted(
+                _glob.glob(
+                    _glob.escape(self.log_dir) + ".smallcompact.*.intent"
+                )
+            ):
+                if now - os.path.getmtime(intent) < stale_s:
+                    out["kept"].append(intent)
+                    continue
+                run_tmp = intent[: -len(".intent")] + ".tmp"
+                try:
+                    with open(intent) as fh:
+                        plan = json.load(fh)
+                except (OSError, ValueError):
+                    plan = None
+                if plan is not None:
+                    if os.path.isdir(run_tmp):
+                        for f in plan["new"]:
+                            with contextlib.suppress(FileNotFoundError):
+                                os.remove(os.path.join(plan["dir"], f))
+                    else:
+                        for p in plan["originals"]:
+                            with contextlib.suppress(FileNotFoundError):
+                                os.remove(p)
+                # an unreadable journal can only predate its own moves
+                # (it is renamed into place complete, before any move):
+                # nothing entered the live dir, so dropping journal +
+                # staging is the rollback
+                os.remove(intent)
+                out["recovered"].append(intent)
             tmps = [self.log_dir + ".compact.tmp"] + sorted(
                 _glob.glob(_glob.escape(self.log_dir) + ".smallcompact.*.tmp")
             )
@@ -1413,6 +1633,19 @@ class Topic:
                     continue
                 if now - os.path.getmtime(p) >= stale_s:
                     shutil.rmtree(p)
+                    out["removed"].append(p)
+                else:
+                    out["kept"].append(p)
+            # half-written journals (crash mid-json.dump, before the
+            # rename into place) are plain staging garbage
+            for p in sorted(
+                _glob.glob(
+                    _glob.escape(self.log_dir)
+                    + ".smallcompact.*.intent.writing"
+                )
+            ):
+                if now - os.path.getmtime(p) >= stale_s:
+                    os.remove(p)
                     out["removed"].append(p)
                 else:
                     out["kept"].append(p)
@@ -1919,8 +2152,17 @@ class Engine:
           serialize its share of the topic's scans on a wide cluster);
           action = ``Topic.compact(target_bytes=row.target_bytes)``,
           the whole-log byte-targeted range rewrite, and
-          ``files_after`` is exactly what it produces:
-          ceil(bytes / target_bytes).  Split wins over compact_small
+          ``files_after`` is the PER-DIRECTORY byte arithmetic
+          sum(ceil(dir bytes / target_bytes)) — on a flat topic that
+          is exactly ceil(bytes / target_bytes) and exactly what the
+          action produces; on a pub_date-partitioned topic it carries
+          the at-least-one-file-per-date floor the layout imposes, and
+          the action (which range-partitions on (pub_date, offset))
+          can exceed it by at most one straddle file per interior date
+          boundary — advice → action → re-advice still converges
+          because nothing the rewrite emits reaches the 2x hysteresis
+          (ADVICE r11; tests/test_review_r12.py drives the partitioned
+          loop end-to-end).  Split wins over compact_small
           when both apply — the whole-log repack fixes the small
           backlog too.  The 2x hysteresis keeps the verdict stable (a
           rewrite adds per-file overhead bytes; a topic already at ~1
@@ -1965,7 +2207,14 @@ class Engine:
             gain = _small_compaction_gain(segs, cutoff, target_bytes)
             if fat:
                 advice = "split"
-                n_after = _files_for_bytes(total, target_bytes)
+                by_dir: dict[str, int] = {}
+                for s in segs:
+                    d = os.path.dirname(s["path"])
+                    by_dir[d] = by_dir.get(d, 0) + s["size"]
+                n_after = sum(
+                    _files_for_bytes(b, target_bytes)
+                    for b in by_dir.values()
+                )
             elif len(small) >= min_files and gain > 0:
                 advice = "compact_small"
                 n_after = len(segs) - gain
@@ -1992,13 +2241,17 @@ class Engine:
             "files_after long, advice string",
         )
 
-    def vacuum(self, stale_s: float = 3600.0) -> dict:
+    def vacuum(
+        self, stale_s: float = 3600.0, *, restore_seeded: bool = False
+    ) -> dict:
         """Engine-wide Topic.vacuum sweep.  Scans the ROOT listing
         directly rather than ``topics()``: a topic whose log vanished
         mid-compaction-swap has no ``log`` subdir and would be
         invisible to the normal listing — exactly the one that most
         needs recovering.  (Constructing its handle performs the
-        restore; its vacuum then handles staging garbage.)"""
+        restore; its vacuum then handles staging garbage.)
+        ``restore_seeded`` forwards to each topic's vacuum (rule 3's
+        explicit operator override — see Topic.vacuum)."""
         out: dict = {"recovered": [], "removed": [], "kept": []}
         if not os.path.isdir(self.root):
             return out
@@ -2014,7 +2267,9 @@ class Engine:
                 out["recovered"].append(
                     os.path.join(tdir, "log.compact.old")
                 )
-            sub = self.prepare_topic(name).vacuum(stale_s)
+            sub = self.prepare_topic(name).vacuum(
+                stale_s, restore_seeded=restore_seeded
+            )
             for k in out:
                 out[k].extend(p for p in sub[k] if p not in out[k])
         return out
