@@ -523,13 +523,19 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- M3c ANN scale path (rows-only)
-def _lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+def _lsh_bucketed(spark: SparkSession, sf: str, nbits: int = 6) -> DataFrame:
     """(vec_id, embedding, label, bucket): the ONE random-hyperplane
     bucket assignment shared by q_sim_ann_lsh (pair generation) and
     q_embed_hubness_ann (kNN-graph aggregation over the same candidate
-    edges), so the signature scheme can never drift between them."""
-    NBITS = 6  # 64 buckets — sized so buckets average a handful of
-    # vectors at this corpus size; at 100 TB raise NBITS with corpus
+    edges), so the signature scheme can never drift between them.
+
+    ``nbits`` is the corpus-scaling knob: 2^nbits buckets.  Keeping
+    bucket COUNT proportional to the corpus keeps the within-bucket
+    candidate work per vector constant, so the pair stage scales
+    linearly — the default 6 (64 buckets) is sized for the fixture
+    corpus; tools/bench_scale.py drives the scaled variant
+    (nbits = 6 + log2(replicas)) as the measured 100 TB story."""
+    NBITS = nbits  # 2^NBITS buckets — see docstring
     e = t(spark, sf, "embeddings")
     dim = 64
     # deterministic pseudo-random hyperplanes from a fixed integer hash
@@ -551,14 +557,11 @@ def _lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     return e.select("vec_id", "embedding", "label", sig.alias("bucket"))
 
 
-@query("q_sim_ann_lsh", oracle=None)
-def q_sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed approximate NN (random-hyperplane signs over 16
-    deterministic pseudo-planes -> bucket join -> exact cosine within
-    bucket).  Sublinear candidate generation — the 100 TB similarity
-    path.  Plane construction is engine-specific => rows-only; pytest
-    checks recall vs the brute-force baseline."""
-    buck = _lsh_bucketed(spark, sf)
+def sim_ann_lsh(spark: SparkSession, sf: str, nbits: int = 6) -> DataFrame:
+    """Parameterized LSH ANN — ``nbits`` widens the bucket space with
+    the corpus (see _lsh_bucketed); the registered query pins the
+    fixture default."""
+    buck = _lsh_bucketed(spark, sf, nbits=nbits)
     a, b = buck.alias("a"), buck.alias("b")
     cand = a.join(
         b,
@@ -571,6 +574,18 @@ def q_sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
         F.col("b.vec_id").alias("vec_b"),
         F.round(cos, 6).alias("cos_sim"),
     ).filter(F.col("cos_sim") >= 0.25)
+
+
+@query("q_sim_ann_lsh", oracle=None)
+def q_sim_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate NN (random-hyperplane signs over
+    deterministic pseudo-planes -> bucket join -> exact cosine within
+    bucket).  Sublinear candidate generation — the 100 TB similarity
+    path (bucket count scales with the corpus via sim_ann_lsh's nbits;
+    tools/bench_scale.py measures that scaling).  Plane construction
+    is engine-specific => rows-only; pytest checks recall vs the
+    brute-force baseline."""
+    return sim_ann_lsh(spark, sf)
 
 
 # ---------------------------------------------------------------- M4
@@ -853,12 +868,24 @@ def q_sim_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
 
     Cost model at 100 TB: assignment is O(N x K) JVM-side with the seed
     set broadcast (never shuffled); the probe join touches ~nprobe/K of
-    the corpus per query instead of all of it.  Engine-specific seed
-    choice => rows-only; pytest checks recall vs the brute-force
-    baseline (q_sim_topk_embeddings)."""
+    the corpus per query instead of all of it.  ``seed_stride`` (via
+    sim_ivf_ann) is the corpus-scaling knob — a stride proportional to
+    the corpus keeps the codebook size K fixed, so assignment stays
+    O(N) and the probe legs grow linearly; tools/bench_scale.py
+    measures that scaling.  Engine-specific seed choice => rows-only;
+    pytest checks recall vs the brute-force baseline
+    (q_sim_topk_embeddings)."""
+    return sim_ivf_ann(spark, sf)
+
+
+def sim_ivf_ann(
+    spark: SparkSession, sf: str, seed_stride: int = 100
+) -> DataFrame:
+    """Parameterized IVF ANN — see q_sim_ivf_ann; the registered query
+    pins the fixture-default stride."""
     NPROBE, TOPK = 3, 5
     e = t(spark, sf, "embeddings")
-    seeds = e.filter(F.col("vec_id") % 100 == 0).select(
+    seeds = e.filter(F.col("vec_id") % seed_stride == 0).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
     )
 

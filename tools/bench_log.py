@@ -40,6 +40,10 @@ from kafkaish_spark.sources.topic_log import Engine  # noqa: E402
 
 REPS = 3
 
+# sentinel: measure_deliver_latency caller did not choose a
+# backpressure bound — fall through to subscribe()'s own default
+_MFT_DEFAULT = object()
+
 
 def _source(spark, n):
     src = spark.range(n).select(
@@ -73,6 +77,8 @@ def measure_deliver_latency(
     warm: int = 3,
     timeout_s: float = 60.0,
     topic_name: str = "live_latency",
+    max_files_per_trigger=_MFT_DEFAULT,
+    progress_sink: list | None = None,
 ) -> list[float]:
     """End-to-end publish→deliver latency through a LIVE subscriber —
     the product the reference actually IS (pub/sub), and the one number
@@ -83,7 +89,15 @@ def measure_deliver_latency(
     subscriber's callback sees that offset.  ``warm`` untimed messages
     first let the micro-batch plan JIT outside the measurement.
     Returns the per-message latencies in seconds (r10 verdict item 3;
-    pinned by tests/test_review_r11.py::test_deliver_latency_path)."""
+    pinned by tests/test_review_r11.py::test_deliver_latency_path).
+
+    ``max_files_per_trigger`` forwards to subscribe() (None = uncapped
+    source) so the backpressure knob's latency effect can be measured;
+    ``progress_sink`` (a list) collects the streaming query's OWN
+    per-trigger durationMs breakdowns for the triggers that delivered
+    rows — latestOffset (file listing), addBatch (job run + callback),
+    walCommit/commitOffsets (checkpoint writes) — the component
+    attribution VERDICT r11 item 6 asked for."""
     import threading
 
     from kafkaish_spark.streaming.subscribe import subscribe
@@ -96,7 +110,10 @@ def measure_deliver_latency(
         arrivals[offset] = time.perf_counter()
         seen.set()
 
-    sub = subscribe(topic, cb, available_now=False)
+    kwargs = {}
+    if max_files_per_trigger is not _MFT_DEFAULT:
+        kwargs["max_files_per_trigger"] = max_files_per_trigger
+    sub = subscribe(topic, cb, available_now=False, **kwargs)
     try:
         def roundtrip(i: int) -> float:
             seen.clear()
@@ -116,9 +133,70 @@ def measure_deliver_latency(
 
         for i in range(warm):
             roundtrip(-1 - i)  # untimed: JIT + first dir listings
-        return [roundtrip(i) for i in range(n_msgs)]
+        out = [roundtrip(i) for i in range(n_msgs)]
+        if progress_sink is not None:
+            for p in sub.query.recentProgress:
+                if not isinstance(p, dict):  # StreamingQueryProgress obj
+                    p = json.loads(p.json)
+                if p and p.get("numInputRows", 0) > 0:
+                    progress_sink.append(p)
+        return out
     finally:
         sub.unsubscribe()
+
+
+def measure_deliver_latency_available_now(
+    eng: Engine,
+    n_msgs: int = 10,
+    timeout_s: float = 120.0,
+    topic_name: str = "live_latency_an",
+) -> list[float]:
+    """The availableNow-LOOP alternative (VERDICT r11 item 6): per
+    message, publish then run a fresh one-shot availableNow query
+    seeked to exactly that offset.  Pays full query startup + teardown
+    per message — measured so the live-tail mode's floor can be judged
+    against the naive alternative instead of assumed better."""
+    from kafkaish_spark.streaming.subscribe import subscribe
+
+    topic = eng.prepare_topic(topic_name)
+    lats = []
+    topic.publish("warm", {"i": -1})
+    got = []
+    warmsub = subscribe(
+        topic, lambda e, m, o: got.append(o), replay=True, available_now=True,
+        name="an_warm",
+    )
+    warmsub.await_termination(timeout_s)
+    for i in range(n_msgs):
+        t0 = time.perf_counter()
+        off = int(topic.publish("lat", {"i": i})["offset"])
+        seen = []
+        sub = subscribe(
+            topic,
+            lambda e, m, o: seen.append(o),
+            replay=off - 1,
+            available_now=True,
+        )
+        sub.await_termination(timeout_s)
+        if off not in seen:
+            raise TimeoutError(f"offset {off} not delivered (got {seen})")
+        lats.append(time.perf_counter() - t0)
+    return lats
+
+
+def _progress_breakdown(progress: list) -> dict:
+    """Median per-trigger durationMs components over delivering
+    triggers — Spark's own instrumentation of where a micro-batch's
+    wall time goes."""
+    comps: dict[str, list] = {}
+    for p in progress:
+        for k, v in (p.get("durationMs") or {}).items():
+            comps.setdefault(k, []).append(v)
+    out = {}
+    for k, vals in sorted(comps.items()):
+        vals.sort()
+        out[k] = vals[len(vals) // 2]
+    return out
 
 
 def _pctl(sorted_vals: list[float], q: float) -> float:
@@ -183,7 +261,10 @@ def main() -> None:
 
     # end-to-end publish→deliver latency through a live subscriber
     # (the reference's product shape; its envelope: 10 messages < 65 s)
-    lat = sorted(measure_deliver_latency(eng, n_msgs=50))
+    lat_progress: list = []
+    lat = sorted(
+        measure_deliver_latency(eng, n_msgs=50, progress_sink=lat_progress)
+    )
     deliver_p50_ms = round(_pctl(lat, 0.50) * 1000, 1)
     deliver_p95_ms = round(_pctl(lat, 0.95) * 1000, 1)
     print(
@@ -191,6 +272,36 @@ def main() -> None:
         f"{deliver_p95_ms} ms over {len(lat)} msgs",
         file=sys.stderr,
     )
+    # component attribution from the query's own per-trigger metrics
+    # (VERDICT r11 item 6): latestOffset = source file listing,
+    # addBatch = batch job + driver callback, walCommit/commitOffsets =
+    # checkpoint writes, triggerExecution = whole trigger
+    deliver_breakdown = _progress_breakdown(lat_progress)
+    print(f"# deliver durationMs medians: {deliver_breakdown}", file=sys.stderr)
+
+    # knob variants: does a different trigger/backpressure setting move
+    # the p50?  (smaller/uncapped source batch; one-shot availableNow
+    # per message as the naive alternative)
+    lat_m1 = sorted(
+        measure_deliver_latency(
+            eng, n_msgs=20, topic_name="live_latency_m1",
+            max_files_per_trigger=1,
+        )
+    )
+    lat_unc = sorted(
+        measure_deliver_latency(
+            eng, n_msgs=20, topic_name="live_latency_unc",
+            max_files_per_trigger=None,
+        )
+    )
+    lat_an = sorted(measure_deliver_latency_available_now(eng, n_msgs=8))
+    deliver_variants = {
+        "live_default_p50_ms": deliver_p50_ms,
+        "live_max_files_1_p50_ms": round(_pctl(lat_m1, 0.50) * 1000, 1),
+        "live_uncapped_p50_ms": round(_pctl(lat_unc, 0.50) * 1000, 1),
+        "available_now_loop_p50_ms": round(_pctl(lat_an, 0.50) * 1000, 1),
+    }
+    print(f"# deliver variants: {deliver_variants}", file=sys.stderr)
 
     # streaming drain: full backlog through a checkpointed query
     # (fresh checkpoint per rep — a reused one would drain nothing)
@@ -216,6 +327,8 @@ def main() -> None:
                 "stream_drain_msgs_per_sec": round(n / drain_s),
                 "deliver_latency_p50_ms": deliver_p50_ms,
                 "deliver_latency_p95_ms": deliver_p95_ms,
+                "deliver_durationms_median": deliver_breakdown,
+                "deliver_variants": deliver_variants,
             }
         )
     )

@@ -1,28 +1,49 @@
-"""Weak-scaling evidence: 10x the DATA, same plans, ~linear time
-(r10 verdict item 2).
+"""Weak-scaling evidence: 10x/100x the DATA, same plans, ~linear time
+(r10 verdict item 2; r11 verdict item 1 added the dedup funnels).
 
 tools/bench_parallel.py proved the scan leg fans out across FILES at
 fixed data; this tool supplies the second pillar of the 100 TB story:
-grow the data itself 10x and show (a) every headliner's normalized
+grow the data itself Nx and show (a) every headliner's normalized
 plan is BYTE-IDENTICAL at both scales (no size-triggered plan cliff),
 and (b) per-query time grows ~linearly — anything super-linear is a
 hidden driver-side O(n) or a plan that stops scaling.
 
-Method: replicate the bench sf 10x by unioning offset-shifted copies
+Method: replicate the bench sf Nx by unioning offset-shifted copies
 of the FACT tables (orders/lineitem share one key stride so referential
 integrity holds; events/documents/embeddings shift their own ids);
 dimension tables stay 1x, exactly like a growing corpus against stable
 reference data.  BOTH scales are written with the same
 files-per-table, so both scans are fully parallel and the per-task
-input simply grows 10x — the cleanest weak-scaling read on a fixed
+input simply grows Nx — the cleanest weak-scaling read on a fixed
 local[N] box.
 
-Scope (a deliberate, logged cap): headliners whose WORK is linear in
-the corpus.  The dedup/near-dup funnels are excluded — replicating
-identical documents inflates true duplicate-PAIR counts quadratically
-inside each clone group, a data-semantics change that would read as a
-plan flaw when it's the input's pair structure.  Their scale story is
-the banded/bucketed plan shape itself (SCALE.md).
+MUTATION-AWARE replicas (r12, closing the r11 exclusion): verbatim
+clones would inflate true duplicate-PAIR counts quadratically inside
+each clone group, so the dedup/near-dup funnels could not be measured.
+Replica i > 0 therefore gets a structure-preserving mutation:
+
+- documents.text: a per-replica AFFINE SUBSTITUTION CIPHER
+  (translate() over a-z with target alphabet (a*k + b) mod 26, (a, b)
+  distinct per replica).  Length-preserving and injective, so WITHIN a
+  replica every exact-dup group, shingle multiset, Jaccard value, URL
+  key, and digest group is isomorphic to the original — per-replica
+  duplicate structure is EXACTLY the 1x structure, and total true
+  pairs scale linearly.  ACROSS replicas any word with two distinct
+  letters maps to different strings under different affine maps, so
+  shingle sets are disjoint and no cross-replica pairs exist.
+- embeddings.embedding: a per-replica random SIGN MASK (element j
+  flipped when xxhash64(i, j) is odd).  An isometry (D^2 = I), so all
+  within-replica inner products, norms, and neighbor structure are
+  exactly preserved; cross-replica cosines collapse toward 0 (random
+  sign agreement), so bucket/cell populations scale linearly.
+
+The ANN index queries are reported in their own section: their
+registered fixture-default plans are verified scale-INVARIANT (the
+no-plan-cliff evidence), while the timings use the documented
+corpus-scaling knob (sim_ann_lsh nbits = 6 + log2(N): bucket count
+tracks the corpus so within-bucket pair work per vector is constant;
+sim_ivf_ann seed_stride = 100 * N: codebook size K stays fixed so
+assignment stays O(corpus)) — exactly what a 100 TB deployment tunes.
 
 Usage: PYTHONPATH=/root/repo python tools/bench_scale.py
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
@@ -34,6 +55,7 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -45,6 +67,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from kafkaish_spark.operators.llm import sim_ann_lsh, sim_ivf_ann  # noqa: E402
 from kafkaish_spark.plans.registry import all_queries  # noqa: E402
 from kafkaish_spark.session import get_spark  # noqa: E402
 from kafkaish_spark.sources.tables import TABLES, load_table  # noqa: E402
@@ -66,6 +89,17 @@ SCALE_QUERIES = [
     "q_rank_rrf_fusion",
 ]
 
+# The dedup/near-dup funnels, measurable since the r12 mutation-aware
+# replicas: per-replica pair structure is isomorphic to 1x, so true
+# work is linear and the same plan-identity + ratio gates apply.
+DEDUP_SCALE_QUERIES = [
+    "q_dedup_exact_documents",
+    "q_dedup_minhash_lsh",
+    "q_dedup_near_documents",
+    "q_dedup_simhash",
+    "q_corpus_clean_funnel",
+]
+
 # fact table -> id column to shift per replica; orders/lineitem share
 # the ORDERS stride so l_orderkey keeps referencing o_orderkey
 _FACT_KEYS = {
@@ -76,11 +110,44 @@ _FACT_KEYS = {
     "embeddings": "vec_id",
 }
 
+_AZ = "abcdefghijklmnopqrstuvwxyz"
+_COPRIME26 = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
+def _affine_alphabet(i: int) -> str:
+    """Target alphabet of the i-th affine cipher x -> a*x + b (mod 26);
+    312 distinct injective maps, i=0 the identity."""
+    a = _COPRIME26[(i // 26) % len(_COPRIME26)]
+    b = i % 26
+    return "".join(_AZ[(a * k + b) % 26] for k in range(26))
+
+
+def _mutate(name: str, df, i: int):
+    """Structure-preserving per-replica mutation (module docstring)."""
+    if i == 0:
+        return df
+    if name == "documents":
+        return df.withColumn(
+            "text", F.translate("text", _AZ, _affine_alphabet(i))
+        )
+    if name == "embeddings":
+        return df.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, j: F.when(
+                    F.pmod(F.xxhash64(F.lit(i), j), F.lit(2)) == 0, x
+                ).otherwise(-x),
+            ),
+        )
+    return df
+
 
 def _materialize(spark, src: str, replicas: int, n_files: int) -> str:
     """Write every table under a temp dir (basename preserved for
     fixture roots): dims as-is, facts unioned ``replicas`` times with
-    key offsets, all at ``n_files`` parts per table."""
+    key offsets + per-replica mutations, all at ``n_files`` parts per
+    table."""
     root = tempfile.mkdtemp(prefix=f"kafkaish_scale{replicas}x_")
     dst = os.path.join(root, os.path.basename(src.rstrip("/")))
     os.makedirs(dst, exist_ok=True)
@@ -102,8 +169,12 @@ def _materialize(spark, src: str, replicas: int, n_files: int) -> str:
             out = df
             for i in range(1, replicas):
                 out = out.unionByName(
-                    df.withColumn(
-                        key, (F.col(key) + F.lit(i * stride)).cast("long")
+                    _mutate(
+                        name,
+                        df.withColumn(
+                            key, (F.col(key) + F.lit(i * stride)).cast("long")
+                        ),
+                        i,
                     )
                 )
         else:
@@ -122,10 +193,9 @@ def main() -> None:
     spark = get_spark("kafkaish-bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
-    specs = {
-        n: s for n, s in all_queries().items() if n in SCALE_QUERIES
-    }
-    missing = [n for n in SCALE_QUERIES if n not in specs]
+    wanted = SCALE_QUERIES + DEDUP_SCALE_QUERIES
+    specs = {n: s for n, s in all_queries().items() if n in wanted}
+    missing = [n for n in wanted if n not in specs]
     if missing:
         print(f"# not in registry, skipped: {missing}", file=sys.stderr)
 
@@ -141,6 +211,41 @@ def main() -> None:
     finally:
         shutil.rmtree(os.path.dirname(base), ignore_errors=True)
         shutil.rmtree(os.path.dirname(big), ignore_errors=True)
+
+
+def _strip_numeric_literals(plan: str) -> str:
+    """Replace float literals so plans differing ONLY in data-derived
+    constants (inlined centroids/moments recomputed from mutated
+    replicas) compare as same-shaped."""
+    import re
+
+    return re.sub(r"-?\d+\.\d+(?:E-?\d+)?", "#f", plan)
+
+
+def _ann_variants(replicas: int) -> dict:
+    """The ANN index queries with their documented corpus-scaling
+    parameter applied at the given replication factor."""
+    nbits = 6 + max(0, round(math.log2(max(replicas, 1))))
+    return {
+        "q_sim_ann_lsh": {
+            "fn": lambda spark, d, r=replicas: sim_ann_lsh(
+                spark,
+                d,
+                nbits=6 + max(0, round(math.log2(max(r, 1)))),
+            ),
+            "base_fn": lambda spark, d: sim_ann_lsh(spark, d, nbits=6),
+            "param": f"nbits 6 -> {nbits} (buckets track corpus)",
+            "registered": "q_sim_ann_lsh",
+        },
+        "q_sim_ivf_ann": {
+            "fn": lambda spark, d, r=replicas: sim_ivf_ann(
+                spark, d, seed_stride=100 * max(r, 1)
+            ),
+            "base_fn": lambda spark, d: sim_ivf_ann(spark, d, seed_stride=100),
+            "param": f"seed_stride 100 -> {100 * replicas} (K fixed)",
+            "registered": "q_sim_ivf_ann",
+        },
+    }
 
 
 def _run(spark, specs, base, big, src, replicas, n_files, reps) -> None:
@@ -177,12 +282,22 @@ def _run(spark, specs, base, big, src, replicas, n_files, reps) -> None:
         sc: {n: round(min(v), 4) for n, v in per.items()}
         for sc, per in samples.items()
     }
-    plan_same: dict[str, bool | None] = {}
+    plan_same: dict[str, bool | str | None] = {}
     for name, spec in sorted(specs.items()):
         try:
             p1 = bench._normalized_plan(spec.fn(spark, base))
             p10 = bench._normalized_plan(spec.fn(spark, big))
-            plan_same[name] = p1 == p10
+            plan_same[name] = p1 == p10 or (
+                # DATA-DERIVED literals (e.g. kmeans' inlined centroid
+                # coordinates, recomputed from the measured frame) are
+                # expected to differ under the replica mutation; the
+                # plan SHAPE must still be identical — report that
+                # distinction instead of a flat False
+                "literals_only"
+                if _strip_numeric_literals(p1)
+                == _strip_numeric_literals(p10)
+                else False
+            )
         except Exception:
             plan_same[name] = None
 
@@ -193,6 +308,7 @@ def _run(spark, specs, base, big, src, replicas, n_files, reps) -> None:
             "ratio": round(timings[tN][n] / timings["t1"][n], 2)
             if timings["t1"][n]
             else None,
+            "family": "dedup" if n in DEDUP_SCALE_QUERIES else "linear",
         }
         for n in names
     }
@@ -201,6 +317,37 @@ def _run(spark, specs, base, big, src, replicas, n_files, reps) -> None:
         for n, q in queries.items()
         if q["ratio"] is not None and q["ratio"] > replicas * 1.2
     ]
+
+    # ---- ANN index scaling: fixture-default plan is scale-invariant;
+    # timings use the documented corpus-scaling parameter
+    ann = {}
+    for name, v in _ann_variants(replicas).items():
+        try:
+            p1 = bench._normalized_plan(v["base_fn"](spark, base))
+            p10 = bench._normalized_plan(v["base_fn"](spark, big))
+            fixed_plan_same = p1 == p10
+        except Exception:
+            fixed_plan_same = None
+        lat = {}
+        for sc, d, fn in (
+            ("t1", base, v["base_fn"]),
+            (tN, big, lambda s, dd: v["fn"](s, dd)),
+        ):
+            best = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                fn(spark, d).write.mode("overwrite").format("noop").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            lat[sc] = round(best, 4)
+        ann[name] = {
+            "t1": lat["t1"],
+            tN: lat[tN],
+            "ratio": round(lat[tN] / lat["t1"], 2) if lat["t1"] else None,
+            "param_scaling": v["param"],
+            "plan_same_fixed_params": fixed_plan_same,
+        }
+
     print(
         json.dumps(
             {
@@ -214,6 +361,13 @@ def _run(spark, specs, base, big, src, replicas, n_files, reps) -> None:
                 "queries": queries,
                 f"plan_same_1x_vs_{replicas}x": plan_same,
                 "superlinear": superlinear,
+                "ann_index_scaling": ann,
+                "replica_mutation": (
+                    "documents: per-replica affine substitution cipher "
+                    "(length-preserving, within-replica dup structure "
+                    "isomorphic, cross-replica shingles disjoint); "
+                    "embeddings: per-replica sign-mask isometry"
+                ),
                 "method": f"min-of-{reps}-interleaved-adjacent-scales",
                 "sf": os.path.basename(src.rstrip("/")),
             }
