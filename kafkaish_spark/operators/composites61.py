@@ -1,0 +1,181 @@
+"""Round-12 operators: the bucketed star rollup.
+
+VERDICT r11 item 3 asked for the star join's 100x weak-scaling tail to
+be attributed and, if reducible, routed through the bucketed
+zero-exchange layout.  tools/profile_star.py attributed it (BASELINE.md
+r12): at 100x data the lineitem JOIN orders fact-fact SHUFFLE is the
+whole tail (scan leg 3.6x, l-o shuffle join 30x, downstream dim hops
+free), and the same hop over bucketBy(orderkey) tables runs at 1.78x
+with zero join-side Exchange.  This module registers that layout as a
+first-class query — the nightly star rollup a 100 TB deployment runs
+after paying the bucket shuffle ONCE at layout time.
+
+Reference parity note: the reference engine (steveliles/kafkaish,
+src/topic.js) has no relational layer at all — this is north-star
+capability work, same as the rest of the star family.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafkaish_spark.functions.exact import dsum, dsum_sql
+from kafkaish_spark.plans.registry import query
+from kafkaish_spark.sources.tables import load_table as t
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+# Bucket count for the fact-fact layout.  8 matches composites28's
+# dimension-join layout (_BKT_N) and the r10 file-layout study's knee;
+# at 100 TB this rises with the cluster, and BOTH tables must agree —
+# the zero-exchange property holds only for equal bucket counts on the
+# same key.
+_STAR_BKT_N = 8
+
+
+def _star_bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
+    """Materialize lineitem + orders BUCKETED on the order key (the
+    fact-fact join key) under the repo warehouse, self-healed on a
+    count+keysum fingerprint — the same offline-layout discipline as
+    composites28._bucketed_tables, applied to the star schema's one
+    expensive hop.  Pay the shuffle once at layout time; every
+    subsequent star rollup joins bucket i against bucket i with no
+    runtime Exchange on either fact side."""
+    tag = (os.path.basename(sf.rstrip("/")) or "default").replace(".", "_")
+    loc_root = os.path.join(_REPO_ROOT, "spark-warehouse", "_bkt_star", tag)
+    t_l, t_o = f"bkt_star_lineitem_{tag}", f"bkt_star_orders_{tag}"
+    l = t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    fp = o.agg(
+        F.count(F.lit(1)), F.sum("o_orderkey").cast("long")
+    ).first()
+    sides = (
+        (t_l, l, "l_orderkey", "lineitem"),
+        (t_o, o, "o_orderkey", "orders"),
+    )
+
+    def _disk_ok() -> bool:
+        # fingerprint the FILES, not the catalog (composites28: a fresh
+        # session has an empty catalog but valid bucket files)
+        if not os.path.isdir(os.path.join(loc_root, "lineitem")):
+            return False
+        try:
+            got = (
+                spark.read.parquet(os.path.join(loc_root, "orders"))
+                .agg(F.count(F.lit(1)), F.sum("o_orderkey").cast("long"))
+                .first()
+            )
+        except Exception:
+            return False
+        return tuple(got) == tuple(fp)
+
+    from kafkaish_spark.sources.topic_log import writer_lock
+
+    os.makedirs(loc_root, exist_ok=True)
+    with writer_lock(loc_root, "star-bucket-layout build"):
+        if _disk_ok():
+            for name, df, key, sub in sides:
+                if not spark.catalog.tableExists(name):
+                    ddl = df._jdf.schema().toDDL()
+                    loc = os.path.join(loc_root, sub)
+                    spark.sql(
+                        f"CREATE TABLE {name} ({ddl}) USING parquet "
+                        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                        f"INTO {_STAR_BKT_N} BUCKETS LOCATION '{loc}'"
+                    )
+        else:
+            import shutil
+
+            for name, df, key, sub in sides:
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
+                loc = os.path.join(loc_root, sub)
+                shutil.rmtree(loc, ignore_errors=True)
+                (
+                    df.repartition(_STAR_BKT_N, key)
+                    .write.format("parquet")
+                    .option("path", loc)
+                    .bucketBy(_STAR_BKT_N, key)
+                    .sortBy(key)
+                    .mode("overwrite")
+                    .saveAsTable(name)
+                )
+    for name, _df, _key, _sub in sides:
+        spark.sql(f"REFRESH TABLE {name}")
+    return t_l, t_o
+
+
+@query(
+    "q_star_revenue_bucketed",
+    oracle=f"""
+    SELECT r_name,
+           COUNT(*) AS n_lines,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    bench=True,
+)
+def q_star_revenue_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """The star revenue rollup with its fact-fact hop over the BUCKETED
+    layout: lineitem and orders pre-bucketed on the order key into the
+    same bucket count, so the SortMergeJoin reads bucket i against
+    bucket i with NO runtime shuffle on either fact side; the dimension
+    hops ride the measured broadcast advice exactly like
+    q_star_revenue_by_region (relational.py).
+
+    Why this exists: tools/profile_star.py (BASELINE.md r12) shows the
+    shuffled plan's weak-scaling tail is entirely the l-o Exchange —
+    30x wall at 100x data vs 1.78x for this layout — so this is the
+    shape a 100 TB deployment's NIGHTLY star rollup takes: the bucket
+    shuffle is paid once at ingest/layout time and amortized over every
+    subsequent run.  Same oracle as the shuffled twin — identical
+    results, different physical contract."""
+    from kafkaish_spark.functions.advisor import (
+        advise_join_cached,
+        advised_join,
+    )
+
+    t_l, t_o = _star_bucketed_tables(spark, sf)
+    l = spark.table(t_l)
+    o = spark.table(t_o)
+    c = t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    r = t(spark, sf, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    base = (
+        l.hint("merge")
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+    )
+    adv_n = advise_join_cached(
+        base, n, "c_nationkey", cache_key=(sf, "star_bkt.nation")
+    )
+    joined_n = advised_join(base, n, "c_nationkey", advice=adv_n)
+    adv_r = advise_join_cached(
+        joined_n, r, "n_regionkey", cache_key=(sf, "star_bkt.region")
+    )
+    return (
+        advised_join(joined_n, r, "n_regionkey", advice=adv_r)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+        )
+    )
