@@ -423,12 +423,18 @@ _BKT_N = 8
 
 def _bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
     """Materialize orders + customer as BUCKETED tables (bucketBy on
-    the join key, one file per bucket) under the repo warehouse,
-    self-healed on a count+keysum fingerprint.  Bucket layout is the
-    offline half of the zero-exchange join: both sides pre-hashed into
-    the same ``_BKT_N`` buckets on disk, so the join needs no runtime
-    Exchange at any scale — the bucketing pattern every nightly
-    big-join pipeline amortizes its shuffle into."""
+    the join key, one file per bucket) under the repo warehouse via
+    the shared self-healed layout protocol (sources/bucketed.py, the
+    r12 extraction of this function's original body).  Bucket layout
+    is the offline half of the zero-exchange join: both sides
+    pre-hashed into the same ``_BKT_N`` buckets on disk, so the join
+    needs no runtime Exchange at any scale — the bucketing pattern
+    every nightly big-join pipeline amortizes its shuffle into.  The
+    fingerprint covers every column the query reads on both tables
+    (count + key/content checksums), so regenerated fixture data can
+    never silently serve stale buckets (review r12)."""
+    from kafkaish_spark.sources.bucketed import ensure_bucketed_layout
+
     tag = (os.path.basename(sf.rstrip("/")) or "default").replace(".", "_")
     loc_root = os.path.join(_REPO_ROOT, "spark-warehouse", "_bkt", tag)
     t_o, t_c = f"bkt_orders_{tag}", f"bkt_customer_{tag}"
@@ -436,66 +442,36 @@ def _bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     c = t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
-    fp = o.agg(
-        F.count(F.lit(1)), F.sum("o_custkey").cast("long")
-    ).first()
-    sides = (
-        (t_o, o, "o_custkey", "orders"),
-        (t_c, c, "c_custkey", "customer"),
+
+    def _fp_orders(df):
+        return df.agg(
+            F.count(F.lit(1)),
+            F.sum("o_custkey").cast("long"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+        ).first()
+
+    def _fp_customer(df):
+        # pmod-bounded per-row hash term: a raw xxhash64 sum overflows
+        # int64 under ANSI mode
+        return df.agg(
+            F.count(F.lit(1)),
+            F.sum("c_custkey").cast("long"),
+            F.sum(F.pmod(F.xxhash64("c_mktsegment"), F.lit(1_000_000_007))),
+        ).first()
+
+    ensure_bucketed_layout(
+        spark,
+        loc_root,
+        sides=(
+            (t_o, o, "o_custkey", "orders"),
+            (t_c, c, "c_custkey", "customer"),
+        ),
+        n_buckets=_BKT_N,
+        fingerprints=(
+            ("orders", _fp_orders),
+            ("customer", _fp_customer),
+        ),
     )
-
-    def _disk_ok() -> bool:
-        # Fingerprint the FILES, not the catalog: a fresh session has
-        # an empty in-memory catalog but perfectly good bucket files,
-        # and rewriting them would yank data out from under any
-        # concurrent session reading the same warehouse.
-        if not os.path.isdir(os.path.join(loc_root, "customer")):
-            return False
-        try:
-            got = (
-                spark.read.parquet(os.path.join(loc_root, "orders"))
-                .agg(F.count(F.lit(1)), F.sum("o_custkey").cast("long"))
-                .first()
-            )
-        except Exception:
-            return False
-        return tuple(got) == tuple(fp)
-
-    from kafkaish_spark.sources.topic_log import writer_lock
-
-    os.makedirs(loc_root, exist_ok=True)
-    with writer_lock(loc_root, "bucket-layout build"):
-        if _disk_ok():
-            # Valid layout on disk: register it as an EXTERNAL bucketed
-            # table (DDL carries the bucket spec) without rewriting.
-            for name, df, key, sub in sides:
-                if not spark.catalog.tableExists(name):
-                    ddl = df._jdf.schema().toDDL()
-                    loc = os.path.join(loc_root, sub)
-                    spark.sql(
-                        f"CREATE TABLE {name} ({ddl}) USING parquet "
-                        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                        f"INTO {_BKT_N} BUCKETS LOCATION '{loc}'"
-                    )
-        else:
-            import shutil
-
-            for name, df, key, sub in sides:
-                spark.sql(f"DROP TABLE IF EXISTS {name}")
-                loc = os.path.join(loc_root, sub)
-                shutil.rmtree(loc, ignore_errors=True)
-                (
-                    df.repartition(_BKT_N, key)
-                    .write.format("parquet")
-                    .option("path", loc)
-                    .bucketBy(_BKT_N, key)
-                    .sortBy(key)
-                    .mode("overwrite")
-                    .saveAsTable(name)
-                )
-    for name, _df, _key, _sub in sides:
-        # drop any file listing cached before a concurrent rebuild
-        spark.sql(f"REFRESH TABLE {name}")
     return t_o, t_c
 
 

@@ -40,12 +40,19 @@ _STAR_BKT_N = 8
 
 def _star_bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
     """Materialize lineitem + orders BUCKETED on the order key (the
-    fact-fact join key) under the repo warehouse, self-healed on a
-    count+keysum fingerprint — the same offline-layout discipline as
-    composites28._bucketed_tables, applied to the star schema's one
-    expensive hop.  Pay the shuffle once at layout time; every
-    subsequent star rollup joins bucket i against bucket i with no
-    runtime Exchange on either fact side."""
+    fact-fact join key) under the repo warehouse via the shared
+    self-healed layout protocol (sources/bucketed.py).  Pay the
+    shuffle once at layout time; every subsequent star rollup joins
+    bucket i against bucket i with no runtime Exchange on either fact
+    side.
+
+    The reuse fingerprint is CONTENT-sensitive on every column the
+    query reads (review r12: a key-only checksum would let a
+    regenerated fixture with identical keys but different prices serve
+    stale buckets): orders contributes (count, sum custkey), lineitem
+    (count, sum of exact revenue basis points)."""
+    from kafkaish_spark.sources.bucketed import ensure_bucketed_layout
+
     tag = (os.path.basename(sf.rstrip("/")) or "default").replace(".", "_")
     loc_root = os.path.join(_REPO_ROOT, "spark-warehouse", "_bkt_star", tag)
     t_l, t_o = f"bkt_star_lineitem_{tag}", f"bkt_star_orders_{tag}"
@@ -53,61 +60,39 @@ def _star_bucketed_tables(spark: SparkSession, sf: str) -> tuple[str, str]:
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    fp = o.agg(
-        F.count(F.lit(1)), F.sum("o_orderkey").cast("long")
-    ).first()
-    sides = (
-        (t_l, l, "l_orderkey", "lineitem"),
-        (t_o, o, "o_orderkey", "orders"),
+
+    def _fp_orders(df):
+        return df.agg(
+            F.count(F.lit(1)),
+            F.sum("o_orderkey").cast("long"),
+            F.sum("o_custkey").cast("long"),
+        ).first()
+
+    def _fp_lineitem(df):
+        # exact integer checksum over the revenue inputs: any changed
+        # price/discount flips the fingerprint
+        basis = F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long")
+        return df.agg(
+            F.count(F.lit(1)),
+            F.sum("l_orderkey").cast("long"),
+            F.sum(basis),
+        ).first()
+
+    ensure_bucketed_layout(
+        spark,
+        loc_root,
+        sides=(
+            (t_l, l, "l_orderkey", "lineitem"),
+            (t_o, o, "o_orderkey", "orders"),
+        ),
+        n_buckets=_STAR_BKT_N,
+        fingerprints=(
+            ("orders", _fp_orders),
+            ("lineitem", _fp_lineitem),
+        ),
     )
-
-    def _disk_ok() -> bool:
-        # fingerprint the FILES, not the catalog (composites28: a fresh
-        # session has an empty catalog but valid bucket files)
-        if not os.path.isdir(os.path.join(loc_root, "lineitem")):
-            return False
-        try:
-            got = (
-                spark.read.parquet(os.path.join(loc_root, "orders"))
-                .agg(F.count(F.lit(1)), F.sum("o_orderkey").cast("long"))
-                .first()
-            )
-        except Exception:
-            return False
-        return tuple(got) == tuple(fp)
-
-    from kafkaish_spark.sources.topic_log import writer_lock
-
-    os.makedirs(loc_root, exist_ok=True)
-    with writer_lock(loc_root, "star-bucket-layout build"):
-        if _disk_ok():
-            for name, df, key, sub in sides:
-                if not spark.catalog.tableExists(name):
-                    ddl = df._jdf.schema().toDDL()
-                    loc = os.path.join(loc_root, sub)
-                    spark.sql(
-                        f"CREATE TABLE {name} ({ddl}) USING parquet "
-                        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                        f"INTO {_STAR_BKT_N} BUCKETS LOCATION '{loc}'"
-                    )
-        else:
-            import shutil
-
-            for name, df, key, sub in sides:
-                spark.sql(f"DROP TABLE IF EXISTS {name}")
-                loc = os.path.join(loc_root, sub)
-                shutil.rmtree(loc, ignore_errors=True)
-                (
-                    df.repartition(_STAR_BKT_N, key)
-                    .write.format("parquet")
-                    .option("path", loc)
-                    .bucketBy(_STAR_BKT_N, key)
-                    .sortBy(key)
-                    .mode("overwrite")
-                    .saveAsTable(name)
-                )
-    for name, _df, _key, _sub in sides:
-        spark.sql(f"REFRESH TABLE {name}")
     return t_l, t_o
 
 

@@ -478,10 +478,11 @@ class Topic:
         # the lock the move could also race a LIVE _swap_log_with
         # between its two renames, stealing the old dir that swap is
         # about to commit over.  The missing-log state is re-checked
-        # inside the lock; a FileNotFoundError after that re-check
-        # (old vanished between the isdir and the replace on a racing
-        # PRE-lock writer) degrades to the normal _ensure seed only
-        # when a log dir appeared — otherwise it propagates.
+        # inside the lock, so every lock-taking actor (construction,
+        # vacuum, the swap itself) serializes here; an actor that
+        # bypasses the lock entirely is outside the protocol and any
+        # resulting FileNotFoundError propagates loudly rather than
+        # being guessed around.
         _old = self.log_dir + ".compact.old"
         if not os.path.exists(self.log_dir) and os.path.isdir(_old):
             with writer_lock(self.root, what="init-restore"):
@@ -1505,16 +1506,21 @@ class Topic:
            All swaps from the marker era onward self-describe, so this
            ambiguity only ever concerns legacy artifacts.
         4. **Completed-swap garbage, legacy** (UNMARKED ``.compact.old``
-           next to a log WITH rows): auto-adjudicated by parquet-footer
-           OFFSET ranges (r12).  Offsets are immutable and
-           monotonically assigned, so if the old dir's [min, max]
-           offset range is CONTAINED in the live log's range, the live
-           log supersedes it positionally — a completed pre-marker
-           ``compact()`` (offset-preserving, possibly with later
-           publishes on top) — and the old dir is removed once stale.
-           Any other relationship (old reaches below or above the live
-           range, either range unreadable) stays ambiguous and is
-           reported kept for the operator.
+           next to a log WITH rows): auto-adjudicated in two steps
+           (r12).  First a free footer prefilter: if the old dir's
+           [min, max] offset range is not contained in the live log's,
+           the live log cannot supersede it — kept.  If the ranges ARE
+           nested, the offsets alone don't prove anything (a seed-over
+           resets the offset counter, so enough later publishes can
+           cover the old range with DIFFERENT data — review r12), so
+           one bounded Spark anti-join verifies true row containment:
+           every (offset, ts, event, message) row of the old dir must
+           exist verbatim in the live log.  Only then is the old dir a
+           completed pre-marker ``compact()``'s leftover (offset-
+           preserving, possibly with later publishes on top) and
+           removed once stale.  Any other relationship — ranges not
+           nested, a missing old row, unreadable footers — stays
+           ambiguous and is reported kept for the operator.
         5. **Small-compaction intent journals**
            (``.smallcompact.*.intent`` — a ``compact_small`` run
            crashed inside its move phase, the one window where the log
@@ -1529,7 +1535,12 @@ class Topic:
            / ``.smallcompact.*.intent.writing`` from crashed writes):
            removed once older than ``stale_s``
            (default 1 h); younger artifacts are reported as kept —
-           they may belong to a compaction in flight right now.
+           they may belong to a compaction in flight right now.  A tmp
+           whose sibling intent journal still exists is NEVER removed
+           here regardless of age (the tmp is written before, and so
+           ages faster than, its intent): rule 5 adjudicates
+           journal+staging as one unit, and the tmp's presence is what
+           makes that recovery a rollback instead of a roll-forward.
 
         Layout (flat vs pub_date-partitioned) is re-detected after any
         restore, so a handle constructed against the seed keeps
@@ -1550,41 +1561,36 @@ class Topic:
                 out["recovered"].append(old)
             elif os.path.isdir(old):
                 stale = now - os.path.getmtime(old) >= stale_s
-                live_rows = _dir_rows(self.log_dir)
                 if os.path.exists(marker):
                     (out["removed"] if stale else out["kept"]).append(old)
                     if stale:
                         shutil.rmtree(old)
-                elif stale and live_rows == 0 and _dir_rows(old) > 0:
-                    # rule 3: ambiguous legacy state — restore only on
-                    # explicit operator instruction
-                    if restore_seeded:
-                        shutil.rmtree(self.log_dir)
-                        os.replace(old, self.log_dir)
-                        self._redetect_layout()
-                        out["recovered"].append(old)
-                    else:
-                        out["kept"].append(old)
-                elif stale and _dir_rows(old) == 0:
-                    shutil.rmtree(old)
-                    out["removed"].append(old)
-                elif stale and live_rows > 0:
-                    # rule 4: offset-range adjudication of a legacy
-                    # unmarked old next to a populated live log
-                    old_rng = _dir_offset_range(old)
-                    live_rng = _dir_offset_range(self.log_dir)
-                    if (
-                        old_rng is not None
-                        and live_rng is not None
-                        and live_rng[0] <= old_rng[0]
-                        and old_rng[1] <= live_rng[1]
-                    ):
+                elif not stale:
+                    out["kept"].append(old)
+                else:
+                    # footer walks only on the rare stale-unmarked path
+                    # (review r12: the common marked/fresh branches must
+                    # not pay a full live-log footer scan per sweep)
+                    live_rows = _dir_rows(self.log_dir)
+                    if live_rows == 0 and _dir_rows(old) > 0:
+                        # rule 3: ambiguous legacy state — restore only
+                        # on explicit operator instruction
+                        if restore_seeded:
+                            shutil.rmtree(self.log_dir)
+                            os.replace(old, self.log_dir)
+                            self._redetect_layout()
+                            out["recovered"].append(old)
+                        else:
+                            out["kept"].append(old)
+                    elif _dir_rows(old) == 0:
+                        shutil.rmtree(old)
+                        out["removed"].append(old)
+                    elif self._old_rows_contained_in_log(old):
+                        # rule 4: proven completed-swap garbage
                         shutil.rmtree(old)
                         out["removed"].append(old)
                     else:
                         out["kept"].append(old)
-                else:
-                    out["kept"].append(old)
             # rule 5 (r12): small-compaction INTENT journals.  An intent
             # on disk means a compact_small run crashed inside its move
             # phase — the one window where the log can hold DUPLICATE
@@ -1631,6 +1637,18 @@ class Topic:
             for p in tmps:
                 if not os.path.isdir(p):
                     continue
+                # a tmp whose sibling INTENT still exists belongs to
+                # rule 5, which must adjudicate journal+staging as one
+                # unit: the tmp's PRESENCE is what makes the recovery a
+                # rollback — GC'ing it here (tmp goes stale before its
+                # younger intent) would flip a later recovery into a
+                # roll-forward that removes the originals while none of
+                # the merged files ever went live (review r12)
+                if p.endswith(".tmp") and os.path.exists(
+                    p[: -len(".tmp")] + ".intent"
+                ):
+                    out["kept"].append(p)
+                    continue
                 if now - os.path.getmtime(p) >= stale_s:
                     shutil.rmtree(p)
                     out["removed"].append(p)
@@ -1650,6 +1668,44 @@ class Topic:
                 else:
                     out["kept"].append(p)
             return out
+
+    def _old_rows_contained_in_log(self, old: str) -> bool:
+        """Rule-4 adjudicator: is EVERY row of the stale unmarked
+        ``old`` dir present verbatim in the live log?
+
+        Step 1 is free (footer offset ranges): if old's [min, max]
+        isn't nested inside live's, live can't supersede it.  Step 2 is
+        one bounded Spark anti-join on the full envelope — offsets
+        alone can't prove containment because a seed-over RESETS the
+        offset counter, so later publishes can cover old's range with
+        different data (review r12); a single surviving anti-join row
+        means old holds data the live log doesn't, and it must be kept.
+        Cost: one scan of the old dir plus an offset-range-pruned probe
+        of the live log — paid only for a stale legacy artifact, never
+        on the routine sweep path."""
+        old_rng = _dir_offset_range(old)
+        live_rng = _dir_offset_range(self.log_dir)
+        if (
+            old_rng is None
+            or live_rng is None
+            or old_rng[0] < live_rng[0]
+            or old_rng[1] > live_rng[1]
+        ):
+            return False
+        old_df = (
+            self.spark.read.schema(ENVELOPE)
+            .option("recursiveFileLookup", "true")
+            .parquet(old)
+            .select("offset", "ts", "event", "message")
+        )
+        live = self.log().select("offset", "ts", "event", "message").filter(
+            (F.col("offset") >= F.lit(int(old_rng[0])))
+            & (F.col("offset") <= F.lit(int(old_rng[1])))
+        )
+        missing = old_df.join(
+            live, ["offset", "ts", "event", "message"], "left_anti"
+        )
+        return missing.limit(1).count() == 0
 
     def _redetect_layout(self) -> None:
         """Refresh the partitioned flag from the on-disk layout after a

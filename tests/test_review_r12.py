@@ -99,6 +99,85 @@ def test_partitioned_compact_keeps_per_directory_ranges_disjoint(engine):
     assert topic.fsck()["ok"]
 
 
+def test_vacuum_rule4_keeps_old_when_offsets_restarted(engine):
+    """Review r12 (data-loss finding): a seed-over RESETS the offset
+    counter, so enough later publishes can cover the old dir's offset
+    range with DIFFERENT data.  Offset-range nesting alone must not
+    remove the old dir — the row-containment anti-join sees the old
+    rows are absent from the live log and keeps it."""
+    import shutil
+
+    topic = engine.prepare_topic("seedover4")
+    for i in range(3):
+        topic.publish("e", {"v": "old", "i": i})
+    old = topic.log_dir + ".compact.old"
+    shutil.copytree(topic.log_dir, old)
+    # legacy seed-over: log vanishes, an empty seed appears, and the
+    # offset counter restarts — new publishes cover [1..4] with
+    # different payloads
+    shutil.rmtree(topic.log_dir)
+    topic._ensure()
+    for i in range(4):
+        topic.publish("e", {"v": "new", "i": i})
+    past = time.time() - 7200
+    os.utime(old, (past, past))
+
+    out = topic.vacuum()
+    assert out["kept"] == [old]
+    assert os.path.isdir(old)
+    # the live log (the new data) is untouched
+    assert topic.log().count() == 4
+
+
+def test_vacuum_tmp_gc_never_orphans_a_fresh_intent(engine, crash_state=None):
+    """Review r12 (data-loss finding): the tmp is written BEFORE its
+    intent, so it can cross the staleness threshold first.  GC'ing it
+    while the intent survives would flip the later recovery into a
+    roll-forward that removes the originals though no merged file ever
+    went live.  The tmp must ride with its intent: kept while the
+    intent is fresh, rolled back together once both are stale."""
+    import glob
+
+    import pytest as _pytest
+
+    from kafkaish_spark.sources import topic_log as tl
+    from tests.test_vacuum_crash_sweep import SimulatedCrash
+
+    topic = engine.prepare_topic("intent_fresh")
+    pad = "x" * 2048
+    for i in range(6):
+        topic.publish("e", {"i": i, "pad": pad})
+    before = sorted((r["offset"], r["message"]) for r in topic.log().collect())
+
+    def hook(name):
+        if name == "small_post_intent":
+            raise SimulatedCrash(name)
+
+    tl._CRASH_POINT_HOOK = hook
+    try:
+        with _pytest.raises(SimulatedCrash):
+            topic.compact_small(small_bytes=1 << 20, target_files=2)
+    finally:
+        tl._CRASH_POINT_HOOK = None
+
+    (tmp,) = glob.glob(topic.log_dir + ".smallcompact.*.tmp")
+    (intent,) = glob.glob(topic.log_dir + ".smallcompact.*.intent")
+    past = time.time() - 7200
+    os.utime(tmp, (past, past))  # tmp stale, intent still fresh
+
+    out = topic.vacuum()
+    assert tmp in out["kept"] and intent in out["kept"]
+    assert os.path.isdir(tmp)
+
+    os.utime(intent, (past, past))  # now both stale: rollback as a unit
+    out2 = topic.vacuum()
+    assert intent in out2["recovered"] and tmp in out2["removed"]
+    assert sorted(
+        (r["offset"], r["message"]) for r in topic.log().collect()
+    ) == before
+    assert topic.fsck()["ok"]
+
+
 def test_init_restore_holds_writer_lock(engine, tmp_path):
     """ADVICE r11 (low): the construction-time crash-restore runs
     under the topic writer lock, so a concurrent holder blocks it

@@ -117,9 +117,7 @@ def main() -> None:
             for name, frame in legs.items():
                 frame.write.mode("overwrite").format("noop").save()  # warm
                 out["legs"].setdefault(name, {})[sc] = _time(frame, reps)
-            bframe, wsec = _bucketed_lo(
-                spark, d, sc, n_files if sc == "t1" else n_files
-            )
+            bframe, wsec = _bucketed_lo(spark, d, sc, n_files)
             bframe.write.mode("overwrite").format("noop").save()
             out["legs"].setdefault("bucketed_lo", {})[sc] = _time(
                 bframe, reps
@@ -136,6 +134,15 @@ def main() -> None:
                 row["ratio"] = round(row[tN] / row["t1"], 2)
         print(json.dumps(out))
     finally:
+        # drop the managed bucketed tables too — saveAsTable wrote
+        # their (at 100x: multi-GB) bucket files into the warehouse,
+        # and a profiling tool must not accumulate them run over run
+        for sc in ("t1", tN):
+            for name in (f"star_l_{sc}", f"star_o_{sc}"):
+                try:
+                    spark.sql(f"DROP TABLE IF EXISTS {name}")
+                except Exception:
+                    pass
         shutil.rmtree(os.path.dirname(base), ignore_errors=True)
         shutil.rmtree(os.path.dirname(big), ignore_errors=True)
 
