@@ -12,18 +12,24 @@ the hot ops cost O(tail), not O(topic):
   writer lock + footer-stats ``latest()`` + one tiny write; the only
   size-dependent term is the footer sweep (~0.5 ms/file).
 - ``latest_s``       — the footer-stats tail lookup alone.
-- ``replay_tail_s``  — count of a FIXED-size tail (the last base-chunk
-  of rows) via ``replay(since=latest-CHUNK)``.  The offset predicate
-  pushes down to parquet row-group stats, so segments entirely below
-  ``since`` are skipped on their footers — time should stay ~flat
-  while the topic grows 16x.
-- ``replay_full_s``  — count of the WHOLE log: the deliberately linear
-  control the tail number is judged against.
+- ``replay_tail_s``  — full materialization (sum of message byte
+  lengths, which forces the payload column decode — a bare count()
+  would be answered from parquet metadata and prove nothing) of a
+  FIXED-size tail via ``replay(since=latest-CHUNK)``.  The offset
+  predicate pushes down to parquet row-group stats, so segments
+  entirely below ``since`` are skipped on their footers — time should
+  stay ~flat while the topic grows 16x.
+- ``replay_full_s``  — the same materialization over the WHOLE log:
+  the deliberately linear control the tail number is judged against.
 
 Topics are built from ``CHUNK``-row publishes (one segment file each),
 so topic size and file count grow together — 1x/4x/16x data = 4/16/64
-segments, exactly how a long-lived topic accretes.  Each metric is
-min-of-REPS on a warmed session (bench.py's rule).  The tail replay's
+segments, exactly how a long-lived topic accretes.  Messages carry a
+~100-byte non-constant payload (dictionary-proof) so the decode has
+real byte volume.  All topics are built BEFORE any timing and each
+metric is min-of-REPS with reps INTERLEAVED across scales (bench.py's
+rule — a scale measured only first would eat the session's JIT
+warm-up and look slower than a bigger one).  The tail replay's
 physical plan is checked for the pushed offset filter and the result
 row count is asserted, so a silently-broken pushdown fails loudly
 instead of reporting a fast wrong answer.
@@ -57,7 +63,14 @@ REPS = 3
 def _chunk_df(spark, lo: int):
     return spark.range(lo, lo + CHUNK).select(
         F.concat(F.lit("e"), (F.col("id") % 8).cast("string")).alias("event"),
-        F.to_json(F.struct(F.col("id").alias("k"))).alias("message"),
+        F.to_json(
+            F.struct(
+                F.col("id").alias("k"),
+                # non-constant ~100B filler: parquet can't dictionary-
+                # collapse it, so replay decode moves real bytes
+                F.repeat(F.col("id").cast("string"), 16).alias("pad"),
+            )
+        ).alias("message"),
     )
 
 
@@ -66,6 +79,18 @@ def _build_topic(engine, spark, name: str, n_chunks: int):
     for i in range(n_chunks):
         topic.publish_df(_chunk_df(spark, i * CHUNK), target_files=1)
     return topic
+
+
+def _decode_all(df) -> int:
+    """Force a real replay: decode the payload column of every
+    surviving row group (a bare count() is answered from parquet
+    metadata and would look flat even with pruning broken)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("message")).alias("b"),
+    ).first()
+    assert row["b"] is not None
+    return int(row["n"])
 
 
 def _min_of(fn, reps: int = REPS) -> float:
@@ -86,48 +111,70 @@ def main() -> None:
         # untimed warm-up: compile publish/replay/count plans
         warm = _build_topic(engine, spark, "warmup", 1)
         warm.publish("e0", {"k": -1})
-        warm.replay(since=warm.latest() - 1000).count()
-        warm.log().count()
+        _decode_all(warm.replay(since=warm.latest() - 1000))
+        _decode_all(warm.log())
+
+        # build everything before timing anything
+        topics = {}
+        for scale in SCALES:
+            topics[scale] = _build_topic(
+                engine, spark, f"t{scale}x", BASE_CHUNKS * scale
+            )
+
+        state = {}
+        for scale in SCALES:
+            topic = topics[scale]
+            n_rows = topic.latest()
+            tail = topic.replay(since=n_rows - CHUNK)
+            plan = tail._jdf.queryExecution().executedPlan().toString()
+            state[scale] = {
+                "scale": scale,
+                "rows": n_rows,
+                "segments": BASE_CHUNKS * scale,
+                "tail_df": tail,
+                "tail_filter_pushed": (
+                    "offset" in plan and "PushedFilters" in plan
+                ),
+                "replay_tail_s": float("inf"),
+                "replay_full_s": float("inf"),
+                "latest_s": float("inf"),
+                "publish_one_s": None,
+            }
+            assert _decode_all(tail) == CHUNK  # untimed, also warms
+
+        # timed reps, interleaved across scales
+        for _ in range(REPS):
+            for scale in SCALES:
+                s, topic = state[scale], topics[scale]
+                t0 = time.monotonic()
+                n = _decode_all(s["tail_df"])
+                s["replay_tail_s"] = min(
+                    s["replay_tail_s"], time.monotonic() - t0
+                )
+                assert n == CHUNK
+                t0 = time.monotonic()
+                _decode_all(topic.log())
+                s["replay_full_s"] = min(
+                    s["replay_full_s"], time.monotonic() - t0
+                )
+                t0 = time.monotonic()
+                topic.latest()
+                s["latest_s"] = min(s["latest_s"], time.monotonic() - t0)
+
+        # single-message publish last (it appends): one timed shot per
+        # scale — the build phase already compiled this exact path
+        for scale in SCALES:
+            t0 = time.monotonic()
+            topics[scale].publish("e0", {"k": -1})
+            state[scale]["publish_one_s"] = round(time.monotonic() - t0, 4)
 
         rows = []
         for scale in SCALES:
-            n_chunks = BASE_CHUNKS * scale
-            topic = _build_topic(engine, spark, f"t{scale}x", n_chunks)
-            n_rows = n_chunks * CHUNK + 1  # +1: publish_one below appends
-
-            publish_one_s = _min_of(
-                lambda: topic.publish("e0", {"k": -1}), reps=1
-            )
-            n_rows = topic.latest()
-            latest_s = _min_of(topic.latest)
-
-            since = n_rows - CHUNK
-            tail = topic.replay(since=since)
-            plan = tail._jdf.queryExecution().executedPlan().toString()
-            pushed = "offset" in plan and "PushedFilters" in plan
-
-            got = {"n": None}
-
-            def _count_tail():
-                got["n"] = tail.count()
-
-            replay_tail_s = _min_of(_count_tail)
-            assert got["n"] == CHUNK, (got["n"], CHUNK)
-
-            replay_full_s = _min_of(lambda: topic.log().count())
-
-            rows.append(
-                {
-                    "scale": scale,
-                    "rows": n_rows,
-                    "segments": n_chunks,
-                    "publish_one_s": publish_one_s,
-                    "latest_s": latest_s,
-                    "replay_tail_s": replay_tail_s,
-                    "replay_full_s": replay_full_s,
-                    "tail_filter_pushed": pushed,
-                }
-            )
+            s = state[scale]
+            s.pop("tail_df")
+            for m in ("replay_tail_s", "replay_full_s", "latest_s"):
+                s[m] = round(s[m], 4)
+            rows.append(s)
 
         by = {r["scale"]: r for r in rows}
         ratios = {
