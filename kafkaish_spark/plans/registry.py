@@ -119,6 +119,7 @@ def _load_all() -> None:
     import kafkaish_spark.operators.composites61  # noqa: F401
     import kafkaish_spark.operators.composites62  # noqa: F401
     import kafkaish_spark.operators.composites63  # noqa: F401
+    import kafkaish_spark.operators.composites64  # noqa: F401
 
 
 # The driver's per-round correctness gate samples the FIRST 50 entries

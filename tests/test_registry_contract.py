@@ -310,6 +310,7 @@ _DOCUMENTED_GLOBAL_ORDER = frozenset(
         "q_text_heaps_law",            # cumulative window over the 10-row decile frame
         "q_source_quality_wilson",     # rank over per-source aggregates (#sources rows)
         "q_train_shard_balance",       # global total over the 8-row shard aggregate
+        "q_events_runs_test",          # lag over the calendar-bounded day frame (~2.4k rows at any SF)
     }
 )
 
