@@ -396,54 +396,25 @@ def q_ml_mutual_information(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("t"),
         )
     )
-    fold = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0.0), lambda a, b: a + b
-    )
-    mi = terms.select(F.struct("p", "s", "t").alias("cell")).agg(
+    from kafkaish_spark.functions.folds import ordered_sum
+
+    mi = terms.agg(
         F.count(F.lit(1)).cast("long").alias("n_cells"),
-        fold(
-            F.transform(
-                F.array_sort(F.collect_list("cell")), lambda e: e["t"]
-            )
-        ).alias("mi_nats"),
+        ordered_sum(F.struct("p", "s"), F.col("t")).alias("mi_nats"),
     )
-    hx = (
-        px.crossJoin(F.broadcast(tot))
-        .select(
-            F.struct(
-                "p",
-                (
-                    -(F.col("cx").cast("double") / nd)
-                    * F.log(F.col("cx").cast("double") / nd)
-                ).alias("t"),
-            ).alias("cell")
-        )
-        .agg(
-            fold(
-                F.transform(
-                    F.array_sort(F.collect_list("cell")), lambda e: e["t"]
-                )
-            ).alias("h_prio")
-        )
+    hx = px.crossJoin(F.broadcast(tot)).agg(
+        ordered_sum(
+            F.col("p"),
+            -(F.col("cx").cast("double") / nd)
+            * F.log(F.col("cx").cast("double") / nd),
+        ).alias("h_prio")
     )
-    hy = (
-        py.crossJoin(F.broadcast(tot))
-        .select(
-            F.struct(
-                "s",
-                (
-                    -(F.col("cy").cast("double") / nd)
-                    * F.log(F.col("cy").cast("double") / nd)
-                ).alias("t"),
-            ).alias("cell")
-        )
-        .agg(
-            fold(
-                F.transform(
-                    F.array_sort(F.collect_list("cell")), lambda e: e["t"]
-                )
-            ).alias("h_status")
-        )
+    hy = py.crossJoin(F.broadcast(tot)).agg(
+        ordered_sum(
+            F.col("s"),
+            -(F.col("cy").cast("double") / nd)
+            * F.log(F.col("cy").cast("double") / nd),
+        ).alias("h_status")
     )
     return (
         mi.crossJoin(hx)

@@ -35,9 +35,13 @@ from kafkaish_spark.sources.tables import load_table as t
 
 # shared with q_ml_cohen_kappa (composites62): the two deterministic
 # document raters whose agreement kappa scores — McNemar asks the
-# complementary marginal-homogeneity question over the SAME frame
-_GATE_CHARS = 300
-_GATE_TOKS = 50
+# complementary marginal-homogeneity question over the SAME frame, so
+# the thresholds are IMPORTED, not copied (review r12: a copied
+# literal would silently desynchronize the pair)
+from kafkaish_spark.operators.composites62 import (  # noqa: E402
+    _KAPPA_CHARS as _GATE_CHARS,
+    _KAPPA_TOKS as _GATE_TOKS,
+)
 
 _PERM_B = 64  # permutation replicates
 _PERM_SEED = "perm63"
@@ -281,41 +285,19 @@ def q_corpus_jackknife_sources(spark: SparkSession, sf: str) -> DataFrame:
         "gk",
         "n",
     )
-    fold = lambda arr: F.aggregate(  # noqa: E731
-        arr, F.lit(0.0), lambda a, b: a + b
-    )
-    bar = loo.select(
-        F.struct("source", "loo_mean").alias("cell"), "gk"
-    ).agg(
+    from kafkaish_spark.functions.folds import ordered_sum
+
+    bar = loo.agg(
         (
-            fold(
-                F.transform(
-                    F.array_sort(F.collect_list("cell")),
-                    lambda e: e["loo_mean"],
-                )
-            )
-            / F.min("gk")
+            ordered_sum(F.col("source"), F.col("loo_mean")) / F.min("gk")
         ).alias("loo_bar")
     )
-    ssq = (
-        loo.crossJoin(F.broadcast(bar))
-        .select(
-            F.struct(
-                "source",
-                (
-                    (F.col("loo_mean") - F.col("loo_bar"))
-                    * (F.col("loo_mean") - F.col("loo_bar"))
-                ).alias("dev2"),
-            ).alias("cell")
-        )
-        .agg(
-            fold(
-                F.transform(
-                    F.array_sort(F.collect_list("cell")),
-                    lambda e: e["dev2"],
-                )
-            ).alias("ss")
-        )
+    ssq = loo.crossJoin(F.broadcast(bar)).agg(
+        ordered_sum(
+            F.col("source"),
+            (F.col("loo_mean") - F.col("loo_bar"))
+            * (F.col("loo_mean") - F.col("loo_bar")),
+        ).alias("ss")
     )
     return loo.crossJoin(F.broadcast(ssq)).select(
         "source",

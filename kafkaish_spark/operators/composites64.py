@@ -66,15 +66,24 @@ def q_text_good_turing(spark: SparkSession, sf: str) -> DataFrame:
     (gram -> r) count; the fof frame is ~max-count-sized (dozens), so
     the r+1 self-join is a broadcast over a bounded frame."""
     d = t(spark, sf, "documents")
-    tris = d.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 2), "
-                "i -> concat(element_at(split(text, ' '), i), ' ', "
-                "element_at(split(text, ' '), i + 1), ' ', "
-                "element_at(split(text, ' '), i + 2)))"
-            )
-        ).alias("g")
+    # size >= 3 guard (review r12, same as q_text_repetition_score):
+    # Spark's sequence(1, n-2) turns DESCENDING for n < 3 and
+    # element_at(_, 0) throws, while DuckDB's range(1, n-1) is simply
+    # empty — filtering short docs is result-identical to the oracle's
+    # empty unnest
+    tris = (
+        d.select(F.split("text", " ").alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 2), "
+                    "i -> concat(element_at(tk, i), ' ', "
+                    "element_at(tk, i + 1), ' ', "
+                    "element_at(tk, i + 2)))"
+                )
+            ).alias("g")
+        )
     )
     gc = tris.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("r"))
     fof = gc.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))

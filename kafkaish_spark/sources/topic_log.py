@@ -698,18 +698,25 @@ class Topic:
 
     def log(self) -> DataFrame:
         """Whole log as a batch DataFrame (filters push down to parquet)."""
+        return self._read_dir(self.log_dir)
+
+    def _read_dir(self, path: str) -> DataFrame:
+        """Read ``path`` with the topic's layout rules — the log itself,
+        or a staged rewrite (``_swap_log_with`` validates its tmp dir
+        through this BEFORE swapping it in)."""
         if self.partitioned:
             if not any(
-                e.startswith("pub_date=") for e in os.listdir(self.log_dir)
+                e.startswith("pub_date=") for e in os.listdir(path)
             ):
-                # nothing published yet: empty frame with the envelope
-                # plus the (discovered-at-read-time) partition column
+                # nothing published yet (or an empty rewrite): empty
+                # frame with the envelope plus the
+                # (discovered-at-read-time) partition column
                 return self.spark.createDataFrame([], ENVELOPE).withColumn(
                     "pub_date", F.lit(None).cast("date")
                 )
             # let Spark pick up the pub_date partition column
-            return self.spark.read.parquet(self.log_dir)
-        return self.spark.read.schema(ENVELOPE).parquet(self.log_dir)
+            return self.spark.read.parquet(path)
+        return self.spark.read.schema(ENVELOPE).parquet(path)
 
     def latest(self) -> int:
         """Newest offset, 0 when empty (ref: latest src/topic.js:221-244;
@@ -1383,17 +1390,25 @@ class Topic:
         self, frame: DataFrame, target_files: int, validate, release=None
     ) -> None:
         """Shared rewrite protocol for the compaction ops: write
-        ``frame`` to a tmp dir, two-rename swap it in as the log,
-        re-read and ``validate(after)`` (returns an error string or
-        None), rolling the renames back and raising on failure — the
-        original log is restored untouched.  Partitioned topics keep
-        their ``pub_date`` layout (``frame`` must carry the column).
+        ``frame`` to a tmp dir, re-read THE TMP DIR and
+        ``validate(after)`` (returns an error string or None) — an
+        invalid rewrite raises with the live log untouched — and only
+        then two-rename swap the proven-good tmp in as the log.
+        Validation runs BEFORE the swap (review r12): when it ran
+        after, a crash inside the validate window made a row-dropping
+        rewrite the live log with the old dir already swap-marked, so
+        vacuum rule 2 would eventually delete the only good copy.
+        With pre-swap validation every crash point during the swap is
+        a rename-protocol state the marker rules already recover, and
+        bad data can never be committed at all.  Partitioned topics
+        keep their ``pub_date`` layout (``frame`` must carry the
+        column).
 
-        ``release`` is called after the tmp write, BEFORE the swap:
+        ``release`` is called after validation, BEFORE the swap:
         callers that cached the pre-swap log MUST drop that cache here
-        (blocking), or ``validate``'s re-read of the log path matches
-        the cached logical plan and sees the OLD rows — validation
-        would then pass or fail vacuously against stale data.
+        (blocking) so no stale cached plan aliases the log path across
+        the swap.  (Validation itself reads the tmp path, which no
+        caller has cached.)
 
         Multi-file rewrites range-partition on offset (one dense
         commit group either way, so fsck is satisfied, but disjoint
@@ -1424,6 +1439,11 @@ class Topic:
             writer = writer.partitionBy("pub_date")
         writer.parquet(tmp)
         _prune_empty_parts(tmp)
+        err = validate(self._read_dir(tmp))
+        _crash_point("post_validate")
+        if err:
+            shutil.rmtree(tmp)
+            raise RuntimeError(f"{err}; log untouched")
         if release is not None:
             release()
         # The swap phase (renames + validate + rollback) runs under the
@@ -1455,15 +1475,6 @@ class Topic:
             _crash_point("post_marker")
             os.replace(tmp, self.log_dir)
             _crash_point("post_rename2")
-            err = validate(self.log())
-            _crash_point("post_validate")
-            if err:
-                os.replace(self.log_dir, tmp)
-                os.replace(old, self.log_dir)
-                with contextlib.suppress(FileNotFoundError):
-                    os.remove(os.path.join(self.log_dir, _SWAP_MARKER))
-                shutil.rmtree(tmp)
-                raise RuntimeError(f"{err}; log restored")
             shutil.rmtree(old)
 
     def vacuum(

@@ -85,15 +85,15 @@ def _assert_clean(topic):
 
 
 SWAP_STEPS = [
+    "post_validate",  # validation moved BEFORE the swap (review r12)
     "pre_rename1",
     "post_rename1",
     "post_marker",
     "post_rename2",
-    "post_validate",
 ]
 # from this step on, the swap's second rename has happened and the new
-# log is authoritative
-SWAP_COMMITTED = {"post_rename2", "post_validate"}
+# log is authoritative (validation already passed pre-swap)
+SWAP_COMMITTED = {"post_rename2"}
 
 
 @pytest.mark.parametrize("step", SWAP_STEPS)
@@ -162,6 +162,49 @@ def test_compact_small_crash_never_duplicates(engine, crash_hook, step):
     tl._CRASH_POINT_HOOK = None
 
     healed, _report = _recover(engine, f"small_{step}")
+    assert _contents(healed) == before
+    assert healed.fsck()["ok"]
+    _assert_clean(healed)
+
+
+def test_invalid_rewrite_never_goes_live(engine):
+    """Review r12: a rewrite that would DROP rows must be rejected
+    BEFORE the swap — the live log stays untouched, the staged tmp is
+    cleaned up, and no swap marker ever exists — so there is no crash
+    window in which the bad rewrite is the only live copy."""
+    topic = _topic_with_rows(engine, "badrw", n=6)
+    before = _contents(topic)
+    bad = topic.log().filter("offset > 2")  # silently drops rows
+
+    def validate(after):
+        n = after.count()
+        return None if n == len(before) else f"row loss ({n})"
+
+    with pytest.raises(RuntimeError, match="log untouched"):
+        topic._swap_log_with(bad, 1, validate)
+    assert _contents(topic) == before
+    root = os.path.dirname(topic.log_dir)
+    assert not [e for e in os.listdir(root) if ".compact." in e]
+    assert topic.fsck()["ok"]
+
+
+def test_bad_rewrite_crash_during_validate_keeps_original(
+    engine, crash_hook
+):
+    """The exact data-loss scenario the r12 review found in the OLD
+    ordering (validate after the swap): a row-dropping rewrite plus a
+    crash inside the validate window.  With pre-swap validation the
+    live log was never touched — recovery keeps every original row and
+    GCs the staged tmp."""
+    topic = _topic_with_rows(engine, "badrw_crash", n=6)
+    before = _contents(topic)
+    bad = topic.log().filter("offset > 2")
+    crash_hook("post_validate")
+    with pytest.raises(SimulatedCrash):
+        topic._swap_log_with(bad, 1, lambda after: "would have failed")
+    tl._CRASH_POINT_HOOK = None
+
+    healed, _report = _recover(engine, "badrw_crash")
     assert _contents(healed) == before
     assert healed.fsck()["ok"]
     _assert_clean(healed)

@@ -114,6 +114,21 @@ def measure_deliver_latency(
     if max_files_per_trigger is not _MFT_DEFAULT:
         kwargs["max_files_per_trigger"] = max_files_per_trigger
     sub = subscribe(topic, cb, available_now=False, **kwargs)
+    # recentProgress is a ROLLING buffer (default cap 100 entries) and
+    # idle polls occupy slots too, so harvesting only once after the
+    # loop would silently drop most delivering-trigger breakdowns
+    # (review r12) — drain incrementally, dedup'd by batchId
+    harvested: dict[int, dict] = {}
+
+    def drain_progress() -> None:
+        if progress_sink is None:
+            return
+        for p in sub.query.recentProgress:
+            if not isinstance(p, dict):  # StreamingQueryProgress obj
+                p = json.loads(p.json)
+            if p and p.get("numInputRows", 0) > 0:
+                harvested[p["batchId"]] = p
+
     try:
         def roundtrip(i: int) -> float:
             seen.clear()
@@ -133,13 +148,15 @@ def measure_deliver_latency(
 
         for i in range(warm):
             roundtrip(-1 - i)  # untimed: JIT + first dir listings
-        out = [roundtrip(i) for i in range(n_msgs)]
+        out = []
+        for i in range(n_msgs):
+            out.append(roundtrip(i))
+            drain_progress()
+        drain_progress()
         if progress_sink is not None:
-            for p in sub.query.recentProgress:
-                if not isinstance(p, dict):  # StreamingQueryProgress obj
-                    p = json.loads(p.json)
-                if p and p.get("numInputRows", 0) > 0:
-                    progress_sink.append(p)
+            progress_sink.extend(
+                harvested[b] for b in sorted(harvested)
+            )
         return out
     finally:
         sub.unsubscribe()

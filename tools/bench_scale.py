@@ -149,6 +149,18 @@ def _materialize(spark, src: str, replicas: int, n_files: int) -> str:
     key offsets + per-replica mutations, all at ``n_files`` parts per
     table."""
     root = tempfile.mkdtemp(prefix=f"kafkaish_scale{replicas}x_")
+    try:
+        return _materialize_into(spark, src, replicas, n_files, root)
+    except BaseException:
+        # a mid-write failure (disk-full at 100x is the likely one)
+        # must not strand a multi-GB partial replica dir (review r12)
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+
+
+def _materialize_into(
+    spark, src: str, replicas: int, n_files: int, root: str
+) -> str:
     dst = os.path.join(root, os.path.basename(src.rstrip("/")))
     os.makedirs(dst, exist_ok=True)
     order_stride = (

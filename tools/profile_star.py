@@ -106,12 +106,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     star_fn = all_queries()["q_star_revenue_by_region"].fn
 
-    base = _materialize(spark, src, 1, n_files)
-    big = _materialize(spark, src, replicas, n_files)
     tN = f"t{replicas}"
     out: dict = {"metric": "star_join_profile", "replicas": replicas,
                  "files_per_table": n_files, "legs": {}}
+    base = big = None
     try:
+        # inside the try (review r12): a mid-write failure at 100x —
+        # the likeliest place to hit disk-full — must still clean the
+        # already-written 1x dir and the partial 100x dir
+        base = _materialize(spark, src, 1, n_files)
+        big = _materialize(spark, src, replicas, n_files)
         for sc, d in (("t1", base), (tN, big)):
             legs = _legs(spark, d, star_fn)
             for name, frame in legs.items():
@@ -143,8 +147,9 @@ def main() -> None:
                     spark.sql(f"DROP TABLE IF EXISTS {name}")
                 except Exception:
                     pass
-        shutil.rmtree(os.path.dirname(base), ignore_errors=True)
-        shutil.rmtree(os.path.dirname(big), ignore_errors=True)
+        for d in (base, big):
+            if d is not None:
+                shutil.rmtree(os.path.dirname(d), ignore_errors=True)
 
 
 if __name__ == "__main__":
