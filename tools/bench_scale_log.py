@@ -34,6 +34,11 @@ physical plan is checked for the pushed offset filter and the result
 row count is asserted, so a silently-broken pushdown fails loudly
 instead of reporting a fast wrong answer.
 
+After the scale rows, the largest topic is compacted back to the base
+segment count and ``latest``/``publish`` are re-measured — the
+metadata ops are linear in segments, compaction is the product's
+answer, and the payoff should be MEASURED, not asserted.
+
 Usage: PYTHONPATH=/root/repo python tools/bench_scale_log.py
 Prints one JSON line (committed as BENCH_scale_log_r12.json).
 """
@@ -168,6 +173,31 @@ def main() -> None:
             topics[scale].publish("e0", {"k": -1})
             state[scale]["publish_one_s"] = round(time.monotonic() - t0, 4)
 
+        # compaction payoff on the LARGEST topic: the metadata ops are
+        # linear in segment count, and compaction is the product's
+        # answer — measure that the compacted 64-segment topic really
+        # returns to (near) the small-topic row instead of asserting it
+        big = topics[SCALES[-1]]
+        t0 = time.monotonic()
+        big.compact(target_files=BASE_CHUNKS)
+        compact_s = round(time.monotonic() - t0, 4)
+        seg_after = sum(
+            1
+            for _d, _s, files in os.walk(big.log_dir)
+            for f in files
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        latest_after = _min_of(big.latest)
+        t0 = time.monotonic()
+        big.publish("e0", {"k": -2})
+        publish_after = round(time.monotonic() - t0, 4)
+        post_compact = {
+            "compact_s": compact_s,
+            "segments_after": seg_after,
+            "latest_s_after": latest_after,
+            "publish_one_s_after": publish_after,
+        }
+
         rows = []
         for scale in SCALES:
             s = state[scale]
@@ -194,6 +224,7 @@ def main() -> None:
                     "chunk_rows": CHUNK,
                     "sizes": rows,
                     "ratio_16x_over_1x": ratios,
+                    "post_compact_16x": post_compact,
                 }
             )
         )
