@@ -23,8 +23,7 @@ from pyspark.sql import functions as F
 
 from kafkaish_spark.operators.llm import (
     _PAIR_CTES_SQL,
-    _cached_raw_shingles,
-    _drop_hot_shingles,
+    _cached_capped_shingles,
 )
 from kafkaish_spark.plans.registry import query
 from kafkaish_spark.sources.tables import load_table as t
@@ -67,8 +66,7 @@ def q_dedup_prefix_filter(spark: SparkSession, sf: str) -> DataFrame:
     survivors.  The rank window partitions by doc_id, so its sort is
     bounded by doc length.  DF ranking reuses the shared shingle cache
     and the same DF-cap guard as the twin."""
-    raw = _cached_raw_shingles(spark, sf)
-    sh = _drop_hot_shingles(raw)
+    sh = _cached_capped_shingles(spark, sf)
     dfs = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
         sh.join(dfs, "shingle")

@@ -155,19 +155,26 @@ def q_embed_kmeans_lloyd2(spark: SparkSession, sf: str) -> DataFrame:
         # comparison is lexicographic, so array_min reproduces the
         # (rounded dist, cid) tie-break of the window formulation and
         # of the oracle's row_number ordering, row-locally.
-        scored = F.array(
-            *[
-                F.struct(
-                    _dist(
-                        F.col("v"),
-                        F.array(*[F.lit(float(x)) for x in r["cv"]]),
-                    ).alias("dist"),
-                    F.lit(int(r["cid"])).cast("long").alias("cid"),
-                )
-                for r in sorted(cent_rows, key=lambda r: r["cid"])
-            ]
+        #
+        # The k x (d+1) literal tree is built as ONE SQL string parsed
+        # in the JVM rather than k*d F.lit() py4j calls: profiling
+        # (optimization r12, guide §1) showed ~0.6 s per assign() of
+        # pure driver-side expression construction at k=8, d=64 —
+        # twice per query.  repr(float) round-trips doubles exactly
+        # and the 'D' suffix pins the literal to DoubleType, so the
+        # parsed tree is value-identical to the F.lit construction.
+        def lit_d(x: float) -> str:
+            return f"{x!r}D"
+
+        structs = ", ".join(
+            "named_struct('dist', round(aggregate(zip_with(v, array("
+            + ", ".join(lit_d(float(x)) for x in r["cv"])
+            + "), (x, y) -> (x - y) * (x - y)), cast(0.0 as double),"
+            " (acc, x) -> acc + x), 6), 'cid', "
+            + f"{int(r['cid'])}L)"
+            for r in sorted(cent_rows, key=lambda r: r["cid"])
         )
-        best = F.array_min(scored)
+        best = F.array_min(F.expr(f"array({structs})"))
         return vecs.select(
             "vec_id",
             "v",

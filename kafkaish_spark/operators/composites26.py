@@ -12,8 +12,7 @@ from pyspark.sql import functions as F
 
 from kafkaish_spark.operators.llm import (
     _PAIR_CTES_SQL,
-    _cached_raw_shingles,
-    _drop_hot_shingles,
+    _cached_capped_shingles,
 )
 from kafkaish_spark.plans.registry import query
 from kafkaish_spark.sources.tables import load_table as t
@@ -172,7 +171,7 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     the ones already measured for q_dedup_ngram_jaccard, and the extra
     cost of ALSO screening for containment in a dedup pass is one more
     aggregate over the same pair frame."""
-    sh = _drop_hot_shingles(_cached_raw_shingles(spark, sf))
+    sh = _cached_capped_shingles(spark, sf)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -139,17 +139,34 @@ def _drop_hot_shingles(raw: DataFrame) -> DataFrame:
     broadcast jobs AQE re-runs per subtree).  If an adversarial corpus
     ever exceeds the probe limit, the code falls back to the broadcast
     anti-join, which handles any hot-set size."""
+    return _apply_hot_probe(raw, _hot_probe(raw))
+
+
+def _hot_probe(raw: DataFrame) -> list:
+    """Run the hot-set probe job: the >cap tail of the shingle DF
+    distribution, LIMIT-bounded so the driver never holds more than
+    _HOT_COLLECT_LIMIT+1 rows."""
+    return (
+        raw.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("shingle")
+        .limit(_HOT_COLLECT_LIMIT + 1)
+        .collect()
+    )
+
+
+def _apply_hot_probe(raw: DataFrame, probe: list) -> DataFrame:
+    if not probe:
+        return raw
+    if len(probe) <= _HOT_COLLECT_LIMIT:
+        return raw.filter(~F.col("shingle").isin([r.shingle for r in probe]))
     hot = (
         raw.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > _SHINGLE_DF_CAP)
         .select("shingle")
     )
-    probe = hot.limit(_HOT_COLLECT_LIMIT + 1).collect()
-    if not probe:
-        return raw
-    if len(probe) <= _HOT_COLLECT_LIMIT:
-        return raw.filter(~F.col("shingle").isin([r.shingle for r in probe]))
     return raw.join(F.broadcast(hot), "shingle", "left_anti").select(
         "doc_id", "shingle"
     )
@@ -212,6 +229,30 @@ def _cached_raw_shingles(spark: SparkSession, sf: str) -> DataFrame:
     return raw
 
 
+_HOT_CACHE: tuple | None = None  # (session_id, sf_dir, probe rows)
+
+
+def _cached_capped_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """The DF-capped view of the shared shingle cache (optimization
+    r12): the hot-set probe is a full DF-count aggregation JOB, and
+    every capped consumer (exact-Jaccard pair join, its star-schema
+    and bucketed siblings, the corpus-prep funnel) used to re-run it
+    per invocation — ~1 s each at sf0.1 for a statistic of an
+    immutable input that cannot change within a session.  The probe's
+    BOUNDED result (<= _HOT_COLLECT_LIMIT+1 short strings) is memoized
+    under the same (session, sf) key and eviction discipline as the
+    shingle cache itself; the capped frame is then a plain row-local
+    filter over the cached raw frame, so consumers pay zero extra
+    jobs.  Same lifecycle guarantees: a new session or sf re-probes,
+    at most one entry is held."""
+    global _HOT_CACHE
+    raw = _cached_raw_shingles(spark, sf)
+    key = (session_token(spark), sf)
+    if _HOT_CACHE is None or _HOT_CACHE[:2] != key:
+        _HOT_CACHE = (*key, _hot_probe(raw))
+    return _apply_hot_probe(raw, _HOT_CACHE[2])
+
+
 # ---------------------------------------------------------------- M2 (oracle twin)
 @query(
     "q_dedup_ngram_jaccard",
@@ -241,9 +282,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     # the three capped subtrees read it back with the InSet filter
     # applied in place (capping before the cache instead would run the
     # explosion twice — once into the DF aggregate, once into the
-    # cache materialization).
-    raw = _cached_raw_shingles(spark, sf)
-    sh = _drop_hot_shingles(raw)
+    # cache materialization).  The probe itself is memoized per
+    # (session, sf) — see _cached_capped_shingles.
+    sh = _cached_capped_shingles(spark, sf)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

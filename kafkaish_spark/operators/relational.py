@@ -344,11 +344,15 @@ def q_agg_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     (map-side) aggregation — the shuffle moves only num_groups rows per
     partition, not the fact table.  spread() widens the decimal-heavy
     partial agg when the scan exposes fewer row groups than cores (the
-    testdata case); it is a no-op on a properly chunked table."""
+    testdata case); it is a no-op on a properly chunked table.  The
+    spread keys on l_orderkey (dense, ~1.5M distinct per SF): a hash
+    exchange skips the local sort every keyless repartition pays
+    (guide §2.5), worth ~0.4 s of the query at sf0.1."""
     from kafkaish_spark.functions.parallelism import spread
 
     l = spread(
-        t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+        t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01"),
+        key="l_orderkey",
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))

@@ -12,14 +12,62 @@ concurrent session); anything else is rebuilt under the location's
 writer lock.  Bucket layout is the offline half of the zero-exchange
 join — both sides pre-hashed into the same bucket count on disk, so
 the join needs no runtime Exchange at any scale.
+
+Optimization r12 (guide §1.2 "don't compute things you throw away"):
+the steady-state reuse decision is now METADATA-ONLY.  The original
+protocol re-ran the content-fingerprint aggregations on every call —
+two full-scan Spark jobs over the SOURCES to compute ``want`` plus two
+more over the WRITTEN buckets — which charged every star-rollup run
+~1.0 s at sf0.1 and would charge a 100 TB deployment two full fact
+scans per run just to decide "nothing changed".  Now a ``_manifest``
+written at build time records (a) the stat signature (path, size,
+mtime_ns) of every SOURCE data file, (b) the same for every written
+bucket file, and (c) the content fingerprints computed ONCE from the
+just-written layout.  Reuse = both stat signatures match (no Spark
+job at all).  Any stat drift falls back to the original
+content-fingerprint comparison — so the review-r12 guarantee stands:
+no rebuild decision ever trusts a key-only checksum, and a
+regenerated fixture (new file bytes => new size/mtime) or a tampered
+bucket file can never serve stale data.  The make-style assumption
+(same path+size+mtime_ns => same bytes) is the only thing the fast
+path adds.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_manifest.json"
+
+
+def _stat_sig(paths: Sequence[str]) -> list[list]:
+    """(path, size, mtime_ns) per file, sorted — the make-style
+    freshness signature.  mtime_ns (not float mtime) so a rewrite
+    within the same clock tick still flips the signature on any
+    filesystem with ns resolution."""
+    out = []
+    for p in sorted(paths):
+        st = os.stat(p)
+        out.append([p, st.st_size, st.st_mtime_ns])
+    return out
+
+
+def _layout_files(loc_root: str, subdirs: Sequence[str]) -> list[str]:
+    files: list[str] = []
+    for sub in subdirs:
+        d = os.path.join(loc_root, sub)
+        if not os.path.isdir(d):
+            return []
+        files.extend(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+    return files
 
 
 def ensure_bucketed_layout(
@@ -35,40 +83,91 @@ def ensure_bucketed_layout(
     fingerprints: (subdir, agg) pairs; ``agg(df) -> tuple`` must be
     CONTENT-sensitive for every column a consumer reads (review r12:
     a key-only checksum let a regenerated fixture with identical keys
-    but different measures silently serve stale buckets).  The source
-    fingerprint is computed from the side dfs, the disk fingerprint by
-    re-reading the written files; all pairs must match for reuse.
+    but different measures silently serve stale buckets).  Fingerprints
+    gate every build/rebuild decision; the stat manifest only
+    short-circuits the case where neither the sources nor the written
+    buckets have changed on disk since the last content-verified build.
     """
+    subdirs = [sub for _n, _df, _k, sub in sides]
     by_sub = {sub: df for _n, df, _k, sub in sides}
-    want = [tuple(agg(by_sub[sub])) for sub, agg in fingerprints]
+    manifest_path = os.path.join(loc_root, _MANIFEST)
 
-    def _disk_ok() -> bool:
-        for _n, _df, _k, sub in sides:
-            if not os.path.isdir(os.path.join(loc_root, sub)):
-                return False
+    def _source_sig() -> list[list]:
+        files: list[str] = []
+        for _n, df, _k, _sub in sides:
+            files.extend(f.removeprefix("file:") for f in df.inputFiles())
+        return _stat_sig(files)
+
+    def _manifest_ok() -> bool:
+        """Metadata-only reuse check: no Spark job on the hot path."""
         try:
-            got = [
+            with open(manifest_path) as fh:
+                m = json.load(fh)
+        except (OSError, ValueError):
+            return False
+        if m.get("n_buckets") != n_buckets or m.get("subdirs") != subdirs:
+            return False
+        try:
+            if m.get("sources") != _source_sig():
+                return False
+            disk = _layout_files(loc_root, subdirs)
+            return bool(disk) and m.get("layout") == _stat_sig(disk)
+        except OSError:
+            return False
+
+    def _want() -> list[tuple]:
+        return [tuple(agg(by_sub[sub])) for sub, agg in fingerprints]
+
+    def _disk_fingerprints() -> list[tuple] | None:
+        for sub in subdirs:
+            if not os.path.isdir(os.path.join(loc_root, sub)):
+                return None
+        try:
+            return [
                 tuple(agg(spark.read.parquet(os.path.join(loc_root, sub))))
                 for sub, agg in fingerprints
             ]
         except Exception:
-            return False
-        return got == want
+            return None
+
+    def _write_manifest() -> None:
+        disk = _layout_files(loc_root, subdirs)
+        with open(manifest_path + ".tmp", "w") as fh:
+            json.dump(
+                {
+                    "n_buckets": n_buckets,
+                    "subdirs": subdirs,
+                    "sources": _source_sig(),
+                    "layout": _stat_sig(disk),
+                },
+                fh,
+            )
+        os.replace(manifest_path + ".tmp", manifest_path)
+
+    def _register() -> None:
+        for name, df, key, sub in sides:
+            if not spark.catalog.tableExists(name):
+                ddl = df._jdf.schema().toDDL()
+                loc = os.path.join(loc_root, sub)
+                spark.sql(
+                    f"CREATE TABLE {name} ({ddl}) USING parquet "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
+                )
 
     from kafkaish_spark.sources.topic_log import writer_lock
 
     os.makedirs(loc_root, exist_ok=True)
     with writer_lock(loc_root, "bucket-layout build"):
-        if _disk_ok():
-            for name, df, key, sub in sides:
-                if not spark.catalog.tableExists(name):
-                    ddl = df._jdf.schema().toDDL()
-                    loc = os.path.join(loc_root, sub)
-                    spark.sql(
-                        f"CREATE TABLE {name} ({ddl}) USING parquet "
-                        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
-                        f"INTO {n_buckets} BUCKETS LOCATION '{loc}'"
-                    )
+        want: list[tuple] | None = None
+        if _manifest_ok():
+            _register()
+        elif (want := _want()) == _disk_fingerprints():
+            # content still matches (e.g. manifest lost, or sources
+            # touched but byte-identical): reuse and re-stamp the
+            # manifest so the next call takes the metadata path
+            _register()
+            _write_manifest()
         else:
             import shutil
 
@@ -85,6 +184,17 @@ def ensure_bucketed_layout(
                     .mode("overwrite")
                     .saveAsTable(name)
                 )
+            # verify the rebuild round-trips before stamping reuse
+            # metadata (the swap-validate discipline of topic_log)
+            got = _disk_fingerprints()
+            if want is None:
+                want = _want()
+            if got != want:
+                raise RuntimeError(
+                    f"bucketed layout rebuild failed validation under "
+                    f"{loc_root}: {got} != {want}"
+                )
+            _write_manifest()
     for name, _df, _key, _sub in sides:
         # drop any file listing cached before a concurrent rebuild
         spark.sql(f"REFRESH TABLE {name}")

@@ -524,8 +524,40 @@ class Topic:
             if self.partitioned:
                 os.makedirs(self.log_dir, exist_ok=True)
             else:
-                empty = self.spark.createDataFrame([], ENVELOPE)
-                empty.write.mode("append").parquet(self.log_dir)
+                # Seed the 0-row schema segment with pyarrow directly
+                # (optimization r12): the seed is ONE empty footer
+                # either way, and the Spark write path
+                # (createDataFrame([], ENVELOPE) + write job) costs
+                # ~0.5 s of scheduling per fresh topic — pure overhead
+                # on the prepare_topic latency path.  Same envelope
+                # schema (offset/ts non-null, UTC micros), same
+                # part-file naming and hidden-write/rename visibility
+                # contract as the direct-publish segments; readers are
+                # schema-pinned (spark.read.schema(ENVELOPE)) so the
+                # footer is interchangeable with the old Spark-written
+                # seed.
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                schema = pa.schema(
+                    [
+                        pa.field("offset", pa.int64(), nullable=False),
+                        pa.field(
+                            "ts",
+                            pa.timestamp("us", tz="UTC"),
+                            nullable=False,
+                        ),
+                        pa.field("event", pa.string()),
+                        pa.field("message", pa.string()),
+                    ]
+                )
+                os.makedirs(self.log_dir, exist_ok=True)
+                fn = f"part-00000-{uuid4().hex}.snappy.parquet"
+                tmp = os.path.join(self.log_dir, "." + fn + ".inprogress")
+                pq.write_table(
+                    schema.empty_table(), tmp, compression="snappy"
+                )
+                os.replace(tmp, os.path.join(self.log_dir, fn))
         os.makedirs(self.sub_dir, exist_ok=True)
 
     # -- write path ----------------------------------------------------
@@ -629,6 +661,21 @@ class Topic:
             for i, (e, m) in enumerate(payload)
         ]
 
+    def _write_segments(self, out: DataFrame) -> None:
+        """Append an offset-assigned envelope frame to the log dir
+        (shared tail of both publish_df paths)."""
+        out = out.select(
+            F.col("offset"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event").cast("string").alias("event"),
+            F.col("message").cast("string").alias("message"),
+        )
+        writer = out.write.mode("append")
+        if self.partitioned:
+            out2 = out.withColumn("pub_date", F.to_date("ts"))
+            writer = out2.write.mode("append").partitionBy("pub_date")
+        writer.parquet(self.log_dir)
+
     def publish_df(
         self,
         df: DataFrame,
@@ -662,27 +709,35 @@ class Topic:
                 # coalesce (no shuffle) so a small publish is one segment
                 # file — retention and replay granularity stay sane
                 src = src.coalesce(target_files)
-            # Pin the input across the two jobs _assign_contiguous_ids
-            # runs (counts + write): with AQE, a recomputed upstream
-            # shuffle can land on different partition ids between jobs,
-            # which would silently drop or mis-offset rows through the
-            # _pid join.
-            src = src.persist()
-            try:
-                out = _assign_contiguous_ids(src, start)
-                out = out.select(
-                    F.col("offset"),
-                    F.col("ts").cast("timestamp").alias("ts"),
-                    F.col("event").cast("string").alias("event"),
-                    F.col("message").cast("string").alias("message"),
+            if src.rdd.getNumPartitions() == 1:
+                # Single-partition fast path (optimization r12):
+                # monotonically_increasing_id over ONE partition is
+                # 0..n-1 by construction, so the contiguous offsets
+                # need no per-partition count job, no persist pin and
+                # no base-map broadcast join — the whole publish is
+                # ONE write job (measured ~0.4 s saved per small
+                # publish at sf0.1).  Small publishes land here via
+                # coalesce(target_files=1) or a single-task scan; the
+                # multi-partition path below stays the 100 TB shape.
+                out = src.withColumn(
+                    "offset",
+                    (F.monotonically_increasing_id() + F.lit(start + 1)).cast(
+                        "long"
+                    ),
                 )
-                writer = out.write.mode("append")
-                if self.partitioned:
-                    out2 = out.withColumn("pub_date", F.to_date("ts"))
-                    writer = out2.write.mode("append").partitionBy("pub_date")
-                writer.parquet(self.log_dir)
-            finally:
-                src.unpersist()
+                self._write_segments(out)
+            else:
+                # Pin the input across the two jobs
+                # _assign_contiguous_ids runs (counts + write): with
+                # AQE, a recomputed upstream shuffle can land on
+                # different partition ids between jobs, which would
+                # silently drop or mis-offset rows through the _pid
+                # join.
+                src = src.persist()
+                try:
+                    self._write_segments(_assign_contiguous_ids(src, start))
+                finally:
+                    src.unpersist()
             if self.retention_bytes is not None:
                 self.enforce_retention(self.retention_bytes)
         # Return what was actually WRITTEN (re-read from the log) — the
