@@ -314,15 +314,31 @@ def q_geo_grid_nearest_supplier(spark: SparkSession, sf: str) -> DataFrame:
         "cy",
         "(cx0 + 24) % 24 AS cx",
     )
+    # rank on the exact integer metric only; the 5-trig haversine is
+    # DEFERRED past the top-1 filter (optimization r12, guide §1.2):
+    # it used to be evaluated for every candidate of the 9x fan-out
+    # while only the winner's km is consumed — computing it on the
+    # survivors (one row per customer) measured 1.57 -> 0.88 s with
+    # bit-identical output (same fragment, same operand values, fewer
+    # evaluations).  The four coordinate ints ride through the window
+    # in km's place; WindowGroupLimit still prunes to one row per
+    # customer per partition before the exchange.
     cand = c.join(s, ["cy", "cx"]).select(
         "c_custkey",
         "s_suppkey",
         "s_nationkey",
+        "c_latm",
+        "c_lonm",
+        "s_latm",
+        "s_lonm",
         F.expr(_NN_D2).alias("d2"),
-        F.expr(_NN_HAV).alias("km"),
     )
     w = Window.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
-    best = cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("s_nationkey", F.expr(_NN_HAV).alias("km"))
+    )
     return (
         best.groupBy("s_nationkey")
         .agg(
@@ -390,8 +406,10 @@ def grid_nearest_complete(points: DataFrame, sites: DataFrame) -> DataFrame:
     and Catalyst copies the whole subtree into both, so the physical
     plan grew a copy of leg 1 inside leg 2 and copies of both inside
     leg 3 (169 nodes, ~17 Exchanges; measured, the copies were really
-    re-executed).  ``localCheckpoint(eager=False)`` on each round's
-    best truncates the lineage: every leg is computed ONCE per run —
+    re-executed).  ``localCheckpoint(eager=False)`` on each
+    multiply-consumed round's best (the final leg feeds only the
+    union, so it skips the checkpoint and its planning pass)
+    truncates the lineage: every leg is computed ONCE per run —
     exactly the "insert a checkpoint between legs" recommendation the
     earlier lineage note deferred to cluster deployments (guide §3.3
     "materialising an intermediate truncates the plan"), now measured
@@ -460,26 +478,43 @@ def grid_nearest_complete(points: DataFrame, sites: DataFrame) -> DataFrame:
                     )
                 ),
             )
+        # rank on the exact integer metric; haversine is DEFERRED past
+        # the top-1 filter and the settle gate (same r12 rewrite as the
+        # 3x3 headliner) — trig runs once per SETTLED point, not once
+        # per exploded candidate
         cand = probes.join(fan, ["cy", "cx"]).select(
             "p_id",
             "s_id",
             "s_tag",
+            "p_latm",
+            "p_lonm",
+            "s_latm",
+            "s_lonm",
             F.expr(_PS_D2).alias("d2"),
-            F.expr(_PS_HAV).alias("km"),
         )
         w = Window.partitionBy("p_id").orderBy("d2", "s_id")
-        best = (
-            cand.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-            .withColumn("settle_r", F.lit(r))
+        best = cand.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") == 1
         )
         if r != _NN_ROUNDS[-1]:
             guarantee = (_CELL * r) ** 2
             best = best.where(F.col("d2") <= guarantee)
-        best = best.localCheckpoint(eager=False)
+        best = best.select(
+            "p_id",
+            "s_id",
+            "s_tag",
+            "d2",
+            F.expr(_PS_HAV).alias("km"),
+            F.lit(r).alias("settle_r"),
+        )
         settled.append(best)
-        pts = pts.join(best.select("p_id"), "p_id", "left_anti")
+        if r != _NN_ROUNDS[-1]:
+            # winners feed TWO consumers (union + next leg's anti-join):
+            # truncate lineage so the leg computes once.  The final leg
+            # has a single consumer — checkpointing it would only add a
+            # planning pass.
+            settled[-1] = best = best.localCheckpoint(eager=False)
+            pts = pts.join(best.select("p_id"), "p_id", "left_anti")
     out = settled[0]
     for leg in settled[1:]:
         out = out.unionByName(leg)
