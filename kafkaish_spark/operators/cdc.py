@@ -77,20 +77,39 @@ def apply_changes(
     per-key compaction keeps only the latest event (offset order —
     the Kafka compacted-topic read), then deletes and upserts apply.
     ``ddl`` is the payload schema (the typed-topic registry would
-    hold it)."""
+    hold it).  ``base`` must be keyed (one row per ``key``) — the
+    materialization contract every caller already holds.
+
+    Shape: base rows are tagged as offset ``-1`` upserts (real log
+    offsets start at 0) and unioned with the parsed events, then ONE
+    hash aggregate per key keeps the highest-offset payload
+    (``max_by``) and deletes drop out.  One log scan/parse and one
+    key exchange with map-side partial aggregation — the previous
+    formulation fed the compaction window into two consumers (the
+    anti-join's touched-key set and the upsert payloads), so the
+    whole scan+parse subtree executed twice behind two window sorts."""
     parsed = events.select(
         "offset", "event", F.from_json("message", ddl).alias("p")
     ).select("offset", "event", "p.*")
-    w_latest = Window.partitionBy(key).orderBy(F.col("offset").desc())
-    latest = (
-        parsed.withColumn("_rn", F.row_number().over(w_latest))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    cols = base.columns
+    tagged = base.select(
+        F.lit(-1).cast("long").alias("offset"),
+        F.lit("upsert").alias("event"),
+        *[F.col(c) for c in cols],
     )
-    touched = latest.select(key)
-    survivors = base.join(touched, key, "left_anti")
-    upserts = latest.filter(F.col("event") == "upsert").drop("offset", "event")
-    return survivors.unionByName(upserts)
+    unioned = tagged.unionByName(parsed.select("offset", "event", *cols))
+    payload = F.struct(
+        F.col("event").alias("event"),
+        *[F.col(c).alias(c) for c in cols if c != key],
+    )
+    latest = unioned.groupBy(key).agg(
+        F.max_by(payload, F.col("offset")).alias("_s")
+    )
+    return (
+        latest.filter(F.col("_s.event") == "upsert")
+        .select(key, *[F.col(f"_s.{c}").alias(c) for c in cols if c != key])
+        .select(*cols)
+    )
 
 
 def stream_apply(

@@ -368,7 +368,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    # est is a pure function of (doc_a, doc_b) — each doc has exactly one
+    # signature — so dedup AFTER computing+thresholding it: the distinct's
+    # exchange then carries (long, long, double) instead of two 32-long
+    # signature arrays per candidate row (~24 B vs ~550 B), and the
+    # >= 0.2 filter drops rows before they shuffle.  Row set identical.
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    ).cast("double") / F.lit(float(NUM_PERM))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -381,15 +391,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.2)
         .distinct()
-    )
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-        )
-    ).cast("double") / F.lit(float(NUM_PERM))
-    return cand.select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= 0.2
     )
 
 

@@ -797,6 +797,13 @@ _REPO_ROOT = os.path.dirname(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
+# Topic roots whose pyds fixture was fingerprint-validated this process
+# (inputs are immutable within a process — same discipline as
+# operators/cdc._VALIDATED_LOGS, optimization r12): the count+fingerprint
+# self-heal probes are two eager aggregation jobs per call, pure
+# plan-build overhead on every repeat invocation.
+_VALIDATED_LOGS: set[str] = set()
+
 
 @query(
     "q_pyds_topic_scan",
@@ -828,36 +835,41 @@ def q_pyds_topic_scan(spark: SparkSession, sf: str) -> DataFrame:
     from kafkaish_spark.sources.topic_log import Engine
 
     d = t(spark, sf, "documents")
-    n_docs, fp_docs = d.agg(
-        F.count(F.lit(1)), F.sum("doc_id").cast("long")
-    ).first()
     root = os.path.join(
         _REPO_ROOT, "spark-warehouse", "_pyds",
         os.path.basename(sf.rstrip("/")) or "default",
     )
     eng = Engine(spark, root)
     topic = eng.prepare_topic("docs")
-
-    def _topic_fp() -> tuple[int, int | None]:
-        row = topic.replay(since=0).agg(
-            F.count(F.lit(1)),
-            F.sum(F.get_json_object("message", "$.doc_id").cast("long")),
+    # Validate once per (root, process): testdata cannot change within a
+    # session, so repeat calls (bench min-of-N, driver sweeps) go straight
+    # to the measured connector scan (optimization r12, guide §1.2).
+    if root not in _VALIDATED_LOGS:
+        n_docs, fp_docs = d.agg(
+            F.count(F.lit(1)), F.sum("doc_id").cast("long")
         ).first()
-        return row[0], row[1]
 
-    if topic.latest() != n_docs or _topic_fp() != (n_docs, fp_docs):
-        if topic.latest():  # stale topic from older testdata: rebuild
-            import shutil
+        def _topic_fp() -> tuple[int, int | None]:
+            row = topic.replay(since=0).agg(
+                F.count(F.lit(1)),
+                F.sum(F.get_json_object("message", "$.doc_id").cast("long")),
+            ).first()
+            return row[0], row[1]
 
-            shutil.rmtree(os.path.join(root, "docs"))
-            eng = Engine(spark, root)
-            topic = eng.prepare_topic("docs")
-        topic.publish_df(
-            d.select(
-                F.col("lang").alias("event"),
-                F.to_json(F.struct("doc_id", "n_chars")).alias("message"),
+        if topic.latest() != n_docs or _topic_fp() != (n_docs, fp_docs):
+            if topic.latest():  # stale topic from older testdata: rebuild
+                import shutil
+
+                shutil.rmtree(os.path.join(root, "docs"))
+                eng = Engine(spark, root)
+                topic = eng.prepare_topic("docs")
+            topic.publish_df(
+                d.select(
+                    F.col("lang").alias("event"),
+                    F.to_json(F.struct("doc_id", "n_chars")).alias("message"),
+                )
             )
-        )
+        _VALIDATED_LOGS.add(root)
     register(spark)
     back = (
         spark.read.format("kafkaish")

@@ -1,7 +1,14 @@
 """Loaders for the driver's TPC-H-ish parquet tables (TESTDATA.md).
 
-Plain ``spark.read.parquet`` so Catalyst gets full pushdown / pruning;
-no caching here — callers decide lifetime.
+Plain ``spark.read.parquet`` so Catalyst gets full pushdown / pruning.
+The returned LAZY DataFrame handle is memoized per (session, sf_dir,
+table): ``spark.read.parquet`` pays a driver-side schema-inference
+job (parquet footer read) plus py4j chatter on every call, and bench
+queries call ``load_table`` up to six times each — pure plan-build
+overhead for immutable inputs (optimization r12, guide §1.2).  Only
+METADATA is held; every execution still scans the parquet files, and
+reusing one relation across queries additionally lets Catalyst reuse
+scans/exchanges.  A new session or a different sf_dir misses the memo.
 """
 
 from __future__ import annotations
@@ -22,13 +29,28 @@ TABLES = [
 ]
 
 
+_TABLE_MEMO: dict[tuple, DataFrame] = {}  # (session, sf_dir, name) -> lazy DF
+_MEMO_SESSION: tuple | None = None  # single-session guard (evict on new session)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+    global _MEMO_SESSION
+    from kafkaish_spark.session import session_token
+
+    tok = session_token(spark)
+    if _MEMO_SESSION != tok:
+        # a stopped/new session invalidates every held handle
+        _TABLE_MEMO.clear()
+        _MEMO_SESSION = tok
+    key = (sf_dir, name)
+    df = _TABLE_MEMO.get(key)
+    if df is None:
+        path = f"{sf_dir}/{name}.parquet"
+        df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
+        _TABLE_MEMO[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
