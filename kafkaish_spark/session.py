@@ -24,12 +24,22 @@ def get_spark(
     would change (provided externally via spark-submit).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # Shuffle parallelism is ENV-parameterised, never a baked-in
+    # constant (optimization guide §2.2 / round-12 rule): locally it
+    # defaults to the core count (small frames, AQE coalesces below
+    # it), on a cluster set SPARK_GRAFT_SHUFFLE_PARTITIONS to
+    # 2-4x total executor cores (or higher with AQE coalescing on,
+    # which this session always enables) so post-shuffle partitions
+    # land in the 100 MB-1 GB band at the deployment's data size.
+    shuffle_n = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_n))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

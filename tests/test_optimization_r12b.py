@@ -1,0 +1,122 @@
+"""Focused pins for the optimization-round-12 wave-3 internals: the
+table-handle memo, the CDC latest-wins rewrite, the PSI edge memo, and
+the pyds validate-once discipline.  Each changed an operator's
+internals; these tests pin the new mechanism itself (the unchanged
+RESULTS are pinned by the existing oracle/pytest coverage)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_load_table_memoizes_per_session_and_sf(spark):
+    """Same (session, sf, table) -> the SAME lazy DataFrame handle (no
+    repeated schema-inference job); a different sf is a distinct entry;
+    the memo never outlives its session token."""
+    from kafkaish_spark.sources import tables as T
+
+    a = T.load_table(spark, SF, "orders")
+    b = T.load_table(spark, SF, "orders")
+    assert a is b
+    c = T.load_table(spark, "/root/testdata/sf0.001", "orders")
+    assert c is not a
+    # the memo is keyed to THIS session's token
+    assert T._MEMO_SESSION is not None
+    # unknown tables still raise, not cache
+    with pytest.raises(KeyError):
+        T.load_table(spark, SF, "nope")
+
+
+def test_apply_changes_single_scan_latest_wins(spark):
+    """The rewritten apply_changes must (a) reproduce latest-wins
+    semantics including delete-then-reinsert and trailing deletes, and
+    (b) plan exactly ONE scan of the events input (the old formulation
+    executed the parse subtree twice)."""
+    from kafkaish_spark.operators.cdc import apply_changes
+
+    ddl = "id bigint, val string"
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ddl)
+    events = spark.createDataFrame(
+        [
+            (0, "upsert", '{"id": 1, "val": "a2"}'),
+            (1, "delete", '{"id": 2}'),
+            (2, "upsert", '{"id": 4, "val": "d"}'),
+            (3, "upsert", '{"id": 2, "val": "b2"}'),
+            (4, "delete", '{"id": 4}'),
+            (5, "upsert", '{"id": 1, "val": "a3"}'),
+        ],
+        "offset bigint, event string, message string",
+    )
+    got = sorted(
+        (r["id"], r["val"])
+        for r in apply_changes(base, events, "id", ddl).collect()
+    )
+    assert got == [(1, "a3"), (2, "b2"), (3, "c")]
+    # column order preserved = base's order
+    assert apply_changes(base, events, "id", ddl).columns == ["id", "val"]
+    # one from_json evaluation site in the whole physical plan
+    plan = (
+        apply_changes(base, events, "id", ddl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("from_json") == 1, plan
+
+
+def test_apply_changes_events_only_for_untouched_keys(spark):
+    """Keys with no events keep their base row bit-identically (the
+    offset -1 tag can never shadow a real event, and a base-only key
+    survives the upsert filter)."""
+    from kafkaish_spark.operators.cdc import apply_changes
+
+    ddl = "id bigint, val string"
+    base = spark.createDataFrame([(7, "keep"), (8, "x")], ddl)
+    events = spark.createDataFrame(
+        [(0, "delete", '{"id": 8}')],
+        "offset bigint, event string, message string",
+    )
+    got = sorted(
+        (r["id"], r["val"])
+        for r in apply_changes(base, events, "id", ddl).collect()
+    )
+    assert got == [(7, "keep")]
+
+
+def test_psi_edges_memoized_per_session_sf(spark):
+    """The decile-edge probe caches its bounded result under the
+    session+sf key: two builds reuse one probe, and the cached edges
+    are exactly what the query inlines as literals."""
+    from kafkaish_spark.operators import composites35 as C
+    from kafkaish_spark.session import session_token
+
+    C._PSI_EDGE_CACHE = None
+    df1 = C.q_drift_psi_orders(spark, SF)
+    assert C._PSI_EDGE_CACHE is not None
+    key, edges = C._PSI_EDGE_CACHE[:2], C._PSI_EDGE_CACHE[2]
+    assert key == ((session_token(spark)), SF)
+    assert 1 <= len(edges) <= 9
+    assert edges == sorted(set(edges))  # deduped, ascending
+    C.q_drift_psi_orders(spark, SF)
+    assert C._PSI_EDGE_CACHE[2] is edges  # same object: no re-probe
+    # and the memoized build still answers correctly (1 result row)
+    assert df1.count() == 1
+
+
+def test_pyds_fixture_validates_once_per_process(spark):
+    """q_pyds_topic_scan's count+fingerprint self-heal runs once per
+    (root, process); the second build skips the probe jobs but returns
+    the same rows."""
+    from kafkaish_spark.sources import pyds as P
+
+    spec_fn = P.q_pyds_topic_scan
+    r1 = sorted(map(tuple, spec_fn(spark, SF).collect()))
+    assert P._VALIDATED_LOGS  # populated by the first call
+    n_before = set(P._VALIDATED_LOGS)
+    r2 = sorted(map(tuple, spec_fn(spark, SF).collect()))
+    assert set(P._VALIDATED_LOGS) == n_before
+    assert r1 == r2 and len(r1) > 0
