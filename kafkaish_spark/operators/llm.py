@@ -335,37 +335,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
     # Shares the keyed raw-shingle cache with the exact-Jaccard twin:
     # a pipeline run invoking both dedup paths explodes the corpus once.
+    #
+    # The 32-column permutation/min/band expression trees are built as
+    # SQL strings parsed in the JVM (the kmeans wave-1 recipe): the
+    # F.col/F.lit/alias formulation cost ~250 py4j round trips of pure
+    # driver-side chatter per build (~0.4 s measured, guide §1.2 step
+    # 2) for value-identical expressions — integer literals and 0-based
+    # array indexing parse to the same typed nodes.
     sh = _cached_raw_shingles(spark, sf)
-    perms = sh.select(
+    perms = sh.selectExpr(
         "doc_id",
-        *[
-            F.xxhash64(F.lit(i), F.col("shingle")).alias(f"h{i}")
-            for i in range(NUM_PERM)
-        ],
+        *[f"xxhash64({i}, shingle) AS h{i}" for i in range(NUM_PERM)],
     )
     sig = perms.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"m{i}") for i in range(NUM_PERM)]
+        F.expr("min(h0) AS m0"),
+        *[F.expr(f"min(h{i}) AS m{i}") for i in range(1, NUM_PERM)],
     )
-    sig = sig.withColumn("sig", F.array(*[f"m{i}" for i in range(NUM_PERM)])).select(
-        "doc_id", "sig"
-    )
-    bands = sig.select(
+    sig = sig.selectExpr(
         "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col("sig")[bi * R + j] for j in range(R)]).alias(
-                            "bh"
-                        ),
-                    )
-                    for bi in range(BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        f"array({', '.join(f'm{i}' for i in range(NUM_PERM))}) AS sig",
+    )
+    band_structs = ", ".join(
+        "named_struct('band', {bi}, 'bh', xxhash64({elems}))".format(
+            bi=bi,
+            elems=", ".join(f"sig[{bi * R + j}]" for j in range(R)),
+        )
+        for bi in range(BANDS)
+    )
+    bands = sig.selectExpr(
+        "doc_id", "sig", f"explode(array({band_structs})) AS bb"
+    ).selectExpr("doc_id", "sig", "bb.band AS band", "bb.bh AS bh")
     a = bands.alias("a")
     b = bands.alias("b")
     # est is a pure function of (doc_a, doc_b) — each doc has exactly one

@@ -423,38 +423,55 @@ def q_corpus_prep_report(spark: SparkSession, sf: str) -> DataFrame:
     sample, reported as per-language survivor counts at every stage
     (the audit table a data team reviews before a training run).
 
-    Composes the registered operators (q_dedup_near_documents,
-    q_text_quality, q_sample_stratified's bucket rule) by joining their
-    doc-level outputs on doc_id — Catalyst fuses the whole thing into
-    one DAG, so there is no materialization between 'stages'; each
-    filter stays a flag column until the final one-shuffle rollup."""
+    Flag derivation (optimization r12 wave 4): the quality gate is a
+    ROW-LOCAL function of ``text``, so its score is computed inline in
+    the base projection (mirroring q_text_quality's expression exactly)
+    instead of joining that operator's full-size output back on doc_id
+    — one documents scan and one full-corpus sort-merge join less.  The
+    near-dedup verdict joins the small AGGREGATED ``dups`` side (only
+    docs that HAVE a near-duplicate) as a left join — the oracle's own
+    ``LEFT JOIN dups`` shape — instead of the full every-doc keep-flag
+    frame, removing the second full-size doc_id join
+    (q_dedup_near_documents stays the registered verdict view; its
+    expensive pair funnel is shared here via q_dedup_ngram_jaccard and
+    the session shingle cache).  Guide §2.4: same flags, two fewer
+    shuffling consumers; each filter stays a flag column until the
+    final one-shuffle rollup."""
     d = t(spark, sf, "documents")
-    from kafkaish_spark.operators.llm import (
-        q_dedup_near_documents,
-        q_text_quality,
-    )
+    from kafkaish_spark.operators.llm import _words, q_dedup_ngram_jaccard
 
     exact = (
         d.groupBy(F.md5("text"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", F.lit(1).alias("f_exact"))
     )
-    near = q_dedup_near_documents(spark, sf).select(
-        "doc_id", F.col("keep").alias("f_near")
+    dups = (
+        q_dedup_ngram_jaccard(spark, sf)
+        .filter(F.col("jaccard") >= 0.5)
+        .groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.min("doc_a").alias("dup_of"))
     )
-    qual = q_text_quality(spark, sf).select(
-        "doc_id", (F.col("quality_score") >= 2).cast("int").alias("f_quality")
+    # q_text_quality's composite score, verbatim (the oracle's q CTE)
+    w = _words()
+    n = F.size(w)
+    avg_len = (F.length("text") - (n - 1)).cast("double") / n
+    uniq_ratio = F.size(F.array_distinct(w)).cast("double") / n
+    score = (
+        F.when(n.between(20, 2000), 1).otherwise(0)
+        + F.when(uniq_ratio > 0.3, 1).otherwise(0)
+        + F.when(avg_len.between(3, 10), 1).otherwise(0)
     )
     flags = (
         d.select(
             "doc_id",
             "lang",
+            (score >= 2).cast("int").alias("f_quality"),
             (_sample_bucket() < _sample_rate()).cast("int").alias("f_sample"),
         )
         .join(exact, "doc_id", "left")
-        .join(near, "doc_id")
-        .join(qual, "doc_id")
+        .join(dups, "doc_id", "left")
         .na.fill({"f_exact": 0})
+        .withColumn("f_near", F.col("dup_of").isNull().cast("long"))
     )
     fe, fn, fq, fs = (
         F.col("f_exact"),

@@ -120,3 +120,36 @@ def test_pyds_fixture_validates_once_per_process(spark):
     r2 = sorted(map(tuple, spec_fn(spark, SF).collect()))
     assert set(P._VALIDATED_LOGS) == n_before
     assert r1 == r2 and len(r1) > 0
+
+
+def test_corpus_prep_flags_single_pair_smj(spark):
+    """Wave-4 pin: the prep report derives f_quality inline (row-local,
+    no join against q_text_quality's full-size output) and f_near from
+    the small aggregated dups side, so the ONLY sort-merge join left in
+    the physical plan is the jaccard pair self-join on shingle.  The
+    unchanged RESULT is pinned by the DuckDB oracle (hash-match)."""
+    from kafkaish_spark.operators.pipeline_ops import q_corpus_prep_report
+
+    plan = (
+        q_corpus_prep_report(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("SortMergeJoin") == 1, plan
+
+
+def test_minhash_build_runs_no_jobs_steady_state(spark):
+    """Wave-4 pin: q_dedup_minhash_lsh's plan build is pure expression
+    construction — with the shingle cache warm it must launch ZERO
+    Spark jobs (the 32-hash trees parse as SQL strings; no eager probe
+    remains).  Row content is pinned by the recall test in
+    test_operators.py."""
+    from kafkaish_spark.operators.llm import q_dedup_minhash_lsh
+
+    q_dedup_minhash_lsh(spark, SF)  # warm the (session, sf) caches
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None) or [])
+    q_dedup_minhash_lsh(spark, SF)
+    after = set(st.getJobIdsForGroup(None) or [])
+    assert after == before
