@@ -55,8 +55,17 @@ def _normalize_plan_text(s: str) -> str:
     s = re.sub(r"_common_expr_\d+", "_common_expr__", s)
     s = re.sub(r"RDD\[\d+\]", "RDD[_]", s)
     # partition counts track the env (SPARK_GRAFT_CPUS / AQE), not the
-    # plan shape — hashpartitioning(k#_, 32) == hashpartitioning(k#_, 8)
-    s = re.sub(r"partitioning\(([^)]*?),\s*\d+\)", r"partitioning(\1, _)", s)
+    # plan shape — hashpartitioning(k#_, 32) == hashpartitioning(k#_, 8).
+    # The argument list may itself contain one paren level
+    # (hashpartitioning(k#_L, cast(__salt#_ as bigint), 32)): the old
+    # [^)]* could not cross it, leaking the count into "normalized"
+    # snapshots — invisible while every run used the same core count,
+    # flagged by the first lower-core driver-style run (r12 wave 5)
+    s = re.sub(
+        r"partitioning\(((?:[^()]|\([^()]*\))*?),\s*\d+\)",
+        r"partitioning(\1, _)",
+        s,
+    )
     s = re.sub(r"RoundRobinPartitioning\(\d+\)", "RoundRobinPartitioning(_)", s)
     s = re.sub(r"coalesced from \d+", "coalesced from _", s)
     s = re.sub(r"\[id=#?_?\d*\]", "[id=_]", s)

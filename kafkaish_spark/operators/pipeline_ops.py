@@ -277,6 +277,11 @@ def q_dedup_cc_clusters(spark: SparkSession, sf: str) -> DataFrame:
             .groupBy("u")
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the pre-update label through the checkpoint so the
+        # convergence test is a row-local filter over the (bounded)
+        # checkpointed frame — the old formulation re-joined new labels
+        # to old labels per round, a full label-frame shuffle that only
+        # ever produced one count (optimization r12, guide §2.4)
         new = (
             labels.join(neigh, "u", "left")
             .select(
@@ -284,16 +289,12 @@ def q_dedup_cc_clusters(spark: SparkSession, sf: str) -> DataFrame:
                 F.least(
                     "label", F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("old_label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.filter(F.col("label") != F.col("old_label")).count()
+        labels = new.select("u", "label")
         if changed == 0:
             break
     return labels.select(

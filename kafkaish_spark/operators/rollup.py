@@ -125,13 +125,30 @@ def serve_hourly(
     return closed.unionByName(_agg(tail))
 
 
+_VERIFIED_SERVE: tuple | None = None  # (session_token, sf_dir, frame)
+
+
 def serve_hourly_verified(spark: SparkSession, sf: str) -> DataFrame:
     """Materialize + serve, with the stale-rollup self-heal: a rollup
     left over from OLDER/regenerated testdata would disagree with raw;
     one cheap count() catches it and forces a rebuild.  Every read path
     that consumes the hourly rollup (direct serve AND the day/week
     cascade) must come through here so a stale base can never silently
-    skew a derived level (round-3 ADVICE item 4)."""
+    skew a derived level (round-3 ADVICE item 4).
+
+    The materialize-check, high-water-mark probes and the count
+    verification are ~5 eager jobs over IMMUTABLE inputs, previously
+    re-run per call; the verified LAZY serving frame is now memoized
+    per (session, sf) with the load_table/_VALIDATED_LOGS discipline
+    (optimization r12): first contact per session still runs the full
+    heal, every execution still scans the parquet, a new session or sf
+    re-verifies, at most one entry held."""
+    from kafkaish_spark.session import session_token
+
+    global _VERIFIED_SERVE
+    key = (session_token(spark), sf)
+    if _VERIFIED_SERVE is not None and _VERIFIED_SERVE[:2] == key:
+        return _VERIFIED_SERVE[2]
     materialize_hourly(spark, sf)
     out = serve_hourly(spark, sf)
     ev = t(spark, sf, "events")
@@ -139,6 +156,7 @@ def serve_hourly_verified(spark: SparkSession, sf: str) -> DataFrame:
     if total != ev.count():
         materialize_hourly(spark, sf, rebuild=True)
         out = serve_hourly(spark, sf)
+    _VERIFIED_SERVE = (*key, out)
     return out
 
 

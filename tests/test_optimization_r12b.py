@@ -153,3 +153,37 @@ def test_minhash_build_runs_no_jobs_steady_state(spark):
     q_dedup_minhash_lsh(spark, SF)
     after = set(st.getJobIdsForGroup(None) or [])
     assert after == before
+
+
+def test_rollup_serve_verified_memoized_per_session_sf(spark):
+    """Wave-5 pin: serve_hourly_verified runs its materialize-check +
+    count-verification jobs once per (session, sf) and then returns the
+    SAME lazy frame handle — every execution still scans the parquet;
+    a different sf is a fresh verification."""
+    from kafkaish_spark.operators import rollup as R
+
+    R._VERIFIED_SERVE = None
+    a = R.serve_hourly_verified(spark, SF)
+    assert R._VERIFIED_SERVE is not None
+    b = R.serve_hourly_verified(spark, SF)
+    assert a is b
+    st = spark.sparkContext.statusTracker()
+    before = set(st.getJobIdsForGroup(None) or [])
+    R.serve_hourly_verified(spark, SF)  # memo hit: zero jobs
+    assert set(st.getJobIdsForGroup(None) or []) == before
+    c = R.serve_hourly_verified(spark, "/root/testdata/sf0.001")
+    assert c is not a  # sf change evicts and re-verifies
+
+
+def test_cc_clusters_round_has_no_label_label_join(spark):
+    """Wave-5 pin: the CC convergence test is a row-local filter over
+    the round's checkpointed frame — labels are never re-joined to the
+    previous round's labels (the RESULT is pinned by the DuckDB
+    recursive-CTE oracle)."""
+    import inspect
+
+    from kafkaish_spark.operators import pipeline_ops as P
+
+    src = inspect.getsource(P.q_dedup_cc_clusters)
+    assert 'alias("o")' not in src and 'alias("n")' not in src
+    assert "old_label" in src
