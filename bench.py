@@ -56,16 +56,11 @@ def _normalize_plan_text(s: str) -> str:
     s = re.sub(r"RDD\[\d+\]", "RDD[_]", s)
     # partition counts track the env (SPARK_GRAFT_CPUS / AQE), not the
     # plan shape — hashpartitioning(k#_, 32) == hashpartitioning(k#_, 8).
-    # The argument list may itself contain one paren level
-    # (hashpartitioning(k#_L, cast(__salt#_ as bigint), 32)): the old
-    # [^)]* could not cross it, leaking the count into "normalized"
-    # snapshots — invisible while every run used the same core count,
-    # flagged by the first lower-core driver-style run (r12 wave 5)
-    s = re.sub(
-        r"partitioning\(((?:[^()]|\([^()]*\))*?),\s*\d+\)",
-        r"partitioning(\1, _)",
-        s,
-    )
+    # Scrubbed by a paren-aware scanner: the r12 one-level regex could
+    # not cross a second nesting level (r12 ADVICE item 5 —
+    # hashpartitioning(cast(coalesce(a, 0) as bigint), 8) would re-leak
+    # the env-dependent count into "normalized" snapshots).
+    s = _scrub_partition_counts(s)
     s = re.sub(r"RoundRobinPartitioning\(\d+\)", "RoundRobinPartitioning(_)", s)
     s = re.sub(r"coalesced from \d+", "coalesced from _", s)
     s = re.sub(r"\[id=#?_?\d*\]", "[id=_]", s)
@@ -78,6 +73,43 @@ def _normalize_plan_text(s: str) -> str:
     # not the plan — the r9 kmeans false-positive class
     s = re.sub(r"at (?:\S+\.(?:java|scala)|<unknown>):\d+", "at _", s)
     return s
+
+
+def _scrub_partition_counts(s: str) -> str:
+    """Replace the trailing integer partition count of every
+    ``*partitioning(...)`` span with ``_``, at ANY paren-nesting depth
+    of the argument list: the span is found by walking to the matching
+    close paren instead of by a fixed-depth regex alternation, and the
+    scrub recurses into the arguments so nested partitioning spans are
+    normalized too.  Idempotent (a trailing ``_`` has no digits to
+    match), so re-normalizing a committed snapshot is a no-op."""
+    import re
+
+    pat = re.compile(r"partitioning\(")
+    out: list[str] = []
+    i = 0
+    while True:
+        m = pat.search(s, i)
+        if not m:
+            out.append(s[i:])
+            return "".join(out)
+        start = m.end()  # just past the opening paren
+        depth, j = 1, start
+        while j < len(s) and depth:
+            if s[j] == "(":
+                depth += 1
+            elif s[j] == ")":
+                depth -= 1
+            j += 1
+        if depth:  # unbalanced (truncated plan text): leave untouched
+            out.append(s[i:])
+            return "".join(out)
+        inner = _scrub_partition_counts(s[start : j - 1])
+        inner = re.sub(r",\s*\d+$", ", _", inner)
+        out.append(s[i:start])
+        out.append(inner)
+        out.append(")")
+        i = j
 
 
 def _plan_changed(name: str, plan: str) -> bool | None:
@@ -137,9 +169,21 @@ def main() -> None:
     # noise band read 10-30x its peers (r9 verdict item 4).  Building
     # the frame (no action) is enough: the one-time jobs run here, the
     # timed reps below still do all real scans/shuffles cold.
+    # The prebuild call is also TIMED and reported as first_call_sec
+    # (r12 verdict item 7): it is the cold-path cost of each query's
+    # one-time fixture/validation/probe work plus plan construction, so
+    # memo-based steady-state wins stay auditable — a regression on the
+    # cold path shows up here even when min-of-N steady state improves.
+    # Attribution caveat: module caches are shared (the shingle frame,
+    # the logreg parts), so whichever consumer runs FIRST in the sorted
+    # order pays the shared build; first_call_sec is per-(query, run
+    # order), not a per-query invariant.
+    first_call: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         try:
+            t0 = time.perf_counter()
             spec.fn(spark, sf_dir)
+            first_call[name] = round(time.perf_counter() - t0, 4)
         except Exception as ex:
             print(f"# target-sf prebuild {name} skipped: {ex}", file=sys.stderr)
     # Each query is timed REPS times and the MINIMUM is reported: this
@@ -194,6 +238,32 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 4)
+    # Advisory per-query diagnostics go to a SIDECAR file + stderr, NOT
+    # the one-line JSON contract (r12 verdict item 1): the embedded
+    # noise_band/plan_changed maps grew the line long enough that the
+    # driver's tail capture truncated it in r10 and r11 (parsed: null —
+    # which erased two rounds of round-over-round PERF evidence).  The
+    # final line carries only the driver contract fields plus the two
+    # short provenance scalars.
+    meta = {
+        # per-query (max-min)/min across the REPS samples: a
+        # cross-round delta inside this band on an unchanged plan is
+        # machine noise by construction
+        "noise_band": noise_band,
+        # True = physical plan differs from the committed prior-round
+        # snapshot (bench_plans/), False = same plan (a timing delta is
+        # noise), null = first snapshot for this query
+        "plan_changed": plan_changed,
+        # cold-path cost: the untimed target-sf prebuild call (one-time
+        # fixture/validation/probe jobs + plan construction) — see the
+        # prebuild loop comment for the shared-cache attribution caveat
+        "first_call_sec": first_call,
+    }
+    meta_path = os.path.join(_REPO, "bench_meta.json")
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh, indent=1, sort_keys=True)
+    print(f"# diagnostics (noise_band / plan_changed / first_call_sec)"
+          f" written to {meta_path}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -209,15 +279,6 @@ def main() -> None:
                 # 15 -> 17 in round 3)
                 "method": f"min-of-{REPS}-interleaved",
                 "n_queries": len(timings),
-                # per-query (max-min)/min across the REPS samples: a
-                # cross-round delta inside this band on an unchanged
-                # plan is machine noise by construction
-                "noise_band": noise_band,
-                # True = physical plan differs from the committed
-                # prior-round snapshot (bench_plans/), False = same
-                # plan (a timing delta is noise), null = first
-                # snapshot for this query
-                "plan_changed": plan_changed,
             }
         )
     )

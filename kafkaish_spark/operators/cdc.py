@@ -125,6 +125,15 @@ def stream_apply(
     Kafka-Connect JDBC-sink analog: every micro-batch of events folds
     into the parquet materialization via ``apply_changes``.
 
+    Precondition (tightened by the r12 max_by rewrite of
+    ``apply_changes``, noted here because this loop is its main
+    caller): the materialization must stay KEYED — one row per
+    ``key``.  Every table this loop produces is keyed by construction
+    (``apply_changes`` groups by the key), so the contract is
+    self-maintaining; seeding ``table_path`` externally with
+    duplicate- or NULL-keyed rows would silently collapse those rows
+    to one arbitrary survivor on the next batch.
+
     Crash-safety comes from two directions meeting in the middle:
     the streaming checkpoint redelivers an uncommitted batch on resume
     (at-least-once), and ``apply_changes`` is IDEMPOTENT for a
@@ -174,7 +183,11 @@ def stream_apply(
 
 def read_materialized(spark: SparkSession, table_path: str, ddl: str) -> DataFrame:
     """The current materialization (or the ``.old`` generation if a
-    crash interrupted the swap; empty frame if never built)."""
+    crash interrupted the swap; empty frame if never built).
+
+    What this reads is the keyed base ``apply_changes`` requires (one
+    row per key): ``stream_apply`` only ever writes grouped-by-key
+    output here, so reads feed back into the fold safely."""
     for p in (table_path, table_path + ".old"):
         if os.path.isdir(p):
             return spark.read.schema(ddl).parquet(p)

@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafkaish_spark.functions.parallelism import cut_lineage
 from kafkaish_spark.plans.registry import query
 from kafkaish_spark.sources.tables import load_table as t
 
@@ -512,8 +513,12 @@ def grid_nearest_complete(points: DataFrame, sites: DataFrame) -> DataFrame:
             # winners feed TWO consumers (union + next leg's anti-join):
             # truncate lineage so the leg computes once.  The final leg
             # has a single consumer — checkpointing it would only add a
-            # planning pass.
-            settled[-1] = best = best.localCheckpoint(eager=False)
+            # planning pass.  cut_lineage is localCheckpoint here and
+            # persist(MEMORY_AND_DISK) under
+            # SPARK_GRAFT_RELIABLE_CHECKPOINT=1 (the cluster seam:
+            # localCheckpoint partitions are not recomputable after
+            # executor loss — see functions/parallelism.py).
+            settled[-1] = best = cut_lineage(best)
             pts = pts.join(best.select("p_id"), "p_id", "left_anti")
     out = settled[0]
     for leg in settled[1:]:

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafkaish_spark.functions.parallelism import cut_lineage
 from kafkaish_spark.plans.registry import query
 from kafkaish_spark.sources.tables import load_table as t
 
@@ -269,7 +270,7 @@ def q_dedup_cc_clusters(spark: SparkSession, sf: str) -> DataFrame:
     edges = pairs.selectExpr("doc_a AS u", "doc_b AS v").union(
         pairs.selectExpr("doc_b", "doc_a")
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = cut_lineage(edges, eager=True)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
     while True:
         neigh = (
@@ -282,16 +283,15 @@ def q_dedup_cc_clusters(spark: SparkSession, sf: str) -> DataFrame:
         # checkpointed frame — the old formulation re-joined new labels
         # to old labels per round, a full label-frame shuffle that only
         # ever produced one count (optimization r12, guide §2.4)
-        new = (
-            labels.join(neigh, "u", "left")
-            .select(
+        new = cut_lineage(
+            labels.join(neigh, "u", "left").select(
                 "u",
                 F.least(
                     "label", F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
                 F.col("label").alias("old_label"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            eager=True,
         )
         changed = new.filter(F.col("label") != F.col("old_label")).count()
         labels = new.select("u", "label")

@@ -82,6 +82,11 @@ def materialize_hourly(
     written.  Idempotent: a second call with no new data writes 0.
     """
     out_dir = out_dir or rollup_dir(sf)
+    if rebuild:
+        # a rebuild rewrites the rollup files the memoized verified
+        # serving frame captured — drop it so the next verified read
+        # re-heals instead of serving the stale listing (ADVICE r12)
+        invalidate_verified_serve()
     ev = events if events is not None else t(spark, sf, "events")
     mx = ev.agg(F.max(epoch_ms(F.col("ts"))).alias("m")).first()["m"]
     if mx is None:
@@ -126,6 +131,19 @@ def serve_hourly(
 
 
 _VERIFIED_SERVE: tuple | None = None  # (session_token, sf_dir, frame)
+
+
+def invalidate_verified_serve() -> None:
+    """Drop the memoized verified serving frame (r12 ADVICE item 3):
+    the memo assumes the rollup directory and the events table are
+    immutable for the session — true for the driver's testdata, but a
+    caller that REBUILDS the rollup mid-session (e.g. its own
+    ``materialize_hourly(..., rebuild=True)``) must call this so the
+    next ``serve_hourly_verified`` re-runs the self-heal instead of
+    serving the stale pre-rebuild frame (whose captured file listing
+    can also throw FileNotFound once the old files are gone)."""
+    global _VERIFIED_SERVE
+    _VERIFIED_SERVE = None
 
 
 def serve_hourly_verified(spark: SparkSession, sf: str) -> DataFrame:

@@ -93,9 +93,25 @@ def ensure_bucketed_layout(
     manifest_path = os.path.join(loc_root, _MANIFEST)
 
     def _source_sig() -> list[list]:
-        files: list[str] = []
+        # df.inputFiles() returns the file listing captured when the
+        # relation was CREATED — and load_table memoizes relations per
+        # session (r12), so a file added to or removed from a source
+        # directory mid-session would be invisible to the signature
+        # (r12 ADVICE item 4).  Re-list each source's parent
+        # directories from the filesystem instead: the captured
+        # listing only seeds WHICH directories to stat.
+        dirs: list[str] = []
         for _n, df, _k, _sub in sides:
-            files.extend(f.removeprefix("file:") for f in df.inputFiles())
+            for f in df.inputFiles():
+                d = os.path.dirname(f.removeprefix("file:"))
+                if d not in dirs:
+                    dirs.append(d)
+        files = [
+            os.path.join(d, e)
+            for d in dirs
+            for e in sorted(os.listdir(d))
+            if e.endswith(".parquet")
+        ]
         return _stat_sig(files)
 
     def _manifest_ok() -> bool:

@@ -719,6 +719,16 @@ class Topic:
                 # publish at sf0.1).  Small publishes land here via
                 # coalesce(target_files=1) or a single-task scan; the
                 # multi-partition path below stays the 100 TB shape.
+                #
+                # coalesce(1) PINS the executed partitioning to the
+                # probe's answer (r12 ADVICE item 1): the write job
+                # re-plans the lineage independently, and with AQE a
+                # recomputed upstream shuffle could finalize with >1
+                # partitions — monotonically_increasing_id would then
+                # jump by 2^33 between partitions, silently breaking
+                # the contiguous-offset contract.  On an already-1-
+                # partition plan the coalesce is a no-op wrapper.
+                src = src.coalesce(1)
                 out = src.withColumn(
                     "offset",
                     (F.monotonically_increasing_id() + F.lit(start + 1)).cast(
