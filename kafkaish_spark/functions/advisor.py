@@ -471,6 +471,7 @@ def advised_rank(
     ascending: bool = True,
     advice: WindowAdvice | None = None,
     hot_share_threshold: float = HOT_SHARE_THRESHOLD_DEFAULT,
+    top_k: int | None = None,
 ) -> DataFrame:
     """``row_number() OVER (PARTITION BY partition_key ORDER BY
     order_cols ASC|DESC)`` as ``rank_name``, using the advised
@@ -505,7 +506,28 @@ def advised_rank(
     column does), which keeps the NULL bucket sorting before every
     numeric bucket just as NULL order values sort first.  The
     equivalence oracle q_advised_window_order_rank proves plans can
-    differ, answers can't."""
+    differ, answers can't.
+
+    ``top_k`` (optimization r13, guide §2.3 "shuffle fewer bytes"): a
+    caller that will keep only rows with ``rank_name <= top_k`` can
+    declare it here.  The returned frame then GUARANTEES every row
+    whose rank is <= top_k (with identical rank values) but MAY omit
+    rows ranked beyond it — so the caller's own ``rank <= top_k``
+    filter yields identical results while both plans prune early:
+
+    - plain: the filter sits directly above the window, so Catalyst
+      inserts a partial WindowGroupLimit BELOW the exchange — each map
+      task ships at most top_k rows per partition key instead of all
+      of them;
+    - two_phase: rows with within-bucket rank > top_k can never reach
+      a final rank <= top_k (the bucket offset ``_w_off0`` is >= 0),
+      so the same WindowGroupLimit prune applies per (key, bucket);
+      and a bucket whose offset is already >= top_k contributes no
+      qualifying rows, so the broadcast prefix drops those entries and
+      the attach join discards such rows.
+
+    At 100 TB a top-k report over a hot key otherwise shuffles the hot
+    key's entire slice just to discard all but k rows of it."""
     reserved = {
         "_wbucket", "_w_r_in", "_w_off0", "_w_pk", "_w_bk", rank_name
     }
@@ -528,7 +550,10 @@ def advised_rank(
     ]
     if advice.strategy == "plain":
         w = Window.partitionBy(partition_key).orderBy(*order)
-        return fact.withColumn(rank_name, F.row_number().over(w))
+        ranked = fact.withColumn(rank_name, F.row_number().over(w))
+        if top_k is not None:
+            ranked = ranked.filter(F.col(rank_name) <= top_k)
+        return ranked
     b = fact.withColumn("_wbucket", bucket)
     hist = b.groupBy(partition_key, "_wbucket").agg(
         F.count(F.lit(1)).alias("_w_n")
@@ -551,13 +576,27 @@ def advised_rank(
         F.col("_wbucket").alias("_w_bk"),
         F.coalesce(F.sum("_w_n").over(w_prefix), F.lit(0)).alias("_w_off0"),
     )
+    if top_k is not None:
+        # a bucket whose starting offset is already >= top_k cannot
+        # contain a qualifying row (ranks in it start at _w_off0 + 1);
+        # dropping its prefix entry makes the inner attach join discard
+        # those rows — legal under the declared top_k contract
+        prefix = prefix.filter(F.col("_w_off0") < top_k)
     w_in = Window.partitionBy(partition_key, "_wbucket").orderBy(*order)
+    ranked_in = b.withColumn("_w_r_in", F.row_number().over(w_in))
+    if top_k is not None:
+        # rnk = _w_off0 + _w_r_in with _w_off0 >= 0, so rnk <= top_k
+        # requires _w_r_in <= top_k; the filter directly above the
+        # window makes Catalyst insert a partial WindowGroupLimit
+        # below the (key, bucket) exchange — map tasks ship at most
+        # top_k rows per group
+        ranked_in = ranked_in.filter(F.col("_w_r_in") <= top_k)
     # NULL-safe join back: a plain equi-join would silently DROP rows
     # whose partition key or bucket is NULL (NULL never equals NULL),
     # letting the measured strategy change row counts, not just plans
     # (review r11).  The histogram keeps NULL groups; so must the join.
     return (
-        b.withColumn("_w_r_in", F.row_number().over(w_in))
+        ranked_in
         .join(
             F.broadcast(prefix),
             F.col(partition_key).eqNullSafe(F.col("_w_pk"))

@@ -143,6 +143,13 @@ def q_advised_window_order_rank(spark: SparkSession, sf: str) -> DataFrame:
         "o_orderstatus",
         cache_key=(sf, "orders.o_orderstatus"),
     )
+    # top_k=50 declares the query's own ``rnk <= 50`` filter to the
+    # operator (optimization r13): the within-bucket rank gets a
+    # map-side WindowGroupLimit prune (each task ships <= 50 rows per
+    # (status, bucket) instead of the bucket's whole slice) and
+    # offset->=50 buckets drop out of the broadcast prefix.  Result
+    # set unchanged — the guarantee is every row with rnk <= 50
+    # survives, and the filter below still applies.
     ranked = advised_rank(
         o,
         "o_orderstatus",
@@ -150,6 +157,7 @@ def q_advised_window_order_rank(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.col("cents") / F.lit(1_000_000)).cast("long"),
         rank_name="rnk",
         advice=advice,
+        top_k=50,
     )
     return (
         ranked.filter(F.col("rnk") <= 50)

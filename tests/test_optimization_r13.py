@@ -122,6 +122,44 @@ def test_bucketed_source_sig_sees_directory_changes(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_sig_probe")
 
 
+def test_advised_rank_top_k_prunes_without_changing_qualifying_rows(spark):
+    """top_k guarantees every row with rank <= k survives with an
+    identical rank value (both strategies), and the two-phase plan gains
+    the WindowGroupLimit map-side prune."""
+    from kafkaish_spark.functions.advisor import WindowAdvice, advised_rank
+
+    rows = [(g, v, v % 3) for g in ("a", "b") for v in range(40)]
+    df = spark.createDataFrame(rows, "g string, v long, noise long")
+    two = WindowAdvice("two_phase", "a", 0.5, 0.125)
+    plain = WindowAdvice("plain", "a", 0.5, 0.125)
+    bucket = F.floor(F.col("v") / 10).cast("long")
+
+    full = advised_rank(df, "g", ["v"], bucket, advice=two)
+    k = 15
+    want = {
+        (r["g"], r["v"], r["rnk"])
+        for r in full.collect()
+        if r["rnk"] <= k
+    }
+    for adv in (two, plain):
+        pruned = advised_rank(df, "g", ["v"], bucket, advice=adv, top_k=k)
+        got = {
+            (r["g"], r["v"], r["rnk"])
+            for r in pruned.filter(F.col("rnk") <= k).collect()
+        }
+        assert got == want, adv.strategy
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        advised_rank(df, "g", ["v"], bucket, advice=two, top_k=k).explain(
+            "formatted"
+        )
+    assert "WindowGroupLimit" in buf.getvalue()
+
+
 def test_bench_partition_scrub_handles_nested_parens():
     """The paren-aware scrubber normalizes the partition count at any
     nesting depth (r12 ADVICE item 5) and is idempotent."""
