@@ -453,10 +453,13 @@ def _logreg_parts(spark: SparkSession, sf: str) -> dict:
     so the feature slice / sigmoid / grid rules can never drift apart.
 
     The exploded feature frame ``x`` is the expensive common
-    subexpression (posexplode of every embedding x 8 dims) and FIVE
-    registered queries rebuild this subtree, so it is persisted behind
-    the repo's session+sf-keyed single-slot cache (the shingle-cache
-    contract: evict-before-replace, at most one copy pinned)."""
+    subexpression (posexplode of every embedding x 8 dims); since the
+    r13 row-local ``scored`` rewrite its remaining consumer is the
+    gd2 training query (w1 derivation + the g2 join), and it stays
+    behind the repo's session+sf-keyed single-slot cache (the
+    shingle-cache contract: evict-before-replace, at most one copy
+    pinned).  The scoring consumers (auc, auc_binned, calibration)
+    read ``scored``, which no longer touches ``x`` at all."""
     global _LR_CACHE
     key = (session_token(spark), sf)
     if _LR_CACHE is not None and _LR_CACHE[:2] == key:
@@ -502,14 +505,39 @@ def _build_logreg_parts(spark: SparkSession, sf: str) -> dict:
     )
 
 
-    dots = (
-        x.join(F.broadcast(w1), "j")
-        .groupBy("vec_id")
-        .agg(
-            F.any_value("y").alias("y"),
-            ordered_sum(F.col("j"), F.col("w") * F.col("xv")).alias("dot"),
-        )
+    # scored is ROW-LOCAL (optimization r13, guide §2.4): the step-1
+    # weight vector is a BOUNDED statistic (8 doubles — the kmeans
+    # "broadcast k x d state" class), so it is collected once per
+    # (session, sf) (this dict is already memoized) and inlined, and
+    # each row's dot product becomes a left-to-right fold over its own
+    # 8-dim slice.  The previous shape sent the exploded x frame
+    # (rows x 8) through a vec_id exchange and an ObjectHashAggregate
+    # just to reassemble per-row state that never needed to leave its
+    # row.  Value-identical: the fold multiplies w_j * x_j in ascending
+    # j order from a 0.0 seed — the exact sequence ordered_sum
+    # evaluated — and F.lit round-trips the collected doubles exactly.
+    # Three scored consumers (auc, auc_binned, calibration) now scan
+    # parquet + project, zero exchanges; gd2 still uses x/n/w1.
+    w_vals = [
+        float(r["w"]) for r in w1.orderBy("j").collect()
+    ]  # j = 1..8, ascending
+    w_arr = F.array(*[F.lit(w) for w in w_vals])
+    feats = e.select(
+        "vec_id",
+        (F.col("label") % 2).alias("y"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, _LR_DIMS).alias(
+            "xs"
+        ),
     )
+    dot = F.aggregate(
+        F.zip_with(w_arr, F.col("xs"), lambda w, xv: w * xv),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # dots/scored stay TWO projections: sig references dot twice, and
+    # CollapseProject must not inline the (non-cheap, interpreted) fold
+    # into both references
+    dots = feats.select("vec_id", "y", dot.alias("dot"))
     sig = F.lit(0.5) + F.col("dot") / (
         F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("dot")))
     )

@@ -160,6 +160,28 @@ def test_advised_rank_top_k_prunes_without_changing_qualifying_rows(spark):
     assert "WindowGroupLimit" in buf.getvalue()
 
 
+def test_logreg_scored_is_row_local(spark):
+    """The step-1 scored frame must plan as scan + projections — zero
+    Exchange (the r13 rewrite inlines the collected 8-weight vector and
+    folds each row's own slice; the old shape shuffled the exploded
+    rows x 8 frame on vec_id just to reassemble per-row state)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kafkaish_spark.operators.composites22 import _logreg_parts
+
+    scored = _logreg_parts(spark, "/root/testdata/sf0.001")["scored"]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        scored.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # scores in [0, 1] with both classes present (sanity of the fold)
+    rows = scored.collect()
+    assert rows and all(0.0 <= r["s"] <= 1.0 for r in rows)
+
+
 def test_bench_partition_scrub_handles_nested_parens():
     """The paren-aware scrubber normalizes the partition count at any
     nesting depth (r12 ADVICE item 5) and is idempotent."""
