@@ -87,6 +87,13 @@ SCALE_QUERIES = [
     "q_text_tf_top_terms",
     "q_train_global_shuffle",
     "q_rank_rrf_fusion",
+    # the two r13 rewrites, added so their wins are checked at scale,
+    # not just on local[32]: the advised-rank top_k prune (the
+    # WindowGroupLimit pair must survive the 10x replica) and the
+    # row-local logreg scoring (inlined weight literals are
+    # data-derived, so plan identity reads "literals_only" by design)
+    "q_advised_window_order_rank",
+    "q_ml_auc_binned",
 ]
 
 # The dedup/near-dup funnels, measurable since the r12 mutation-aware
